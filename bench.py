@@ -1,0 +1,76 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query executes via the no-op sink so we measure full plan
+execution (scan → shuffle → agg) without driver-collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "agg_cube",
+    "window_rank",
+    "top_k_per_group",
+    "cte_query",
+    "subquery_exists",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from iceberg_kafka_playgroud_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("bench")
+    qs = entry.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # optional extension headliners, appended as they land
+    for extra in ("dedup_minhash_lsh", "ann_topk_bruteforce", "event_sessionize"):
+        if extra in qs:
+            names.append(extra)
+
+    # JIT/classload warmup on the smallest sf (excluded from timings)
+    qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

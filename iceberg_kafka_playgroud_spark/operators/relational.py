@@ -1,0 +1,845 @@
+"""Relational query inventory — SURVEY §2.3 (P1-P6) + §2.6 + §2.7.
+
+The reference exposes this surface through its arbitrary-SQL passthrough
+endpoint (``duckdb_rest_server.py:67-84``); here every category is a
+declarative DataFrame/SQL plan so Catalyst gets pushdown, pruning, join
+selection and AQE for free.
+
+Oracle-parity rules used throughout (so the driver's order-insensitive
+value-hash matches DuckDB bit-for-bit):
+
+- money math goes through DECIMAL (exact, association-order-independent)
+  and is cast to DOUBLE only at the end — see ``functions.scalar``;
+- averages are written ``CAST(sum_dec AS DOUBLE) / CAST(n AS DOUBLE)``
+  (one well-defined IEEE division) instead of native AVG-over-double;
+- every computed column is aliased identically in the DataFrame plan and
+  the oracle SQL;
+- queries with LIMIT > 0 carry a total ORDER BY (unique tie-break) so the
+  selected row set is deterministic;
+- rounding of genuinely-floating outputs happens at ≥6 decimals only.
+
+Scale notes are attached per query; the common posture: dimension joins
+(region/nation/customer/supplier/part) broadcast — at 100 TB the fact
+tables (lineitem/orders/events) are the only shuffled inputs, and those
+shuffles carry pre-aggregated / pre-projected rows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.scalar import money
+from ..schema import load_table
+
+RATE = "decimal(4,2)"  # discounts/taxes in [0, 9.99] — exact at cent scale
+
+
+def _rate(col: str) -> F.Column:
+    return F.col(col).cast(RATE)
+
+
+def _one() -> F.Column:
+    return F.lit(1).cast(RATE)
+
+
+# --------------------------------------------------------------------------
+# §2.3 — projections / filters / limits
+# --------------------------------------------------------------------------
+
+
+def scan_project(spark: SparkSession, sf: str) -> DataFrame:
+    """P1: projection narrowed at the parquet scan (column pruning)."""
+    return load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+def limit0_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """P3: LIMIT 0 schema probe (reference duckdb_rest_server.py:101-104)."""
+    return load_table(spark, sf, "events").limit(0)
+
+
+def sort_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """P2 + §2.6 top-k: total order + LIMIT → TakeOrderedAndProject
+    (no global sort materialization; each partition keeps k rows)."""
+    return (
+        load_table(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+def filter_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """Comparison + IN + BETWEEN predicates, all pushed to the scan."""
+    l = load_table(spark, sf, "lineitem")
+    return l.filter(
+        F.col("l_returnflag").isin("A", "N")
+        & F.col("l_quantity").between(10, 20)
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+def filter_like(spark: SparkSession, sf: str) -> DataFrame:
+    """LIKE / prefix predicates (parquet dictionary + string pushdown)."""
+    p = load_table(spark, sf, "part")
+    return p.filter(
+        F.col("p_name").like("%small%") | F.col("p_type").like("SMALL%")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+def partition_prune_time(spark: SparkSession, sf: str) -> DataFrame:
+    """P6: time-range predicate → row-group/partition pruning; on a
+    date-partitioned lake layout this prunes whole directories."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.filter(
+            (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+        )
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day_ts"))
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def files_glob_listing(spark: SparkSession, sf: str) -> DataFrame:
+    """S4: file listing via input_file_name over a scan (reference
+    ``SELECT * FROM glob(...)`` at duckdb_rest_server.py:111)."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.select(
+            F.regexp_extract(F.input_file_name(), r"([^/]+\.parquet)", 1).alias(
+                "file_name"
+            )
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.6 — aggregation
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter → hash agg (partial+final) → sort.
+    The shuffle carries only 4 grouped rows per partition — optimal at
+    any scale."""
+    l = load_table(spark, sf, "lineitem")
+    price, qty, disc, tax = (
+        money("l_extendedprice"),
+        money("l_quantity"),
+        _rate("l_discount"),
+        _rate("l_tax"),
+    )
+    n = F.count("*")
+    sum_qty = F.sum(qty)
+    sum_price = F.sum(price)
+    sum_disc = F.sum(disc)
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.cast("double").alias("sum_qty"),
+            sum_price.cast("double").alias("sum_base_price"),
+            F.sum(price * (_one() - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (_one() - disc) * (_one() + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (sum_qty.cast("double") / n.cast("double")).alias("avg_qty"),
+            (sum_price.cast("double") / n.cast("double")).alias("avg_price"),
+            (sum_disc.cast("double") / n.cast("double")).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT) — expand+two-phase agg under the hood."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def agg_having(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_partkey")
+        .agg(F.sum(money("l_quantity")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 900)
+    )
+
+
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(money("l_quantity")).cast("double").alias("qty"),
+        )
+    )
+
+
+def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets (all combinations)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(money("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+def pivot_linestatus(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot — conditional aggregation per pivot value."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(money("l_quantity")).cast("double"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.6 — joins (every `how` the SQL surface promises)
+# --------------------------------------------------------------------------
+
+
+def join_inner_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """Inner equi-join of two dims — broadcast at any scale."""
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .select("n_nationkey", "n_name", "r_name")
+    )
+
+
+def join_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT OUTER with a filtered right side so null rows actually occur;
+    grouped count-of-matches keeps the output stable and small."""
+    c = load_table(spark, sf, "customer")
+    big = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 450000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+    )
+
+
+def join_right_outer(spark: SparkSession, sf: str) -> DataFrame:
+    big = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 450000)
+    c = load_table(spark, sf, "customer")
+    return (
+        big.join(c, big.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+    )
+
+
+def join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER between two disjointly-filtered key sets."""
+    hi = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_hi"))
+    )
+    lo = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") < 5000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_lo"))
+    )
+    return (
+        hi.join(lo, "o_custkey", "full")
+        .select(
+            F.coalesce(hi.o_custkey, lo.o_custkey).alias("custkey"),
+            F.coalesce("n_hi", F.lit(0)).alias("n_hi"),
+            F.coalesce("n_lo", F.lit(0)).alias("n_lo"),
+        )
+    )
+
+
+def join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers with any 400k+ order."""
+    c = load_table(spark, sf, "customer")
+    big = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no 400k+ order."""
+    c = load_table(spark, sf, "customer")
+    big = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def join_cross(spark: SparkSession, sf: str) -> DataFrame:
+    """CROSS join of two tiny dims (5 × 25 rows)."""
+    r = load_table(spark, sf, "region").select("r_name")
+    n = load_table(spark, sf, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+def join_theta_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-equi (theta) join: price-band lookup. Broadcast-NL on the
+    5-row band table — the only sane physical plan for pure theta."""
+    bands = spark.createDataFrame(
+        [(0.0, 100000.0, "S"), (100000.0, 250000.0, "M"), (250000.0, 600000.0, "L")],
+        "lo double, hi double, band string",
+    )
+    o = load_table(spark, sf, "orders")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+            "inner",
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filter → join → agg → top-k. Customer side
+    broadcasts after its filter; lineitem↔orders co-shuffle on orderkey."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(money("l_extendedprice") * (_one() - _rate("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake joins, dims broadcast, facts shuffled."""
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(money("l_extendedprice") * (_one() - _rate("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.6 — window functions
+# --------------------------------------------------------------------------
+
+
+def window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """row_number / rank / dense_rank per group, top-3-per-supplier."""
+    l = load_table(spark, sf, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return (
+        l.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic lag/lead over event time per user (no arithmetic —
+    values pass through exactly)."""
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """ROWS UNBOUNDED PRECEDING frame: exact running total per user."""
+    e = load_table(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(money("value")).over(w).cast("double").alias("running_total"),
+    )
+
+
+def window_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """ROWS BETWEEN 2 PRECEDING AND CURRENT: 3-row moving mean, computed
+    as exact-decimal sum / exact count to stay engine-stable."""
+    e = load_table(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        (
+            F.sum(money("value")).over(w).cast("double")
+            / F.count("*").over(w).cast("double")
+        ).alias("mavg_3"),
+    )
+
+
+def window_range_numeric(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame keyed on a numeric order column."""
+    o = load_table(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_custkey"))
+        .rangeBetween(-10, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_custkey",
+        F.count("*").over(w).alias("n_near"),
+    )
+
+
+def top_k_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical top-k-per-group (window + filter → no global sort)."""
+    o = load_table(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.6 — set operations / distinct
+# --------------------------------------------------------------------------
+
+
+def set_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = load_table(spark, sf, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return c.unionAll(s).groupBy("nationkey").agg(F.count("*").alias("n"))
+
+
+def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    hi = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    lo = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") < 50000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return hi.intersect(lo)
+
+
+def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    all_c = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return all_c.exceptAll(big.distinct())
+
+
+def distinct_proj(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# §2.6 — subqueries / CTE (via spark.sql; Catalyst decorrelates)
+# --------------------------------------------------------------------------
+
+
+def _views(spark: SparkSession, sf: str, *names: str) -> None:
+    for name in names:
+        load_table(spark, sf, name).createOrReplaceTempView(name)
+
+
+def subquery_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar subquery (exact MAX — no float aggregation drift)."""
+    _views(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 0.98 * (SELECT MAX(o_totalprice) FROM orders)
+        """
+    )
+
+
+def subquery_in(spark: SparkSession, sf: str) -> DataFrame:
+    _views(spark, sf, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """
+    )
+
+
+def subquery_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS — decorrelated to a semi-join by Catalyst."""
+    _views(spark, sf, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49
+        )
+        """
+    )
+
+
+def cte_query(spark: SparkSession, sf: str) -> DataFrame:
+    _views(spark, sf, "orders", "customer")
+    return spark.sql(
+        """
+        WITH cust_totals AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(t.spend AS DECIMAL(18,2))) AS DOUBLE) AS segment_spend
+        FROM cust_totals t JOIN customer c ON t.o_custkey = c.c_custkey
+        WHERE t.n_orders >= 5
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "scan_project": scan_project,
+    "limit0_probe": limit0_probe,
+    "sort_topk": sort_topk,
+    "filter_predicates": filter_predicates,
+    "filter_like": filter_like,
+    "partition_prune_time": partition_prune_time,
+    "files_glob_listing": files_glob_listing,
+    "q1_pricing_summary": q1_pricing_summary,
+    "agg_count_distinct": agg_count_distinct,
+    "agg_having": agg_having,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "pivot_linestatus": pivot_linestatus,
+    "join_inner_dim": join_inner_dim,
+    "join_left_outer": join_left_outer,
+    "join_right_outer": join_right_outer,
+    "join_full_outer": join_full_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_cross": join_cross,
+    "join_theta_range": join_theta_range,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "window_rank": window_rank,
+    "window_lag_lead": window_lag_lead,
+    "window_running_sum": window_running_sum,
+    "window_moving_avg": window_moving_avg,
+    "window_range_numeric": window_range_numeric,
+    "top_k_per_group": top_k_per_group,
+    "set_union_all": set_union_all,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+    "distinct_proj": distinct_proj,
+    "subquery_scalar": subquery_scalar,
+    "subquery_in": subquery_in,
+    "subquery_exists": subquery_exists,
+    "cte_query": cte_query,
+}
+
+_MONEY_SUM = "CAST(SUM(CAST({c} AS DECIMAL(12,2))) AS DOUBLE)"
+
+ORACLES = {
+    "scan_project": "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+    "limit0_probe": "SELECT * FROM events LIMIT 0",
+    "sort_topk": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"
+    ),
+    "filter_predicates": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem "
+        "WHERE l_returnflag IN ('A','N') AND l_quantity BETWEEN 10 AND 20 "
+        "AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'"
+    ),
+    "filter_like": (
+        "SELECT p_partkey, p_name, p_type FROM part "
+        "WHERE p_name LIKE '%small%' OR p_type LIKE 'SMALL%'"
+    ),
+    "partition_prune_time": (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day_ts, COUNT(*) AS n_events FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00' "
+        "GROUP BY 1"
+    ),
+    "files_glob_listing": (
+        "SELECT DISTINCT regexp_extract(file, '([^/]+\\.parquet)', 1) AS file_name "
+        "FROM glob('/root/testdata/sf0.01/lineitem.parquet')"
+    ),
+    "q1_pricing_summary": ORACLE_Q1,
+    "agg_count_distinct": (
+        "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, "
+        "COUNT(*) AS n_orders FROM orders GROUP BY o_orderstatus"
+    ),
+    "agg_having": (
+        f"SELECT l_partkey, {_MONEY_SUM.format(c='l_quantity')} AS total_qty "
+        "FROM lineitem GROUP BY l_partkey "
+        f"HAVING {_MONEY_SUM.format(c='l_quantity')} > 900"
+    ),
+    "agg_rollup": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        f"{_MONEY_SUM.format(c='l_quantity')} AS qty "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+    "agg_cube": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+        f"{_MONEY_SUM.format(c='o_totalprice')} AS total "
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    ),
+    "pivot_linestatus": (
+        "SELECT l_returnflag, "
+        "CAST(SUM(CASE WHEN l_linestatus='O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS \"O\", "
+        "CAST(SUM(CASE WHEN l_linestatus='F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS \"F\" "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "join_inner_dim": (
+        "SELECT n_nationkey, n_name, r_name FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey"
+    ),
+    "join_left_outer": (
+        "SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders FROM customer "
+        "LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o "
+        "ON c_custkey = o.o_custkey GROUP BY c_custkey"
+    ),
+    "join_right_outer": (
+        "SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders "
+        "FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o "
+        "RIGHT JOIN customer ON o.o_custkey = c_custkey GROUP BY c_custkey"
+    ),
+    "join_full_outer": (
+        "WITH hi AS (SELECT o_custkey, COUNT(*) AS n_hi FROM orders "
+        "            WHERE o_totalprice > 450000 GROUP BY o_custkey), "
+        "     lo AS (SELECT o_custkey, COUNT(*) AS n_lo FROM orders "
+        "            WHERE o_totalprice < 5000 GROUP BY o_custkey) "
+        "SELECT COALESCE(hi.o_custkey, lo.o_custkey) AS custkey, "
+        "       COALESCE(n_hi, 0) AS n_hi, COALESCE(n_lo, 0) AS n_lo "
+        "FROM hi FULL OUTER JOIN lo ON hi.o_custkey = lo.o_custkey"
+    ),
+    "join_semi": (
+        "SELECT c_custkey, c_mktsegment FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)"
+    ),
+    "join_anti": (
+        "SELECT c_custkey, c_mktsegment FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)"
+    ),
+    "join_cross": "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "join_theta_range": (
+        "WITH bands(lo, hi, band) AS (VALUES (0.0, 100000.0, 'S'), "
+        "(100000.0, 250000.0, 'M'), (250000.0, 600000.0, 'L')) "
+        "SELECT band, COUNT(*) AS n_orders, "
+        f"{_MONEY_SUM.format(c='o_totalprice')} AS total "
+        "FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi "
+        "GROUP BY band"
+    ),
+    "q3_shipping_priority": (
+        "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' "
+        "AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+    ),
+    "q5_region_revenue": (
+        "SELECT n_name, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY n_name ORDER BY revenue DESC, n_name ASC"
+    ),
+    "window_rank": (
+        "SELECT * FROM ("
+        "SELECT l_suppkey, l_orderkey, l_linenumber, "
+        "ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk "
+        "FROM lineitem "
+        "WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC)"
+        ") WHERE rn <= 3"
+    ),
+    "window_lag_lead": (
+        "SELECT event_id, user_id, "
+        "LAG(value) OVER w AS prev_value, LEAD(value) OVER w AS next_value "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    "window_running_sum": (
+        "SELECT event_id, user_id, "
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_total "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+    "window_moving_avg": (
+        "SELECT event_id, "
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS mavg_3 "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    ),
+    "window_range_numeric": (
+        "SELECT o_orderkey, o_orderstatus, o_custkey, COUNT(*) OVER w AS n_near "
+        "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_custkey "
+        "RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)"
+    ),
+    "top_k_per_group": (
+        "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn "
+        "FROM orders) WHERE rn <= 2"
+    ),
+    "set_union_all": (
+        "SELECT nationkey, COUNT(*) AS n FROM ("
+        "SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer "
+        "UNION ALL SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier"
+        ") GROUP BY nationkey"
+    ),
+    "set_intersect": (
+        "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000 "
+        "INTERSECT "
+        "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice < 50000"
+    ),
+    "set_except": (
+        "SELECT c_custkey AS custkey FROM customer "
+        "EXCEPT ALL "
+        "SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000"
+    ),
+    "distinct_proj": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "subquery_scalar": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 0.98 * (SELECT MAX(o_totalprice) FROM orders)"
+    ),
+    "subquery_in": (
+        "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"
+    ),
+    "subquery_exists": (
+        "SELECT o_orderkey FROM orders o WHERE EXISTS ("
+        "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)"
+    ),
+    "cte_query": (
+        "WITH cust_totals AS ("
+        "SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend, "
+        "COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) "
+        "SELECT c.c_mktsegment, COUNT(*) AS n_customers, "
+        "CAST(SUM(CAST(t.spend AS DECIMAL(18,2))) AS DOUBLE) AS segment_spend "
+        "FROM cust_totals t JOIN customer c ON t.o_custkey = c.c_custkey "
+        "WHERE t.n_orders >= 5 GROUP BY c.c_mktsegment"
+    ),
+}
