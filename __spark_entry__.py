@@ -19,9 +19,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from iceberg_kafka_playgroud_spark.operators import relational  # noqa: E402
+from iceberg_kafka_playgroud_spark.operators import (  # noqa: E402
+    dedup,
+    multimodal,
+    relational,
+    scalar_funcs,
+    similarity,
+    text,
+)
 
-_MODULES = [relational]
+_MODULES = [relational, scalar_funcs, text, dedup, similarity, multimodal]
 
 
 def entry(spark: SparkSession) -> DataFrame:

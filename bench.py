@@ -43,8 +43,14 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entry.queries()
     names = [n for n in HEADLINE if n in qs]
-    # optional extension headliners, appended as they land
-    for extra in ("dedup_minhash_lsh", "ann_topk_bruteforce", "event_sessionize"):
+    # extension headliners (SURVEY §2.9)
+    for extra in (
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_topk_blocked",
+        "text_quality_score",
+        "event_sessionize",
+    ):
         if extra in qs:
             names.append(extra)
 

@@ -1,0 +1,271 @@
+"""Deduplication operators (SURVEY §2.9 X1) over the documents fixture.
+
+Four tiers, each with the partition strategy a 100 TB corpus needs:
+
+- **exact** — hash-groupBy on a content fingerprint. One shuffle keyed
+  by md5(text); skew-free (hashes are uniform).
+- **MinHash + LSH** — shingle → k minhashes → bands → bucket-join.
+  The only shuffles are keyed by (band_idx, band_val) and by shingle,
+  both uniform; candidate verification touches candidate pairs only,
+  never the O(n²) cross product. This is the scale path.
+- **SimHash** — 32-bit signature from word hashes; Hamming-0 buckets
+  group in one shuffle (banding the bits extends to Hamming-k).
+- **embedding cosine** — see ``similarity.embedding_near_dup_pairs``.
+
+Hash functions are md5-hex (identical in Spark and DuckDB), and the
+k min-hashes take the lexicographic MIN of the hex strings — fully
+SQL-expressible on both engines, so even the LSH pipeline has an exact
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+from .text import normalized, tokens
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band r = 2
+JACCARD_THRESHOLD = 0.5
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by normalized-content hash: keeper = min doc_id."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.md5(normalized(F.col("text"))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle_set(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    posexplode + lead() keeps this a narrow pipeline per doc partition;
+    the only shuffle is the window's hash partition by doc_id.
+    """
+    words = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    leads = words.select(
+        "doc_id",
+        "w",
+        F.lead("w", 1).over(win).alias("w1"),
+        F.lead("w", 2).over(win).alias("w2"),
+    )
+    return (
+        leads.filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "w", "w1", "w2").alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, k: int = N_HASHES) -> DataFrame:
+    """k min-hashes per doc: min over md5("seed:shingle") hex strings."""
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
+    hashed = sh.select(
+        "doc_id",
+        "shingle",
+        seeds,
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(
+            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+        ).alias("h"),
+    )
+    # one row per doc with h0..h{k-1}
+    aggs = [
+        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"h{i}") for i in range(k)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, k: int = N_HASHES, bands: int = N_BANDS) -> DataFrame:
+    """Fold the signature into band buckets: (doc_id, band_idx, band_val)."""
+    r = k // bands
+    band_cols = [
+        F.md5(F.concat(*[F.col(f"h{b * r + j}") for j in range(r)]))
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_val"),
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs via MinHash LSH + exact-Jaccard verification.
+
+    Candidate generation is a self-join on (band_idx, band_val) —
+    at scale this is the band-bucket shuffle, never an n² compare.
+    Verification computes true Jaccard only on candidates.
+    """
+    d = load_table(spark, sf, "documents")
+    sh = shingle_set(d).cache()
+    bands = lsh_bands(minhash_signatures(sh))
+
+    b1 = bands.alias("a")
+    b2 = bands.alias("b")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    inter = (
+        cand.join(s1, F.col("s1.doc_id") == F.col("d1"))
+        .join(
+            s2,
+            (F.col("s2.doc_id") == F.col("d2"))
+            & (F.col("s2.shingle") == F.col("s1.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    n1 = sizes.alias("n1")
+    n2 = sizes.alias("n2")
+    jac = F.col("i").cast("double") / (
+        F.col("n1.n") + F.col("n2.n") - F.col("i")
+    ).cast("double")
+    return (
+        inter.join(n1, F.col("n1.doc_id") == F.col("d1"))
+        .join(n2, F.col("n2.doc_id") == F.col("d2"))
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """32-bit SimHash per document + Hamming-0 bucket sizes.
+
+    Bit b of the signature = sign of Σ_words (±1), where the ±1 is the
+    high bit of the b-th hex nibble of md5(word) — engine-portable and
+    exactly SQL-expressible. Output: doc_id, signature, and how many
+    docs share it (exact-signature near-dup group size).
+    """
+    d = load_table(spark, sf, "documents")
+    words = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    hashed = words.select("doc_id", F.md5("w").alias("hw"))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.substring("hw", b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*bit_sums)
+    bits = F.concat(
+        *[F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(32)]
+    )
+    sigs = sig.select("doc_id", bits.alias("simhash"))
+    counts = sigs.groupBy("simhash").agg(F.count("*").alias("n_in_bucket"))
+    return sigs.join(counts, "simhash").select("doc_id", "simhash", "n_in_bucket")
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+
+_SHINGLES_CTE = f"""
+toksrc AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks)-2, 0)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM toksrc
+)
+"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+               min(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SHINGLES_CTE},
+        hashes AS (
+          SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+          FROM sh, (SELECT unnest(generate_series(0,7)) AS seed) seeds
+        ),
+        sig AS (
+          SELECT doc_id,
+                 min(CASE WHEN seed=0 THEN h END) AS h0, min(CASE WHEN seed=1 THEN h END) AS h1,
+                 min(CASE WHEN seed=2 THEN h END) AS h2, min(CASE WHEN seed=3 THEN h END) AS h3,
+                 min(CASE WHEN seed=4 THEN h END) AS h4, min(CASE WHEN seed=5 THEN h END) AS h5,
+                 min(CASE WHEN seed=6 THEN h END) AS h6, min(CASE WHEN seed=7 THEN h END) AS h7
+          FROM hashes GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, unnest([0,1,2,3]) AS band_idx,
+                 unnest([md5(h0||h1), md5(h2||h3), md5(h4||h5), md5(h6||h7)]) AS band_val
+          FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band_idx=b.band_idx AND a.band_val=b.band_val AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.d1, c.d2, COUNT(*) AS i
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id=c.d1
+          JOIN sh s2 ON s2.doc_id=c.d2 AND s2.shingle=s1.shingle
+          GROUP BY c.d1, c.d2
+        )
+        SELECT d1, d2,
+               round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6) AS jaccard
+        FROM inter JOIN sizes n1 ON n1.doc_id=d1 JOIN sizes n2 ON n2.doc_id=d2
+        WHERE CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE) >= 0.5
+    """,
+    "dedup_simhash": f"""
+        WITH words AS (
+          SELECT doc_id, md5(unnest({_TOKS})) AS hw FROM documents
+        ),
+        sums AS (
+          SELECT doc_id, b,
+                 SUM(CASE WHEN substring(hw, b+1, 1) IN ('8','9','a','b','c','d','e','f')
+                          THEN 1 ELSE -1 END) AS s
+          FROM words, (SELECT unnest(generate_series(0,31)) AS b) bits
+          GROUP BY doc_id, b
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+          FROM sums GROUP BY doc_id
+        )
+        SELECT doc_id, simhash,
+               COUNT(*) OVER (PARTITION BY simhash) AS n_in_bucket
+        FROM sigs
+    """,
+}

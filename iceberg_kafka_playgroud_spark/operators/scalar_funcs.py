@@ -1,0 +1,368 @@
+"""Scalar function surface (SURVEY §2.7) + nested-type construction
+(§2.5 T3-T6) + the synthetic message fabric re-expressed over the
+``events`` fixture (§2.1 S5).
+
+Every query is pure built-in Column expressions — JVM-side, inside
+whole-stage codegen, no Python in the hot path. Oracle-parity notes:
+
+- double→int truncation: Spark CAST truncates, DuckDB CAST rounds —
+  oracles spell ``CAST(trunc(x) AS ...)`` to pin truncation;
+- floor/ceil return LONG in Spark, DOUBLE in DuckDB — cast both;
+- regexp_replace is replace-ALL in Spark, first-match in DuckDB —
+  oracle passes the 'g' flag;
+- libm-dependent funcs (exp/ln) are rounded at ≥6 decimals; sqrt is
+  IEEE-exact and compared raw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import money
+from ..schema import load_table
+from ..sources.rate_fabric import purchase_event_columns
+
+
+def str_functions(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.length("c_name").alias("nlen"),
+        F.substring("c_name", 1, 8).alias("pfx"),
+        F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("tag"),
+        F.split(F.col("c_name"), "#").getItem(1).alias("numpart"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).cast("bigint").alias("cnum"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.expr("replace(c_name, 'Customer', 'Cust')").alias("renamed"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+    )
+
+
+def date_functions(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.to_date("ts").alias("dt"),
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        F.date_add(F.to_date("ts"), 7).alias("dt_plus7"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("days_in"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.unix_millis("ts").alias("epoch_ms"),
+    )
+
+
+def math_functions(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.floor(v).cast("long").alias("flr"),
+        F.ceil(v).cast("long").alias("cl"),
+        F.abs(v - 10.0).alias("dist10"),
+        F.pmod(F.col("event_id"), F.lit(7)).alias("bucket7"),
+        (v * v).alias("sq"),
+        F.sqrt(v).alias("rt"),
+        F.greatest(v, F.lit(5.0)).alias("hi5"),
+        F.least(v, F.lit(5.0)).alias("lo5"),
+        F.round(F.exp(v / F.lit(20.0)), 6).alias("exp6"),
+    )
+
+
+def json_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON access over the events props column (§2.7 JSON family;
+    result-serialization analog of duckdb_rest_server.py:81)."""
+    e = load_table(spark, sf, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        parsed.getField("k").alias("k_parsed"),
+        F.to_json(F.struct(F.col("event_type").alias("et"))).alias("as_json"),
+    )
+
+
+def conditional_case(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.when(v > 15, "high").when(v > 5, "mid").otherwise("low").alias("tier"),
+        F.coalesce(F.nullif("event_type", F.lit("view")), F.lit("filtered")).alias(
+            "et_masked"
+        ),
+        v.isNull().alias("v_null"),
+        F.when(F.col("event_type").isin("click", "view"), v).alias("engagement"),
+    )
+
+
+def cast_functions(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("uid_str"),
+        F.col("event_id").cast("string").cast("bigint").alias("id_roundtrip"),
+        F.col("value").cast("int").alias("v_trunc"),
+        F.col("value").cast("string").alias("v_str"),
+        F.timestamp_micros(F.lit(1_700_000_000_000_000)).alias("fixed_ts"),
+        F.lit("2024-02-29").cast("date").alias("leap_day"),
+    )
+
+
+def nested_types(spark: SparkSession, sf: str) -> DataFrame:
+    """T3-T5: build STRUCT/MAP/ARRAY, then extract scalars back out
+    (flat output keeps the oracle hash comparable)."""
+    e = load_table(spark, sf, "events")
+    st = F.struct(F.col("event_type").alias("et"), F.col("value").alias("v"))
+    mp = F.create_map(F.lit("t"), F.col("event_type"), F.lit("u"), F.col("user_id").cast("string"))
+    ar = F.array(F.col("value"), F.col("value") * 2, F.lit(0.0))
+    return e.select(
+        "event_id",
+        st.getField("v").alias("sv"),
+        F.element_at(mp, "t").alias("mt"),
+        F.element_at(ar, 2).alias("a2"),
+        F.size(ar).alias("alen"),
+        F.map_keys(mp).getItem(0).alias("mk0"),
+    )
+
+
+def array_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """Array higher-order functions over the embeddings fixture."""
+    em = load_table(spark, sf, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.round(
+            F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("norm_sq"),
+        F.array_sort(F.slice(vd, 1, 4)).alias("sorted4"),
+    )
+
+
+def explode_unnest(spark: SparkSession, sf: str) -> DataFrame:
+    em = load_table(spark, sf, "embeddings")
+    return em.select(
+        "vec_id", F.explode("embedding").alias("val")
+    ).withColumn("val", F.col("val").cast("double"))
+
+
+def table_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """SUMMARIZE-style inspection (§2.6 sampling/inspection row)."""
+    o = load_table(spark, sf, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL++). No cross-engine oracle — sketch
+    internals differ by engine — so this runs under the driver's
+    rows-only check; exactness is covered by agg_count_distinct."""
+    l = load_table(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+def purchase_event_fabric(spark: SparkSession, sf: str) -> DataFrame:
+    """S5/T3-T6: the reference's message fabric (kafka_publisher.py:303-330)
+    as pure column exprs over the events fixture, flattened for the oracle."""
+    e = load_table(spark, sf, "events")
+    pe = e.select(
+        F.col("event_id"),
+        *purchase_event_columns(F.col("event_id"), F.unix_millis(F.col("ts"))),
+    )
+    return pe.select(
+        "event_id",
+        "timestamp",
+        "user_id",
+        "action",
+        "amount",
+        F.col("user_details.name").alias("name"),
+        F.col("user_details.age").alias("age"),
+        F.col("user_details.email").alias("email"),
+        F.element_at("purchase_metadata", "device").alias("device"),
+        F.element_at("purchase_metadata", "location").alias("location"),
+        F.element_at("purchase_metadata", "payment_method").alias("payment_method"),
+        F.element_at("purchase_metadata", "category").alias("category"),
+        F.element_at("previous_purchases", 1).alias("prev_1"),
+        F.element_at("previous_purchases", 2).alias("prev_2"),
+        F.element_at("previous_purchases", 3).alias("prev_3"),
+    )
+
+
+def event_time_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """ST3 batch form: tumbling 1-hour event-time windows (the S3 sink's
+    hourly partitions, s3-connector-config.json:21-25)."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+QUERIES = {
+    "str_functions": str_functions,
+    "date_functions": date_functions,
+    "math_functions": math_functions,
+    "json_functions": json_functions,
+    "conditional_case": conditional_case,
+    "cast_functions": cast_functions,
+    "nested_types": nested_types,
+    "array_hof": array_hof,
+    "explode_unnest": explode_unnest,
+    "table_stats": table_stats,
+    "agg_approx_distinct": agg_approx_distinct,
+    "purchase_event_fabric": purchase_event_fabric,
+    "event_time_tumbling": event_time_tumbling,
+}
+
+ORACLES = {
+    "str_functions": """
+        SELECT c_custkey,
+               upper(c_name) AS uname,
+               lower(c_mktsegment) AS lseg,
+               CAST(length(c_name) AS INTEGER) AS nlen,
+               substring(c_name, 1, 8) AS pfx,
+               c_name || ':' || c_mktsegment AS tag,
+               string_split(c_name, '#')[2] AS numpart,
+               CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cnum,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+               replace(c_name, 'Customer', 'Cust') AS renamed,
+               trim('  x  ') AS trimmed
+        FROM customer
+    """,
+    "date_functions": """
+        SELECT event_id,
+               CAST(year(ts) AS INTEGER) AS y,
+               CAST(month(ts) AS INTEGER) AS mo,
+               CAST(day(ts) AS INTEGER) AS d,
+               CAST(hour(ts) AS INTEGER) AS h,
+               CAST(minute(ts) AS INTEGER) AS mi,
+               CAST(ts AS DATE) AS dt,
+               date_trunc('hour', ts) AS hour_ts,
+               CAST(ts AS DATE) + 7 AS dt_plus7,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS days_in,
+               CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+               epoch_ms(ts) AS epoch_ms
+        FROM events
+    """,
+    "math_functions": """
+        SELECT event_id,
+               CAST(floor(value) AS BIGINT) AS flr,
+               CAST(ceil(value) AS BIGINT) AS cl,
+               abs(value - 10.0) AS dist10,
+               event_id % 7 AS bucket7,
+               value * value AS sq,
+               sqrt(value) AS rt,
+               greatest(value, 5.0) AS hi5,
+               least(value, 5.0) AS lo5,
+               round(exp(value / 20.0), 6) AS exp6
+        FROM events
+    """,
+    "json_functions": """
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_parsed,
+               to_json(struct_pack(et := event_type)) AS as_json
+        FROM events
+    """,
+    "conditional_case": """
+        SELECT event_id,
+               CASE WHEN value > 15 THEN 'high' WHEN value > 5 THEN 'mid' ELSE 'low' END AS tier,
+               coalesce(nullif(event_type, 'view'), 'filtered') AS et_masked,
+               value IS NULL AS v_null,
+               CASE WHEN event_type IN ('click','view') THEN value END AS engagement
+        FROM events
+    """,
+    "cast_functions": """
+        SELECT event_id,
+               CAST(user_id AS VARCHAR) AS uid_str,
+               CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS id_roundtrip,
+               CAST(trunc(value) AS INTEGER) AS v_trunc,
+               CAST(value AS VARCHAR) AS v_str,
+               make_timestamp(1700000000000000) AS fixed_ts,
+               DATE '2024-02-29' AS leap_day
+        FROM events
+    """,
+    "nested_types": """
+        SELECT event_id,
+               value AS sv,
+               event_type AS mt,
+               value * 2 AS a2,
+               3 AS alen,
+               't' AS mk0
+        FROM events
+    """,
+    "array_hof": """
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_val,
+               CAST(list_max(embedding) AS DOUBLE) AS max_val,
+               round(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm_sq,
+               list_sort(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))) AS sorted4
+        FROM embeddings
+    """,
+    "explode_unnest": """
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings
+    """,
+    "table_stats": """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT o_custkey) AS n_custs,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price,
+               min(o_orderdate) AS min_date,
+               max(o_orderdate) AS max_date
+        FROM orders
+    """,
+    "purchase_event_fabric": """
+        WITH base AS (SELECT event_id, epoch_ms(ts) AS ts_ms FROM events)
+        SELECT event_id,
+               ts_ms AS "timestamp",
+               'user_' || CAST(event_id % 1000 AS VARCHAR) AS user_id,
+               'purchase' AS action,
+               CAST((ts_ms // 10) % 1000 AS DOUBLE) / 100 AS amount,
+               'User ' || CAST(event_id % 1000 AS VARCHAR) AS name,
+               CAST(18 + event_id % 50 AS INTEGER) AS age,
+               'user' || CAST(event_id % 1000 AS VARCHAR) || '@example.com' AS email,
+               (['mobile','desktop','tablet'])[CAST(event_id % 3 AS INTEGER) + 1] AS device,
+               (['US','EU','APAC'])[CAST((event_id + 1) % 3 AS INTEGER) + 1] AS location,
+               (['credit','debit','paypal'])[CAST((event_id + 2) % 3 AS INTEGER) + 1] AS payment_method,
+               (['electronics','books','clothing'])[CAST((event_id + 3) % 3 AS INTEGER) + 1] AS category,
+               CAST(((ts_ms // 10) + 1) % 1000 AS DOUBLE) / 100 AS prev_1,
+               CAST(((ts_ms // 10) + 2) % 1000 AS DOUBLE) / 100 AS prev_2,
+               CAST(((ts_ms // 10) + 3) % 1000 AS DOUBLE) / 100 AS prev_3
+        FROM base
+    """,
+    "event_time_tumbling": """
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+}

@@ -1,0 +1,184 @@
+"""Text-analysis operators (SURVEY §2.9 X3) over the documents fixture.
+
+Training-data-pipeline primitives: token counting, quality scoring,
+language ID (stopword heuristic), document fingerprinting. All pure
+built-in expressions — at 100 TB these run scan-local with zero
+shuffle (narrow transformations), so they scale linearly with
+executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+
+# minimal English function-word list for the stopword heuristics
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-token removal (robust to
+    repeated separators)."""
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
+
+def stopword_count(toks: Column) -> Column:
+    return F.size(F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS)))
+
+
+def normalized(text: Column) -> Column:
+    """Casefold + whitespace collapse — the canonical form used for
+    fingerprinting and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").cast("bigint").alias("len_chars"),
+        (
+            (F.length("text") - n_tok + 1).cast("double") / n_tok.cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic quality features: length, token stats, stopword ratio,
+    and a composite score — the usual pre-training filter inputs."""
+    d = load_table(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("double")
+    n_stop = stopword_count(toks).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    stop_ratio = n_stop / n_tok
+    uniq_ratio = n_uniq / n_tok
+    length_ok = (F.length("text") >= 100).cast("int")
+    return d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("unique_ratio"),
+        length_ok.alias("length_ok"),
+        F.round(
+            (uniq_ratio * 0.5 + stop_ratio * 0.3) * length_ok.cast("double")
+            + F.lit(0.2) * length_ok.cast("double"),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram/function-word language heuristic: English function-word
+    density → en/other decision plus the raw evidence columns."""
+    d = load_table(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    ratio = stopword_count(toks).cast("double") / F.size(toks).cast("double")
+    return d.select(
+        "doc_id",
+        "lang",
+        ratio.alias("en_stopword_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("lang_pred"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic document fingerprints: md5 over the normalized
+    text plus a coarse 16-hex-char prefix bucket (the shard key a
+    100 TB dedup would partition on)."""
+    d = load_table(spark, sf, "documents")
+    norm = normalized(F.col("text"))
+    fp = F.md5(norm)
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("shard_bucket"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
+def doc_stats_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus rollup per source×lang (coverage/monitoring query)."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (
+                F.sum("n_chars").cast("double") / F.count("*").cast("double")
+            ).alias("avg_chars"),
+        )
+    )
+
+
+QUERIES = {
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "doc_stats_by_source": doc_stats_by_source,
+}
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+_NSTOP = (
+    "len(list_filter(" + _TOKS + ", w -> list_contains("
+    "['the','a','an','and','of','to','in','is','it','for'], lower(w))))"
+)
+
+ORACLES = {
+    "text_token_count": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS len_chars,
+               CAST(length(text) - len({_TOKS}) + 1 AS DOUBLE)
+                 / CAST(len({_TOKS}) AS DOUBLE) AS avg_token_len
+        FROM documents
+    """,
+    "text_quality_score": f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+                 CAST({_NSTOP} AS DOUBLE) AS n_stop,
+                 CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_uniq,
+                 CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END AS length_ok
+          FROM documents)
+        SELECT doc_id,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               n_stop / n_tok AS stopword_ratio,
+               n_uniq / n_tok AS unique_ratio,
+               CAST(length_ok AS INTEGER) AS length_ok,
+               round((n_uniq / n_tok * 0.5 + n_stop / n_tok * 0.3)
+                     * CAST(length_ok AS DOUBLE)
+                     + 0.2 * CAST(length_ok AS DOUBLE), 6) AS quality_score
+        FROM t
+    """,
+    "text_lang_id": f"""
+        SELECT doc_id, lang,
+               CAST({_NSTOP} AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)
+                 AS en_stopword_ratio,
+               CASE WHEN CAST({_NSTOP} AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) >= 0.05
+                    THEN 'en' ELSE 'other' END AS lang_pred
+        FROM documents
+    """,
+    "text_fingerprint": """
+        WITH n AS (SELECT doc_id,
+                          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+                   FROM documents)
+        SELECT doc_id, md5(norm) AS fingerprint,
+               substring(md5(norm), 1, 4) AS shard_bucket,
+               CAST(length(norm) AS BIGINT) AS norm_len
+        FROM n
+    """,
+    "doc_stats_by_source": """
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+        FROM documents GROUP BY source, lang
+    """,
+}
