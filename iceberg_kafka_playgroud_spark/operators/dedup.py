@@ -21,7 +21,6 @@ oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..schema import load_table
@@ -48,48 +47,45 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 def shingle_set(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
 
-    posexplode + lead() keeps this a narrow pipeline per doc partition;
-    the only shuffle is the window's hash partition by doc_id.
+    Built entirely with array higher-order functions on the token
+    array — a NARROW transformation (no explode-then-window shuffle),
+    so shingling scales linearly with input splits and costs zero
+    network at 100 TB.
     """
-    words = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    # Materialize the token array in its own projection first: lambda
+    # bodies inline their argument expression, so referencing tokens()
+    # directly would re-run split+filter once per element_at — O(L²)
+    # per document.
+    with_toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    # guard: Spark's sequence(1, 0) counts DOWN, so short docs need an
+    # explicit empty index array rather than greatest()-clamping
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
     )
-    win = W.partitionBy("doc_id").orderBy("pos")
-    leads = words.select(
-        "doc_id",
-        "w",
-        F.lead("w", 1).over(win).alias("w1"),
-        F.lead("w", 2).over(win).alias("w2"),
-    )
-    return (
-        leads.filter(F.col("w2").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", "w", "w1", "w2").alias("shingle"),
-        )
-        .distinct()
+    return with_toks.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 
 def minhash_signatures(sh: DataFrame, k: int = N_HASHES) -> DataFrame:
-    """k min-hashes per doc: min over md5("seed:shingle") hex strings."""
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
-    hashed = sh.select(
-        "doc_id",
-        "shingle",
-        seeds,
-    ).select(
-        "doc_id",
-        "seed",
-        F.md5(
-            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-        ).alias("h"),
-    )
-    # one row per doc with h0..h{k-1}
+    """k min-hashes per doc: min over md5("seed:shingle") hex strings.
+
+    k aggregate expressions over the shingle rows — no seed explosion,
+    so the shuffle carries one partially-aggregated row per doc per
+    map partition instead of k× the shingle count.
+    """
     aggs = [
-        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"h{i}") for i in range(k)
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
     ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame, k: int = N_HASHES, bands: int = N_BANDS) -> DataFrame:
@@ -129,11 +125,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
 
+    # candidate pairs and per-doc set sizes are tiny relative to the
+    # shingle table — broadcast them so the only big shuffle left is
+    # the shingle-keyed intersection count
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     s1 = sh.alias("s1")
     s2 = sh.alias("s2")
     inter = (
-        cand.join(s1, F.col("s1.doc_id") == F.col("d1"))
+        F.broadcast(cand)
+        .join(s1, F.col("s1.doc_id") == F.col("d1"))
         .join(
             s2,
             (F.col("s2.doc_id") == F.col("d2"))
@@ -148,8 +148,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n1.n") + F.col("n2.n") - F.col("i")
     ).cast("double")
     return (
-        inter.join(n1, F.col("n1.doc_id") == F.col("d1"))
-        .join(n2, F.col("n2.doc_id") == F.col("d2"))
+        inter.join(F.broadcast(n1), F.col("n1.doc_id") == F.col("d1"))
+        .join(F.broadcast(n2), F.col("n2.doc_id") == F.col("d2"))
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
