@@ -27,8 +27,21 @@ from iceberg_kafka_playgroud_spark.operators import (  # noqa: E402
     similarity,
     text,
 )
+from iceberg_kafka_playgroud_spark import catalog  # noqa: E402
+from iceberg_kafka_playgroud_spark.sources import kafka_avro  # noqa: E402
+from iceberg_kafka_playgroud_spark.streaming import ingest  # noqa: E402
 
-_MODULES = [relational, scalar_funcs, text, dedup, similarity, multimodal]
+_MODULES = [
+    relational,
+    scalar_funcs,
+    text,
+    dedup,
+    similarity,
+    multimodal,
+    ingest,
+    kafka_avro,
+    catalog,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

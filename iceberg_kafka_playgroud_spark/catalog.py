@@ -1,0 +1,188 @@
+"""Catalog / metadata operators (SURVEY §2.4 C1-C7).
+
+The reference exposes namespace/table listing + table describe through
+its PyIceberg REST server (``pyiceberg_rest_server.py:101-171``) and
+auto-creates namespace+table on first write
+(``connector-config.json:19-26``). Here every operation is the Spark
+catalog primitive; with the Iceberg runtime on the classpath the same
+DDL targets ``USING iceberg`` and the metadata tables
+(``tbl.snapshots`` / ``tbl.files``) light up — locally the built-in
+session catalog + parquet tables carry the identical surface.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.rate_fabric import purchase_events_batch
+from .streaming.ingest import iceberg_available
+
+# table properties the reference sink configures (connector-config.json:24-26)
+REFERENCE_TBLPROPERTIES = {
+    "format-version": "2",
+    "write.parquet.compression-codec": "snappy",
+}
+
+
+def list_namespaces(spark: SparkSession) -> DataFrame:
+    """C1 (pyiceberg_rest_server.py:101-112)."""
+    return spark.sql("SHOW NAMESPACES")
+
+
+def list_tables(spark: SparkSession, namespace: str = "default") -> DataFrame:
+    """C2 (pyiceberg_rest_server.py:114-127)."""
+    return spark.sql(f"SHOW TABLES IN {namespace}")
+
+
+def describe_table(spark: SparkSession, table: str) -> DataFrame:
+    """C3 (pyiceberg_rest_server.py:129-171): schema + metadata."""
+    return spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+
+
+def create_namespace(
+    spark: SparkSession, namespace: str, location: str | None = None
+) -> None:
+    """C4: idempotent namespace creation (auto-create analog).
+
+    Always pins LOCATION (default: fresh temp dir) so a caller-owned
+    session never materializes ./spark-warehouse in its cwd.
+    """
+    loc = location or tempfile.mkdtemp(prefix=f"ns_{namespace}_")
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {namespace} LOCATION '{loc}'")
+
+
+def create_purchase_events_table(
+    spark: SparkSession, namespace: str = "default_db", location: str | None = None
+) -> str:
+    """C4: idempotent creation of the canonical table
+    (``default_db.purchase_events``, connector-config.json:20) with the
+    reference's table properties. USING iceberg when the runtime is on
+    the classpath, else parquet with identical schema/properties."""
+    create_namespace(spark, namespace)
+    fq = f"{namespace}.purchase_events"
+    fmt = "iceberg" if iceberg_available(spark) else "parquet"
+    props = ", ".join(f"'{k}'='{v}'" for k, v in REFERENCE_TBLPROPERTIES.items())
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {fq} (
+          timestamp BIGINT, user_id STRING, action STRING, amount DOUBLE,
+          user_details STRUCT<name: STRING, age: INT, email: STRING>,
+          purchase_metadata MAP<STRING, STRING>,
+          previous_purchases ARRAY<DOUBLE>
+        ) USING {fmt}{loc} TBLPROPERTIES ({props})
+        """
+    )
+    return fq
+
+
+def table_properties(spark: SparkSession, table: str) -> DataFrame:
+    return spark.sql(f"SHOW TBLPROPERTIES {table}")
+
+
+def streaming_query_status(spark: SparkSession) -> DataFrame:
+    """C6/C7 analog: connector lifecycle/status → StreamingQuery
+    listing (replaces Connect REST status probes,
+    s3_connector_deployer.py:120-126)."""
+    rows = [
+        (q.id, q.name or "", q.isActive) for q in spark.streams.active
+    ]
+    return spark.createDataFrame(rows or [], "id string, name string, active boolean")
+
+
+# --- queries() entries ------------------------------------------------------
+
+
+def catalog_table_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """C3/C4 end-to-end: create namespace + canonical table, then
+    DESCRIBE. Output is deterministic → exact VALUES oracle."""
+    loc = tempfile.mkdtemp(prefix="purchase_events_tbl_")
+    fq = create_purchase_events_table(spark, "default_db", location=loc)
+    return (
+        describe_table(spark, fq)
+        .select("col_name", "data_type")
+        .filter(
+            F.col("col_name").isin(
+                "timestamp",
+                "user_id",
+                "action",
+                "amount",
+                "user_details",
+                "purchase_metadata",
+                "previous_purchases",
+            )
+        )
+    )
+
+
+def catalog_write_read_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 + K1 analog: append the synthetic fabric into the canonical
+    table, read it back through the catalog, aggregate. Deterministic
+    fabric → exact oracle (computed over the same derivations)."""
+    ns = "roundtrip_db"
+    loc = tempfile.mkdtemp(prefix="roundtrip_tbl_")
+    create_namespace(spark, ns)
+    spark.sql(f"DROP TABLE IF EXISTS {ns}.purchase_events")
+    fq = f"{ns}.purchase_events"
+    fmt = "iceberg" if iceberg_available(spark) else "parquet"
+    spark.sql(
+        f"""CREATE TABLE {fq} (
+          timestamp BIGINT, user_id STRING, action STRING, amount DOUBLE,
+          user_details STRUCT<name: STRING, age: INT, email: STRING>,
+          purchase_metadata MAP<STRING, STRING>,
+          previous_purchases ARRAY<DOUBLE>
+        ) USING {fmt} LOCATION '{loc}'"""
+    )
+    # insertInto: position-based v1 append (writeTo().append() needs a
+    # v2 source; with Iceberg on the classpath either path works)
+    purchase_events_batch(spark, 1000).write.insertInto(fq)
+    t = spark.table(fq)
+    return t.groupBy("action").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("timestamp").alias("first_ts"),
+        F.max("timestamp").alias("last_ts"),
+        F.round(F.sum(F.col("amount").cast("decimal(12,2)")).cast("double"), 2).alias(
+            "total_amount"
+        ),
+    )
+
+
+QUERIES = {
+    "catalog_table_columns": catalog_table_columns,
+    "catalog_write_read_roundtrip": catalog_write_read_roundtrip,
+}
+
+ORACLES = {
+    "catalog_table_columns": """
+        SELECT * FROM (VALUES
+          ('timestamp', 'bigint'),
+          ('user_id', 'string'),
+          ('action', 'string'),
+          ('amount', 'double'),
+          ('user_details', 'struct<name:string,age:int,email:string>'),
+          ('purchase_metadata', 'map<string,string>'),
+          ('previous_purchases', 'array<double>')
+        ) AS t(col_name, data_type)
+    """,
+    # fabric invariants: n=1000 rows 5 s apart from 2025-03-01T00:00:00Z,
+    # user ids cycle mod 1000, amount = (ts_ms//10 % 1000)/100
+    "catalog_write_read_roundtrip": """
+        WITH ids AS (SELECT unnest(generate_series(0, 999)) AS id),
+        fab AS (
+          SELECT 1740787200000 + id * 5000 AS ts_ms,
+                 'user_' || CAST(id % 1000 AS VARCHAR) AS user_id,
+                 CAST((1740787200000 + id * 5000) // 10 % 1000 AS DOUBLE) / 100 AS amount
+          FROM ids)
+        SELECT 'purchase' AS action,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS n_users,
+               MIN(ts_ms) AS first_ts,
+               MAX(ts_ms) AS last_ts,
+               round(CAST(SUM(CAST(amount AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_amount
+        FROM fab
+    """,
+}

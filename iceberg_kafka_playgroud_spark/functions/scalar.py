@@ -59,9 +59,9 @@ def confluent_header(schema_id: Column | int) -> Column:
     magic byte 0x00 + big-endian int32 schema id (the framing the
     reference's AvroSerializer emits, kafka_publisher.py:144-148,358-362).
 
-    ``cast(int as binary)`` yields the 4 big-endian bytes of the int,
-    so the frame is one zero byte + that cast — pure codegen'd exprs.
+    Built as hex→unhex so it stays legal under ANSI mode (which
+    forbids a direct int→binary cast): lpad(hex(id), 8) is exactly the
+    big-endian 4-byte encoding.
     """
     sid = F.lit(schema_id) if isinstance(schema_id, int) else schema_id
-    zero_byte = F.substring(F.lit(0).cast("int").cast("binary"), 1, 1)
-    return F.concat(zero_byte, sid.cast("int").cast("binary"))
+    return F.unhex(F.concat(F.lit("00"), F.lpad(F.hex(sid.cast("int")), 8, "0")))

