@@ -54,10 +54,15 @@ def main() -> None:
         if extra in qs:
             names.append(extra)
 
-    # JIT/classload warmup on the smallest sf (excluded from timings)
+    # warmup on the smallest sf (excluded from timings): JVM/classload
+    # via a JVM-side query, Python worker pool via a tiny Arrow UDF stage
     qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
+    if "ann_topk_blocked" in qs:
+        qs["ann_topk_blocked"](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -75,17 +75,26 @@ def shingle_set(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_signatures(sh: DataFrame, k: int = N_HASHES) -> DataFrame:
-    """k min-hashes per doc: min over md5("seed:shingle") hex strings.
+    """k min-hashes per doc, as k partial-min aggregates (map-side
+    combine → the shuffle carries one row per doc per map partition).
 
-    k aggregate expressions over the shingle rows — no seed explosion,
-    so the shuffle carries one partially-aggregated row per doc per
-    map partition instead of k× the shingle count.
+    Hash family: two md5 digests per shingle (plain + salted), each
+    split into four 8-hex-char words — 8 independent 32-bit hashes
+    from 2 digest computations instead of 8. Fixed-width lowercase hex
+    compares lexicographically == numerically, so MIN over the hex
+    words is MIN over the hash values.
     """
+    assert k == 8, "hash family is fixed at 8 (2 md5 digests x 4 words)"
+    hashed = sh.select(
+        "doc_id",
+        F.md5(F.col("shingle")).alias("m0"),
+        F.md5(F.concat(F.lit("x:"), F.col("shingle"))).alias("m1"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min(F.substring(f"m{i // 4}", 8 * (i % 4) + 1, 8)).alias(f"h{i}")
         for i in range(k)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame, k: int = N_HASHES, bands: int = N_BANDS) -> DataFrame:
@@ -165,14 +174,23 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """
     d = load_table(spark, sf, "documents")
     words = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
-    hashed = words.select("doc_id", F.md5("w").alias("hw"))
+    # md5 hex → four 32-bit ints, then pure integer shift/mask per bit
+    # (high bit of nibble b == bit 31-4*(b%8) of word b//8) — ~10×
+    # cheaper per word than 32 substring+IN string tests
+    digests = words.select("doc_id", F.md5("w").alias("hw"))
+    hashed = digests.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("hw", 8 * j + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"v{j}")
+            for j in range(4)
+        ],
+    )
     bit_sums = [
-        F.sum(
-            F.when(
-                F.substring("hw", b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-                1,
-            ).otherwise(-1)
-        ).alias(f"s{b}")
+        F.expr(f"sum((shiftright(v{b // 8}, {31 - 4 * (b % 8)}) & 1) * 2 - 1)").alias(
+            f"s{b}"
+        )
         for b in range(32)
     ]
     sig = hashed.groupBy("doc_id").agg(*bit_sums)
@@ -180,8 +198,15 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         *[F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(32)]
     )
     sigs = sig.select("doc_id", bits.alias("simhash"))
-    counts = sigs.groupBy("simhash").agg(F.count("*").alias("n_in_bucket"))
-    return sigs.join(counts, "simhash").select("doc_id", "simhash", "n_in_bucket")
+    # bucket size via window — one shuffle on simhash instead of a
+    # groupBy + join pair
+    from pyspark.sql import Window as W
+
+    return sigs.select(
+        "doc_id",
+        "simhash",
+        F.count("*").over(W.partitionBy("simhash")).alias("n_in_bucket"),
+    )
 
 
 QUERIES = {
@@ -214,15 +239,14 @@ ORACLES = {
     "dedup_minhash_lsh": f"""
         WITH {_SHINGLES_CTE},
         hashes AS (
-          SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
-          FROM sh, (SELECT unnest(generate_series(0,7)) AS seed) seeds
+          SELECT doc_id, md5(shingle) AS m0, md5('x:' || shingle) AS m1 FROM sh
         ),
         sig AS (
           SELECT doc_id,
-                 min(CASE WHEN seed=0 THEN h END) AS h0, min(CASE WHEN seed=1 THEN h END) AS h1,
-                 min(CASE WHEN seed=2 THEN h END) AS h2, min(CASE WHEN seed=3 THEN h END) AS h3,
-                 min(CASE WHEN seed=4 THEN h END) AS h4, min(CASE WHEN seed=5 THEN h END) AS h5,
-                 min(CASE WHEN seed=6 THEN h END) AS h6, min(CASE WHEN seed=7 THEN h END) AS h7
+                 min(substring(m0,  1, 8)) AS h0, min(substring(m0,  9, 8)) AS h1,
+                 min(substring(m0, 17, 8)) AS h2, min(substring(m0, 25, 8)) AS h3,
+                 min(substring(m1,  1, 8)) AS h4, min(substring(m1,  9, 8)) AS h5,
+                 min(substring(m1, 17, 8)) AS h6, min(substring(m1, 25, 8)) AS h7
           FROM hashes GROUP BY doc_id
         ),
         bands AS (

@@ -35,15 +35,20 @@ def normalized(text: Column) -> Column:
 
 
 def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
-    toks = tokens(F.col("text"))
-    n_tok = F.size(toks)
+    # tokenize ONCE in its own projection — lambda/expr reuse would
+    # re-run split+filter per reference (see dedup.shingle_set note)
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("len_chars"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
     return d.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
-        F.length("text").cast("bigint").alias("len_chars"),
+        "n_tokens",
+        "len_chars",
         (
-            (F.length("text") - n_tok + 1).cast("double") / n_tok.cast("double")
+            (F.col("len_chars") - F.col("n_tokens") + 1).cast("double")
+            / F.col("n_tokens").cast("double")
         ).alias("avg_token_len"),
     )
 
@@ -51,24 +56,29 @@ def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic quality features: length, token stats, stopword ratio,
     and a composite score — the usual pre-training filter inputs."""
-    d = load_table(spark, sf, "documents")
-    toks = tokens(F.col("text"))
-    n_tok = F.size(toks).cast("double")
-    n_stop = stopword_count(toks).cast("double")
-    n_uniq = F.size(F.array_distinct(toks)).cast("double")
-    stop_ratio = n_stop / n_tok
-    uniq_ratio = n_uniq / n_tok
-    length_ok = (F.length("text") >= 100).cast("int")
-    return d.select(
+    base = load_table(spark, sf, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks"),
+        (F.length("text") >= 100).cast("int").alias("length_ok"),
+    )
+    toks = F.col("toks")
+    counted = base.select(
         "doc_id",
-        n_tok.cast("bigint").alias("n_tokens"),
+        "length_ok",
+        F.size(toks).cast("double").alias("n_tok"),
+        stopword_count(toks).cast("double").alias("n_stop"),
+        F.size(F.array_distinct(toks)).cast("double").alias("n_uniq"),
+    )
+    stop_ratio = F.col("n_stop") / F.col("n_tok")
+    uniq_ratio = F.col("n_uniq") / F.col("n_tok")
+    ok_d = F.col("length_ok").cast("double")
+    return counted.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),
         uniq_ratio.alias("unique_ratio"),
-        length_ok.alias("length_ok"),
+        "length_ok",
         F.round(
-            (uniq_ratio * 0.5 + stop_ratio * 0.3) * length_ok.cast("double")
-            + F.lit(0.2) * length_ok.cast("double"),
-            6,
+            (uniq_ratio * 0.5 + stop_ratio * 0.3) * ok_d + F.lit(0.2) * ok_d, 6
         ).alias("quality_score"),
     )
 
@@ -76,14 +86,24 @@ def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
 def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """n-gram/function-word language heuristic: English function-word
     density → en/other decision plus the raw evidence columns."""
-    d = load_table(spark, sf, "documents")
-    toks = tokens(F.col("text"))
-    ratio = stopword_count(toks).cast("double") / F.size(toks).cast("double")
-    return d.select(
+    base = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", tokens(F.col("text")).alias("toks")
+    )
+    counted = base.select(
         "doc_id",
         "lang",
-        ratio.alias("en_stopword_ratio"),
-        F.when(ratio >= 0.05, "en").otherwise("other").alias("lang_pred"),
+        (
+            stopword_count(F.col("toks")).cast("double")
+            / F.size("toks").cast("double")
+        ).alias("en_stopword_ratio"),
+    )
+    return counted.select(
+        "doc_id",
+        "lang",
+        "en_stopword_ratio",
+        F.when(F.col("en_stopword_ratio") >= 0.05, "en")
+        .otherwise("other")
+        .alias("lang_pred"),
     )
 
 

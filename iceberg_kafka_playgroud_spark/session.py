@@ -59,6 +59,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # split small parquet inputs across cores: a single sf0.1 file is
+        # <128 MiB and would otherwise scan in ONE task; on a real
+        # cluster inputs span many files so this only affects the tail
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         # S3A lake access (same knobs the reference sets for DuckDB httpfs,
         # duckdb_rest_server.py:40-55); inert for local file:// paths.
         .config("spark.hadoop.fs.s3a.path.style.access", "true")
