@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from iceberg_kafka_playgroud_spark.operators import (  # noqa: E402
+    advanced,
     dedup,
     multimodal,
     relational,
@@ -38,6 +39,7 @@ _MODULES = [
     dedup,
     similarity,
     multimodal,
+    advanced,
     ingest,
     kafka_avro,
     catalog,

@@ -1,0 +1,291 @@
+"""Advanced relational + UDF-surface operators.
+
+Rounds out SURVEY §2.6 (as-of join, GROUPING SETS, exact quantiles,
+set-op variants) and §2.9 X5 (the full pandas-UDF surface: vectorized
+scalar, grouped aggregate, grouped map — mapInPandas and
+applyInPandasWithState live in similarity/ and streaming/).
+
+As-of joins deserve a note: Spark has no native ASOF JOIN, and the
+scalable formulation is NOT a range self-join (O(n·m) blowup) but a
+conditional window aggregate over the unioned timeline — one shuffle
+by key, sorted once, streamed through. That form works unchanged at
+100 TB because it inherits the window operator's spill handling.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+
+
+def asof_last_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for every event, the most recent STRICTLY PRIOR
+    'purchase' event of the same user (time-series point-in-time
+    lookup), via a conditional max over a rows-preceding frame."""
+    e = load_table(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    purchase_ts = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    n_prior = F.count(
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+    ).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        purchase_ts.alias("last_purchase_ts"),
+        n_prior.alias("n_prior_purchases"),
+    )
+
+
+def grouping_sets_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube)."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def percentile_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact (interpolated) quantiles per group — both engines use the
+    same (1-f)·a + f·b rule over the sorted values."""
+    o = load_table(spark, sf, "orders")
+    qs = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").alias("q")
+    )
+    return qs.select(
+        "o_orderstatus",
+        F.round(F.element_at("q", 1), 6).alias("p25"),
+        F.round(F.element_at("q", 2), 6).alias("p50"),
+        F.round(F.element_at("q", 3), 6).alias("p75"),
+    )
+
+
+def union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """unionByName: position-independent set union across differently
+    ordered projections."""
+    a = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("bal")
+    )
+    b = load_table(spark, sf, "supplier").select(
+        F.col("s_acctbal").alias("bal"), F.col("s_suppkey").alias("key")
+    )
+    return (
+        a.unionByName(b)
+        .groupBy()
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("bal").cast("decimal(12,2)")).cast("double"), 2).alias(
+                "total_bal"
+            ),
+        )
+    )
+
+
+def intersect_all_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics, vs the distinct INTERSECT)."""
+    hi = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    lo = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") < 100000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return hi.intersectAll(lo).groupBy("custkey").agg(F.count("*").alias("n"))
+
+
+# --- §2.9 X5: pandas-UDF surface -------------------------------------------
+
+
+def pandas_udf_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batches, no per-row serde)."""
+
+    @F.pandas_udf("string")
+    def tag(user_id: pd.Series, event_type: pd.Series) -> pd.Series:
+        return "u" + user_id.astype("string") + "-" + event_type
+
+    e = load_table(spark, sf, "events")
+    return e.select("event_id", tag("user_id", "event_type").alias("tag"))
+
+
+def pandas_udf_grouped_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (vectorized UDAF)."""
+
+    @F.pandas_udf("double")
+    def mean6(v: pd.Series) -> float:
+        return round(float(v.sum()) / len(v), 6)
+
+    e = load_table(spark, sf, "events")
+    return e.groupBy("event_type").agg(mean6("value").alias("mean_value"))
+
+
+def applyinpandas_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user rank by event time —
+    the custom-operator pattern when window functions don't fit."""
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        pdf["rk"] = pdf.index + 1
+        return pdf[["event_id", "user_id", "rk"]]
+
+    e = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    return e.groupBy("user_id").applyInPandas(
+        rank_group, schema="event_id long, user_id long, rk long"
+    )
+
+
+def ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-k via sign-bit LSH bucketing: vectors hash to an
+    8-bit bucket (signs of the first 8 dims); each query only scans its
+    own bucket. Deterministic → exact oracle. This is the shape that
+    scales: the bucket id is the shuffle key, candidate sets shrink
+    ~256×, and recall tunes via bands/probing like MinHash."""
+    em = load_table(spark, sf, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
+            for i in range(8)
+        ]
+    )
+    vecs = em.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        bucket.alias("bucket"),
+    )
+    q = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "vec", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    pairs = F.broadcast(q).join(
+        vecs,
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    sims = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(dot / (nrm(F.col("qvec")) * nrm(F.col("vec"))), 6).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+QUERIES = {
+    "asof_last_purchase": asof_last_purchase,
+    "grouping_sets_agg": grouping_sets_agg,
+    "percentile_exact": percentile_exact,
+    "union_by_name": union_by_name,
+    "intersect_all_keys": intersect_all_keys,
+    "pandas_udf_scalar": pandas_udf_scalar,
+    "pandas_udf_grouped_agg": pandas_udf_grouped_agg,
+    "applyinpandas_rank": applyinpandas_rank,
+    "ann_topk_lsh": ann_topk_lsh,
+}
+
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_BUCKET = (
+    "list_aggregate(list_transform(embedding[1:8], "
+    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
+)
+
+ORACLES = {
+    "asof_last_purchase": """
+        SELECT event_id, user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER w
+                 AS last_purchase_ts,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) OVER w
+                 AS n_prior_purchases
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """,
+    "grouping_sets_agg": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "percentile_exact": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+               round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+               round(quantile_cont(o_totalprice, 0.75), 6) AS p75
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "union_by_name": """
+        SELECT COUNT(*) AS n,
+               round(CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_bal
+        FROM (
+          SELECT c_custkey AS key, c_acctbal AS bal FROM customer
+          UNION ALL
+          SELECT s_suppkey AS key, s_acctbal AS bal FROM supplier
+        )
+    """,
+    "intersect_all_keys": """
+        SELECT custkey, COUNT(*) AS n FROM (
+          SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+          INTERSECT ALL
+          SELECT o_custkey AS custkey FROM orders WHERE o_totalprice < 100000
+        ) GROUP BY custkey
+    """,
+    "pandas_udf_scalar": """
+        SELECT event_id, 'u' || CAST(user_id AS VARCHAR) || '-' || event_type AS tag
+        FROM events
+    """,
+    "pandas_udf_grouped_agg": """
+        SELECT event_type, round(SUM(value) / COUNT(*), 6) AS mean_value
+        FROM events GROUP BY event_type
+    """,
+    "applyinpandas_rank": """
+        SELECT event_id, user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        FROM events
+    """,
+    "ann_topk_lsh": f"""
+        WITH v AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qbucket
+              FROM v WHERE vec_id < 5),
+        sims AS (
+          SELECT q.query_id, v.vec_id AS neighbor_id,
+                 round({_DOT.format(a='q.qe', b='v.embedding')}
+                       / ({_NORM.format(a='q.qe')} * {_NORM.format(a='v.embedding')}),
+                       6) AS sim
+          FROM q JOIN v ON v.bucket = q.qbucket AND v.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM (
+          SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM sims
+        ) WHERE rank <= 5
+    """,
+}
