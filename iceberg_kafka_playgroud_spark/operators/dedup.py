@@ -164,6 +164,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+NGRAM_DF_CUTOFF = 50
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (no MinHash approximation).
+
+    Candidate generation is an inverted-index self-join on the shingle
+    itself, pruned by document frequency: a shingle present in > cutoff
+    docs contributes O(df²) candidate pairs while carrying no
+    discriminative signal, so it is dropped before the join (the
+    standard prefix-/frequency-filtering trick). This bounds per-key
+    join fan-out at C(cutoff, 2) regardless of corpus size — the
+    property that keeps the plan alive at 100 TB. Jaccard is computed
+    over the pruned shingle sets.
+
+    Contrast with ``dedup_minhash_lsh``: same shingles, but exact
+    similarity over an inverted index instead of an LSH approximation.
+    """
+    d = load_table(spark, sf, "documents")
+    sh = shingle_set(d).cache()
+    # hot-shingle list is tiny (only shingles shared by >cutoff docs)
+    # → broadcast anti-join keeps the pruning narrow
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CUTOFF)
+        .select("shingle")
+    )
+    rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    n1 = sizes.alias("n1")
+    n2 = sizes.alias("n2")
+    jac = F.round(
+        F.col("i").cast("double")
+        / (F.col("n1.n") + F.col("n2.n") - F.col("i")).cast("double"),
+        6,
+    )
+    return (
+        inter.join(F.broadcast(n1), F.col("n1.doc_id") == F.col("d1"))
+        .join(F.broadcast(n2), F.col("n2.doc_id") == F.col("d2"))
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """32-bit SimHash per document + Hamming-0 bucket sizes.
 
@@ -212,6 +271,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
 }
 
@@ -271,6 +331,25 @@ ORACLES = {
                round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6) AS jaccard
         FROM inter JOIN sizes n1 ON n1.doc_id=d1 JOIN sizes n2 ON n2.doc_id=d2
         WHERE CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE) >= 0.5
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+        rare AS (
+          SELECT sh.doc_id, sh.shingle
+          FROM sh JOIN dfc USING (shingle) WHERE dfc.df <= 50
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM rare a JOIN rare b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6) AS jaccard
+        FROM inter JOIN sizes n1 ON n1.doc_id=d1 JOIN sizes n2 ON n2.doc_id=d2
+        WHERE round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6) >= 0.5
     """,
     "dedup_simhash": f"""
         WITH words AS (
