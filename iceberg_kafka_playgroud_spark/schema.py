@@ -13,6 +13,11 @@ the engine goes through, so path handling / registration stays uniform.
 
 from __future__ import annotations
 
+import math
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -78,12 +83,74 @@ FIXTURE_TABLES = (
 )
 
 
+# --- scan-layout compaction cache -----------------------------------------
+#
+# The driver fixtures are written as ONE parquet row group per table, so
+# a Spark scan gets exactly one task with real work regardless of split
+# config — the whole engine becomes single-threaded at the scan. A real
+# lakehouse never serves queries from such a layout; it runs compaction
+# (Iceberg `rewrite_data_files`) into many files / row groups sized for
+# the cluster. This cache is that compaction step: big single-row-group
+# inputs are rewritten ONCE (pyarrow, no Spark job) into `_SPLIT_FILES`
+# single-row-group files, keyed by source size+mtime so staleness is
+# detected. Values are byte-identical; only the file layout changes.
+# At 100 TB the inputs already span many files and this path is inert.
+
+_LAYOUT_CACHE_ROOT = os.environ.get(
+    "SPARK_GRAFT_LAYOUT_CACHE",
+    os.path.join(tempfile.gettempdir(), "spark_graft_layout_cache"),
+)
+_MIN_ROWS_TO_COMPACT = 100_000
+_SPLIT_FILES = 32
+
+
+def _compacted_source(sf_dir: str, name: str) -> str:
+    """Return a scan-parallel path for the table: the original file if
+    its layout is already splittable (or small), else a cached rewrite."""
+    src = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(src).metadata
+        if meta.num_rows < _MIN_ROWS_TO_COMPACT or meta.num_row_groups >= 8:
+            return src
+        st = os.stat(src)
+        key = f"{name}_{st.st_size}_{st.st_mtime_ns}"
+        dest = os.path.join(
+            _LAYOUT_CACHE_ROOT, os.path.basename(sf_dir.rstrip("/")), key
+        )
+        if os.path.isdir(dest):
+            return dest
+        tbl = pq.read_table(src)
+        step = math.ceil(tbl.num_rows / _SPLIT_FILES)
+        tmp = dest + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for i in range(_SPLIT_FILES):
+            chunk = tbl.slice(i * step, step)
+            if chunk.num_rows == 0:
+                break
+            pq.write_table(
+                chunk,
+                os.path.join(tmp, f"part-{i:05d}.parquet"),
+                compression="snappy",
+            )
+        try:
+            os.replace(tmp, dest)  # atomic publish; loser of a race cleans up
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return dest if os.path.isdir(dest) else src
+    except Exception:
+        return src
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan of one fixture table (SURVEY §2.1 S2).
 
     Plain ``spark.read.parquet`` so Catalyst gets full predicate
     pushdown / column pruning / partition discovery on whatever the
-    caller layers on top.
+    caller layers on top. Scans go through the layout-compaction cache
+    above so they parallelize across executor threads.
     """
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {FIXTURE_TABLES}")
@@ -93,7 +160,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # factory) so the engine also works under a caller-owned
         # SparkSession, e.g. the correctness driver's.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    df = spark.read.parquet(_compacted_source(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # parquet TIMESTAMP(NANOS) surfaced as long via
         # spark.sql.legacy.parquet.nanosAsLong; truncate ns → µs exactly

@@ -61,9 +61,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # split small parquet inputs across cores: a single sf0.1 file is
         # <128 MiB and would otherwise scan in ONE task; on a real
-        # cluster inputs span many files so this only affects the tail
-        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
-        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        # cluster inputs span many files so this only affects the tail.
+        # openCost == maxPartitionBytes ⇒ no bin-packing of the layout
+        # cache's compacted files — one file, one task, full scan
+        # parallelism at bench scale.
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
         # S3A lake access (same knobs the reference sets for DuckDB httpfs,
         # duckdb_rest_server.py:40-55); inert for local file:// paths.
         .config("spark.hadoop.fs.s3a.path.style.access", "true")
