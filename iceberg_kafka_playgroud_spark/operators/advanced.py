@@ -195,8 +195,31 @@ def ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
 
 
+def sample_hash_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-bucket sampling (~1/16 of rows).
+
+    The scalable, reproducible replacement for random TABLESAMPLE in a
+    training-data pipeline: the predicate is a pure narrow filter (no
+    shuffle, no RNG state), gives the SAME sample on every engine and
+    every run, and composes with column pruning — at 100 TB it runs
+    scan-local and can be resized by widening the hex-prefix bucket.
+    """
+    l = load_table(spark, sf, "lineitem")
+    key = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    return l.filter(F.substring(key, 1, 1) == "0").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
+    "sample_hash_bucket": sample_hash_bucket,
     "grouping_sets_agg": grouping_sets_agg,
     "percentile_exact": percentile_exact,
     "union_by_name": union_by_name,
@@ -218,6 +241,12 @@ _BUCKET = (
 )
 
 ORACLES = {
+    "sample_hash_bucket": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                            CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
+    """,
     "asof_last_purchase": """
         SELECT event_id, user_id,
                MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER w

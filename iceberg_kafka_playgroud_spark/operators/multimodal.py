@@ -77,8 +77,80 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+RESIZE_BYTES = 256
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+
+def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Payload "resize" (crop-to-budget) via Arrow-batched mapInPandas.
+
+    Stands in for an image resize: the real operation (PIL.thumbnail)
+    is unavailable in this container, so the deterministic stand-in
+    crops the payload to a fixed byte budget. The plumbing — binary in,
+    binary-derived features out, per-batch vectorized loop — is exactly
+    the production shape; only the inner transform swaps out.
+    """
+    import hashlib
+
+    src = with_payload(load_table(spark, sf, "documents"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            cropped = [p[:RESIZE_BYTES] for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_len": [len(p) for p in payloads],
+                    "resized_len": [len(c) for c in cropped],
+                    "resized_md5": [
+                        hashlib.md5(c).hexdigest() for c in cropped
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        resize,
+        schema="doc_id long, orig_len long, resized_len long, resized_md5 string",
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling: payload → fixed-size frames → every 4th frame.
+
+    The video-pipeline shape: one input row fans out to N output rows
+    (sampled frames), each carrying its index and content hash. Runs as
+    mapInPandas so frame extraction is batch-local — at 100 TB this is
+    embarrassingly parallel with zero shuffle.
+    """
+    import hashlib
+
+    src = with_payload(load_table(spark, sf, "documents"))
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for j in range(0, (len(b) - 1) // FRAME_BYTES + 1, FRAME_STRIDE):
+                    fr = b[FRAME_BYTES * j : FRAME_BYTES * (j + 1)]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(j)
+                    out["frame_len"].append(len(fr))
+                    out["frame_md5"].append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        frames,
+        schema="doc_id long, frame_idx long, frame_len long, frame_md5 string",
+    )
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES = {
@@ -90,5 +162,25 @@ ORACLES = {
                lower(hex(encode(substring(text, 1, 8)))) AS header_hex,
                CAST(octet_length(encode(text)) % 3 + 1 AS BIGINT) AS fake_channels
         FROM documents
+    """,
+    "multimodal_resize": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS orig_len,
+               CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS resized_len,
+               md5(substring(text, 1, 256)) AS resized_md5
+        FROM documents
+    """,
+    "multimodal_frame_sample": """
+        SELECT d.doc_id,
+               CAST(t.j AS BIGINT) AS frame_idx,
+               CAST(octet_length(encode(substring(d.text, 1 + 64*t.j, 64))) AS BIGINT)
+                 AS frame_len,
+               md5(substring(d.text, 1 + 64*t.j, 64)) AS frame_md5
+        FROM documents d,
+             LATERAL (
+               SELECT unnest(generate_series(
+                 0, CAST(floor((length(d.text) - 1) / 64.0) AS INT))) AS j
+             ) t
+        WHERE t.j % 4 = 0
     """,
 }
