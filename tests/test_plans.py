@@ -6,7 +6,7 @@ At 100 TB these properties are the difference between a working plan
 and a dead cluster.
 """
 
-from iceberg_kafka_playgroud_spark.operators import relational
+from iceberg_kafka_playgroud_spark.operators import advanced, dedup, relational
 from iceberg_kafka_playgroud_spark.plans.inspect import physical_plan
 
 
@@ -44,3 +44,44 @@ def test_q1_partial_aggregation(spark, sf_dir):
     df.collect()
     simple = physical_plan(df, "simple")
     assert "*(" in simple and "isFinalPlan=true" in simple
+
+
+def test_sample_is_narrow(spark, sf_dir):
+    # deterministic sampling must not shuffle — pure scan-local filter
+    plan = physical_plan(advanced.sample_hash_bucket(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_ngram_jaccard_broadcasts_hot_list(spark, sf_dir):
+    # df-pruning anti-join keeps the big shingle table un-shuffled on
+    # the pruning side: the hot-shingle list must broadcast
+    plan = physical_plan(dedup.dedup_ngram_jaccard(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_layout_cache_compacts_single_row_group(tmp_path):
+    # single-row-group fixtures must be rewritten into a splittable
+    # layout (byte-identical data, many files) so scans parallelize
+    import os
+
+    import pyarrow.parquet as pq
+
+    from iceberg_kafka_playgroud_spark import schema as sch
+
+    src_dir = "/root/testdata/sf0.1"
+    src = f"{src_dir}/lineitem.parquet"
+    if not os.path.exists(src):
+        import pytest
+
+        pytest.skip("sf0.1 fixtures not present")
+    out = sch._compacted_source(src_dir, "lineitem")
+    assert os.path.isdir(out), "big single-row-group input should compact"
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) > 8
+    total = sum(
+        pq.ParquetFile(os.path.join(out, f)).metadata.num_rows for f in files
+    )
+    assert total == pq.ParquetFile(src).metadata.num_rows
+    # small inputs are served as-is
+    small = sch._compacted_source("/root/testdata/sf0.001", "lineitem")
+    assert small.endswith("lineitem.parquet")
