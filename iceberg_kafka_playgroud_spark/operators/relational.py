@@ -607,11 +607,151 @@ def cte_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter → global agg. The whole query is one
+    scan with every predicate pushed; the shuffle carries ONE partial
+    row per task — the cheapest possible plan at any scale."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & _rate("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * _rate("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-lineitem revenue per customer, top 20.
+    Facts co-shuffle on orderkey/custkey; nation broadcasts; top-k is
+    TakeOrderedAndProject, never a global sort."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(money("l_extendedprice") * (_one() - _rate("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio over a broadcast
+    part join — promo revenue share for one month."""
+    p = load_table(spark, sf, "part")
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    disc_price = money("l_extendedprice") * (_one() - _rate("l_discount"))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+            F.lit(0).cast("decimal(14,4)")
+        )
+    ).cast("double")
+    total = F.sum(disc_price).cast("double")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * promo / total).alias("promo_revenue_pct"),
+            total.alias("total_revenue"),
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: groupBy-HAVING subquery keys, then fact joins.
+    The heavy-order key set is tiny (HAVING prunes hard) → broadcast
+    semi-join back onto orders; lineitem is aggregated BEFORE joining,
+    so the shuffle carries one row per order."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    qty = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 300)
+    )
+    return (
+        o.join(F.broadcast(qty), o.o_orderkey == qty.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q19_disjunctive_pred(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    ranges across a part join. Catalyst extracts the common l_quantity
+    bounds from the OR for scan pushdown; the join stays broadcast."""
+    p = load_table(spark, sf, "part")
+    l = load_table(spark, sf, "lineitem")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.sum(money("l_extendedprice") * (_one() - _rate("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_pred": q19_disjunctive_pred,
     "scan_project": scan_project,
     "limit0_probe": limit0_probe,
     "sort_topk": sort_topk,
@@ -653,7 +793,65 @@ QUERIES = {
 
 _MONEY_SUM = "CAST(SUM(CAST({c} AS DECIMAL(12,2))) AS DOUBLE)"
 
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
 ORACLES = {
+    "q6_forecast_revenue": (
+        "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
+        "* CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue, "
+        "COUNT(*) AS n_lines "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07 "
+        "AND l_quantity < 24"
+    ),
+    "q10_returned_items": (
+        "SELECT c_custkey, c_name, c_acctbal, n_name, "
+        f"CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' "
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+        "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+    ),
+    "q14_promo_revenue": (
+        "SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' "
+        f"THEN {_DISC_PRICE} ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE) "
+        f"/ CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS promo_revenue_pct, "
+        f"CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS total_revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'"
+    ),
+    "q18_large_orders": (
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+        "CAST(q.sum_qty_dec AS DOUBLE) AS sum_qty "
+        "FROM orders "
+        "JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_dec "
+        "      FROM lineitem GROUP BY l_orderkey "
+        "      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300) q "
+        "ON o_orderkey = q.l_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
+    ),
+    "q19_disjunctive_pred": (
+        f"SELECT CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue, "
+        "COUNT(*) AS n_lines "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+        "       AND l_quantity >= 1 AND l_quantity <= 11) "
+        "   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 "
+        "       AND l_quantity >= 10 AND l_quantity <= 20) "
+        "   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35 "
+        "       AND l_quantity >= 20 AND l_quantity <= 30)"
+    ),
     "scan_project": "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
     "limit0_probe": "SELECT * FROM events LIMIT 0",
     "sort_topk": (
