@@ -23,6 +23,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
     "agg_cube",
     "window_rank",
     "top_k_per_group",

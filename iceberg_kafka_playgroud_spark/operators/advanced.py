@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.scalar import money
 from ..schema import load_table
 
 
@@ -217,8 +218,43 @@ def sample_hash_bucket(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+N_SALTS = 16
+
+
+def agg_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted aggregation over a pathologically skewed key.
+
+    l_returnflag has 3 distinct values across the whole fact table, so a
+    naive groupBy sends ~n/3 rows to each of 3 reducers — at 100 TB,
+    three executors do all the work. Salting fans each key out to
+    ``N_SALTS`` sub-keys for the first (parallel) aggregation, then a
+    trivially small second aggregation removes the salt. Result is
+    bit-identical to the naive plan (decimal partials are associative);
+    the oracle is the plain GROUP BY.
+
+    (Spark's AQE skew handling only rebalances *joins*; skewed
+    aggregation salting remains a hand technique.)
+    """
+    l = load_table(spark, sf, "lineitem")
+    salted = l.withColumn(
+        "salt", F.pmod(F.col("l_orderkey") * 31 + F.col("l_linenumber"), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum(money("l_quantity")).alias("qty_dec"),
+        F.count("*").alias("n"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("qty_dec").cast("double").alias("sum_qty"),
+            F.sum("n").alias("n_lines"),
+        )
+    )
+
+
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
+    "agg_salted_skew": agg_salted_skew,
     "sample_hash_bucket": sample_hash_bucket,
     "grouping_sets_agg": grouping_sets_agg,
     "percentile_exact": percentile_exact,
@@ -241,6 +277,12 @@ _BUCKET = (
 )
 
 ORACLES = {
+    "agg_salted_skew": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "sample_hash_bucket": """
         SELECT l_orderkey, l_linenumber, l_extendedprice
         FROM lineitem

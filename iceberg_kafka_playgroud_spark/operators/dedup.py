@@ -132,14 +132,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
+        .cache()  # tiny; reused for the pair join AND the doc-set prune
     )
 
-    # candidate pairs and per-doc set sizes are tiny relative to the
-    # shingle table — broadcast them so the only big shuffle left is
-    # the shingle-keyed intersection count
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    s1 = sh.alias("s1")
-    s2 = sh.alias("s2")
+    # verification touches CANDIDATE DOCS only: prune the shingle table
+    # to docs that appear in some candidate pair (broadcast semi-join,
+    # narrow) before any shuffle — at scale the candidate set is orders
+    # of magnitude smaller than the corpus, so the intersection and
+    # size aggregations run on a sliver of the data
+    cand_docs = (
+        cand.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
+    )
+    shc = sh.join(F.broadcast(cand_docs), "doc_id")
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = shc.alias("s1")
+    s2 = shc.alias("s2")
     inter = (
         F.broadcast(cand)
         .join(s1, F.col("s1.doc_id") == F.col("d1"))
