@@ -607,6 +607,47 @@ def cte_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def window_ntile_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile / first_value / last_value with an explicit full frame —
+    completes the analytic-window family. Total order (unique
+    tie-break) keeps every value deterministic."""
+    o = load_table(spark, sf, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(wf).alias("top_orderkey"),
+        F.last("o_orderkey").over(wf).alias("bottom_orderkey"),
+    )
+
+
+def map_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Map family: create_map / map_concat / map_from_entries /
+    map_keys / element_at / size, verified by value (§2.7 Map)."""
+    e = load_table(spark, sf, "events")
+    base = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    extra = F.map_from_entries(
+        F.array(F.struct(F.lit("bucket").alias("key"),
+                         F.pmod(F.col("value").cast("long"), F.lit(10))
+                         .cast("string").alias("value")))
+    )
+    m = F.map_concat(base, extra)
+    return e.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "bucket").alias("bucket_val"),
+        F.size(m).alias("n_entries"),
+    )
+
+
 def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter → global agg. The whole query is one
     scan with every predicate pushed; the shuffle carries ONE partial
@@ -747,6 +788,8 @@ def q19_disjunctive_pred(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "window_ntile_first_last": window_ntile_first_last,
+    "map_functions": map_functions,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
@@ -799,6 +842,28 @@ _DISC_PRICE = (
 )
 
 ORACLES = {
+    "window_ntile_first_last": (
+        "SELECT o_orderkey, o_orderstatus, "
+        "NTILE(4) OVER w AS quartile, "
+        "FIRST_VALUE(o_orderkey) OVER wf AS top_orderkey, "
+        "LAST_VALUE(o_orderkey) OVER wf AS bottom_orderkey "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_orderstatus "
+        "             ORDER BY o_totalprice DESC, o_orderkey ASC), "
+        "wf AS (PARTITION BY o_orderstatus "
+        "       ORDER BY o_totalprice DESC, o_orderkey ASC "
+        "       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    ),
+    "map_functions": (
+        # the map pipeline's outputs are exactly predictable, so the
+        # oracle states them directly (keys sort to a constant; bucket
+        # mirrors pmod(trunc(value), 10))
+        "SELECT event_id, 'bucket,type,uid' AS keys_csv, "
+        "event_type AS type_val, "
+        "CAST(((CAST(trunc(value) AS BIGINT) % 10) + 10) % 10 AS VARCHAR) "
+        "AS bucket_val, "
+        "3 AS n_entries FROM events"
+    ),
     "q6_forecast_revenue": (
         "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
         "* CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue, "

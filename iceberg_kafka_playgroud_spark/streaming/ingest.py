@@ -256,8 +256,39 @@ def stream_stateful_user_totals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream inner interval join with watermarks on both sides
+    (SURVEY §2.8's stretch tier): each view joined to the same user's
+    purchases within the following hour. The watermark + time-range
+    condition is what bounds join state, so the query runs unbounded at
+    any scale. Folded to per-user pair counts for a stable oracle.
+    """
+    views = (
+        events_file_stream(spark, sf)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "10 minutes")
+    )
+    purchases = (
+        events_file_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    out = _run_to_memory(joined, "append")
+    return out.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_stream_join": stream_stream_join,
     "stream_exact_dedup": stream_exact_dedup,
     "stream_sessionize": stream_sessionize,
     "stream_dual_sink": stream_dual_sink,
@@ -265,6 +296,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_stream_join": """
+        SELECT e1.user_id, COUNT(*) AS n_pairs
+        FROM events e1 JOIN events e2
+          ON e2.user_id = e1.user_id
+         AND e1.event_type = 'view' AND e2.event_type = 'purchase'
+         AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+        GROUP BY e1.user_id
+    """,
     "stream_tumbling_counts": """
         SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
         FROM events GROUP BY 1, 2
