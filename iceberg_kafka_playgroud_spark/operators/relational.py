@@ -106,8 +106,12 @@ def partition_prune_time(spark: SparkSession, sf: str) -> DataFrame:
 
 def files_glob_listing(spark: SparkSession, sf: str) -> DataFrame:
     """S4: file listing via input_file_name over a scan (reference
-    ``SELECT * FROM glob(...)`` at duckdb_rest_server.py:111)."""
-    l = load_table(spark, sf, "lineitem")
+    ``SELECT * FROM glob(...)`` at duckdb_rest_server.py:111).
+
+    Listed over ``documents`` (small at every bench scale) so the name
+    set is layout-stable; big tables go through the compaction cache
+    and would list cache part-files instead of the source name."""
+    l = load_table(spark, sf, "documents")
     return (
         l.select(
             F.regexp_extract(F.input_file_name(), r"([^/]+\.parquet)", 1).alias(
@@ -938,8 +942,10 @@ ORACLES = {
         "GROUP BY 1"
     ),
     "files_glob_listing": (
+        # sf-wildcard: every sf dir yields the same DISTINCT basename,
+        # so the oracle is valid at any scale factor
         "SELECT DISTINCT regexp_extract(file, '([^/]+\\.parquet)', 1) AS file_name "
-        "FROM glob('/root/testdata/sf0.01/lineitem.parquet')"
+        "FROM glob('/root/testdata/sf*/documents.parquet')"
     ),
     "q1_pricing_summary": ORACLE_Q1,
     "agg_count_distinct": (

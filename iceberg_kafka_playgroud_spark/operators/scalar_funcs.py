@@ -72,7 +72,11 @@ def math_functions(spark: SparkSession, sf: str) -> DataFrame:
         F.sqrt(v).alias("rt"),
         F.greatest(v, F.lit(5.0)).alias("hi5"),
         F.least(v, F.lit(5.0)).alias("lo5"),
-        F.round(F.exp(v / F.lit(20.0)), 6).alias("exp6"),
+        # exponent domain bounded to [0, 0.5): exp stays O(1), so
+        # 6-decimal rounding is far inside double precision — rounding
+        # a ~1e9 exp result at 6 decimals sits AT the ulp boundary and
+        # libm differences between engines flip the last digit
+        F.round(F.exp(F.pmod(v, F.lit(10.0)) / F.lit(20.0)), 6).alias("exp6"),
     )
 
 
@@ -280,7 +284,7 @@ ORACLES = {
                sqrt(value) AS rt,
                greatest(value, 5.0) AS hi5,
                least(value, 5.0) AS lo5,
-               round(exp(value / 20.0), 6) AS exp6
+               round(exp((((value % 10.0) + 10.0) % 10.0) / 20.0), 6) AS exp6
         FROM events
     """,
     "json_functions": """
