@@ -1,0 +1,166 @@
+"""Property-based tests (hypothesis) for the engine's pure kernels.
+
+Each @given generates a BATCH of inputs and runs one Spark job over the
+whole batch, so example count stays high while Spark job count stays
+low.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_kafka_playgroud_spark.functions.scalar import (
+    confluent_header,
+    strip_confluent_header,
+)
+from iceberg_kafka_playgroud_spark.functions.schema_compat import backward_issues
+
+_slow = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --- Confluent wire framing ------------------------------------------------
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.binary(min_size=0, max_size=200),
+            st.integers(min_value=0, max_value=2**31 - 1),
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_confluent_frame_roundtrip(spark, batch):
+    df = spark.createDataFrame(
+        [(i, payload, sid) for i, (payload, sid) in enumerate(batch)],
+        schema=T.StructType(
+            [
+                T.StructField("i", T.IntegerType()),
+                T.StructField("payload", T.BinaryType()),
+                T.StructField("sid", T.IntegerType()),
+            ]
+        ),
+    )
+    framed = df.select(
+        "i",
+        "payload",
+        "sid",
+        F.concat(confluent_header(F.col("sid")), F.col("payload")).alias("framed"),
+    )
+    out = framed.select(
+        "i",
+        "payload",
+        "sid",
+        "framed",
+        strip_confluent_header(F.col("framed")).alias("stripped"),
+    ).collect()
+    for row in out:
+        want_header = b"\x00" + struct.pack(">i", row.sid)
+        assert bytes(row.framed) == want_header + bytes(row.payload)
+        assert bytes(row.stripped) == bytes(row.payload)
+
+
+# --- BACKWARD schema compatibility (pure Python, fast path) ----------------
+
+
+_field_names = st.sampled_from(["a", "b", "c", "d", "e", "f"])
+_types = st.sampled_from(
+    [T.IntegerType(), T.LongType(), T.DoubleType(), T.StringType()]
+)
+
+
+@st.composite
+def _schemas(draw):
+    names = draw(st.lists(_field_names, min_size=1, max_size=5, unique=True))
+    return T.StructType(
+        [
+            T.StructField(n, draw(_types), nullable=draw(st.booleans()))
+            for n in names
+        ]
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(_schemas())
+def test_backward_self_compatible(schema):
+    assert backward_issues(schema, schema) == []
+
+
+@settings(max_examples=200, deadline=None)
+@given(_schemas(), _field_names, _types)
+def test_backward_added_nullable_ok_required_not(schema, name, dtype):
+    base = T.StructType([f for f in schema.fields if f.name != name])
+    with_nullable = T.StructType(base.fields + [T.StructField(name, dtype, True)])
+    with_required = T.StructType(base.fields + [T.StructField(name, dtype, False)])
+    assert backward_issues(base, with_nullable) == []
+    assert any(name in i for i in backward_issues(base, with_required))
+
+
+@settings(max_examples=200, deadline=None)
+@given(_schemas())
+def test_backward_dropping_fields_ok(schema):
+    # BACKWARD: new reader may ignore old columns entirely
+    dropped = T.StructType(schema.fields[1:])
+    assert backward_issues(schema, dropped) == []
+
+
+@settings(max_examples=200, deadline=None)
+@given(_schemas())
+def test_backward_narrowing_flagged(schema):
+    # string -> int is never a safe widening
+    target = schema.fields[0]
+    if not isinstance(target.dataType, T.StringType):
+        return
+    narrowed = T.StructType(
+        [T.StructField(target.name, T.IntegerType(), target.nullable)]
+        + schema.fields[1:]
+    )
+    assert any(target.name in i for i in backward_issues(schema, narrowed))
+
+
+# --- shingle_set vs a pure-Python reference --------------------------------
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = [t for t in text.split(" ") if t]
+    return {
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    } if len(toks) >= n else set()
+
+
+@_slow
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("abc xyz")),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_shingle_set_matches_reference(spark, texts):
+    from iceberg_kafka_playgroud_spark.operators.dedup import shingle_set
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        schema="doc_id long, text string",
+    )
+    got: dict[int, set[str]] = {}
+    for row in shingle_set(docs).collect():
+        got.setdefault(row.doc_id, set()).add(row.shingle)
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _py_shingles(t), f"doc {i}: {t!r}"
