@@ -137,8 +137,26 @@ def doc_stats_by_source(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def text_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish tokenization: letter runs, digit runs, and single
+    punctuation marks each count as one token (the pre-tokenizer split
+    every byte-pair encoder applies before merges). Narrow regexp work
+    — scan-local at any scale; contrast with the whitespace count in
+    ``text_token_count``."""
+    d = load_table(spark, sf, "documents")
+    pieces = F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+    toks = d.select("doc_id", pieces.alias("pieces"))
+    return toks.select(
+        "doc_id",
+        F.size("pieces").alias("n_bpe_tokens"),
+        F.size(F.expr("filter(pieces, p -> p rlike '^[a-z]+$')")).alias("n_word_runs"),
+        F.size(F.expr("filter(pieces, p -> p rlike '^[0-9]+$')")).alias("n_digit_runs"),
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
+    "text_bpe_token_count": text_bpe_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -152,6 +170,21 @@ _NSTOP = (
 )
 
 ORACLES = {
+    "text_bpe_token_count": r"""
+        WITH p AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')
+                   AS pieces
+          FROM documents
+        )
+        SELECT doc_id,
+               len(pieces) AS n_bpe_tokens,
+               len(list_filter(pieces, x -> regexp_matches(x, '^[a-z]+$')))
+                 AS n_word_runs,
+               len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]+$')))
+                 AS n_digit_runs
+        FROM p
+    """,
     "text_token_count": f"""
         SELECT doc_id,
                CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
