@@ -273,22 +273,25 @@ def join_right_outer(spark: SparkSession, sf: str) -> DataFrame:
 
 def join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
     """FULL OUTER between two disjointly-filtered key sets."""
+    # both sides derive from ONE cached scan of orders, so the join key
+    # is renamed per side before joining — df.attr references across a
+    # common-lineage join are ambiguous (same expression ids)
     hi = (
         load_table(spark, sf, "orders")
         .filter(F.col("o_totalprice") > 450000)
-        .groupBy("o_custkey")
+        .groupBy(F.col("o_custkey").alias("custkey_hi"))
         .agg(F.count("*").alias("n_hi"))
     )
     lo = (
         load_table(spark, sf, "orders")
         .filter(F.col("o_totalprice") < 5000)
-        .groupBy("o_custkey")
+        .groupBy(F.col("o_custkey").alias("custkey_lo"))
         .agg(F.count("*").alias("n_lo"))
     )
     return (
-        hi.join(lo, "o_custkey", "full")
+        hi.join(lo, F.col("custkey_hi") == F.col("custkey_lo"), "full")
         .select(
-            F.coalesce(hi.o_custkey, lo.o_custkey).alias("custkey"),
+            F.coalesce("custkey_hi", "custkey_lo").alias("custkey"),
             F.coalesce("n_hi", F.lit(0)).alias("n_hi"),
             F.coalesce("n_lo", F.lit(0)).alias("n_lo"),
         )

@@ -144,6 +144,13 @@ def _compacted_source(sf_dir: str, name: str) -> str:
         return src
 
 
+# table-handle memo: a DataFrame is an immutable logical plan, so the
+# handle for (session, dir, table) can be built once and reused — this
+# is what a catalog does; it removes repeated footer reads and
+# driver↔JVM round trips from every query's plan-construction path.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan of one fixture table (SURVEY §2.1 S2).
 
@@ -152,6 +159,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     caller layers on top. Scans go through the layout-compaction cache
     above so they parallelize across executor threads.
     """
+    # applicationId is unique per SparkContext, so a restarted session
+    # can never serve plans bound to a dead one
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None:
+        return memo
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {FIXTURE_TABLES}")
     if name == "events":
@@ -166,6 +179,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # spark.sql.legacy.parquet.nanosAsLong; truncate ns → µs exactly
         # like DuckDB's TIMESTAMP_NS → datetime conversion does.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_MEMO[key] = df
     return df
 
 
