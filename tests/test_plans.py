@@ -46,6 +46,23 @@ def test_q1_partial_aggregation(spark, sf_dir):
     assert "*(" in simple and "isFinalPlan=true" in simple
 
 
+def test_q10_topk_and_broadcast(spark, sf_dir):
+    plan = physical_plan(relational.q10_returned_items(spark, sf_dir))
+    # nation broadcasts; top-20 never becomes a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q18_preaggregates_before_join(spark, sf_dir):
+    plan = physical_plan(relational.q18_large_orders(spark, sf_dir))
+    # the HAVING-pruned per-order aggregate must sit UNDER the join —
+    # the shuffle carries one row per heavy order, not raw lineitems
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    assert "BroadcastHashJoin" in plan
+
+
 def test_sample_is_narrow(spark, sf_dir):
     # deterministic sampling must not shuffle — pure scan-local filter
     plan = physical_plan(advanced.sample_hash_bucket(spark, sf_dir))
