@@ -47,17 +47,21 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = entry.queries()
-    names = [n for n in HEADLINE if n in qs]
+    missing = [n for n in HEADLINE if n not in qs]
+    if missing:
+        raise SystemExit(f"bench: unknown headline queries {missing!r}")
+    names = list(HEADLINE)
     # extension headliners (SURVEY §2.9)
     for extra in (
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_topk_blocked",
         "text_quality_score",
-        "event_sessionize",
+        "stream_sessionize",
     ):
-        if extra in qs:
-            names.append(extra)
+        if extra not in qs:
+            raise SystemExit(f"bench: unknown headline query {extra!r}")
+        names.append(extra)
 
     # warmup on the smallest sf (excluded from timings): run every
     # headline plan once at sf0.001 so JVM classloading, whole-stage
