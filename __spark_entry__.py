@@ -64,7 +64,8 @@ _PRIORITY = [
     "text_lang_id", "text_fingerprint", "doc_stats_by_source",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "ann_topk_bruteforce", "ann_topk_blocked",
-    "embedding_near_dup_pairs", "multimodal_features", "multimodal_resize",
+    "embedding_near_dup_pairs", "embedding_near_dup_lsh",
+    "multimodal_features", "multimodal_resize",
     "multimodal_frame_sample", "asof_last_purchase", "agg_salted_skew",
     "sample_hash_bucket", "grouping_sets_agg", "percentile_exact",
     "union_by_name", "intersect_all_keys", "pandas_udf_scalar",

@@ -61,8 +61,8 @@ def create_app(spark: SparkSession, sf_dir: str | None = None):
         body = request.get_json(force=True) or {}
         if "query" not in body:
             return jsonify({"error": "missing required field 'query'"}), 400
-        limit = int(body.get("limit", DEFAULT_QUERY_LIMIT))
         try:
+            limit = int(body.get("limit", DEFAULT_QUERY_LIMIT))
             df = spark.sql(body["query"])
             return jsonify({"rows": _json_rows(df, limit), "limit": limit})
         except Exception as e:  # noqa: BLE001
@@ -81,8 +81,8 @@ def create_app(spark: SparkSession, sf_dir: str | None = None):
         body = request.get_json(force=True) or {}
         if "path" not in body:
             return jsonify({"error": "missing required field 'path'"}), 400
-        limit = int(body.get("limit", DEFAULT_QUERY_LIMIT))
         try:
+            limit = int(body.get("limit", DEFAULT_QUERY_LIMIT))
             df = spark.read.parquet(body["path"])
             return jsonify({"rows": _json_rows(df, limit), "limit": limit})
         except Exception as e:  # noqa: BLE001
@@ -125,7 +125,10 @@ def create_app(spark: SparkSession, sf_dir: str | None = None):
         body = request.get_json(force=True) or {}
         ns = body.get("namespace", "default")
         tbl = body.get("table", "")
-        limit = int(body.get("limit", DEFAULT_TABLE_LIMIT))  # honored, unlike ref
+        try:
+            limit = int(body.get("limit", DEFAULT_TABLE_LIMIT))  # honored, unlike ref
+        except (TypeError, ValueError):
+            return jsonify({"error": "limit must be an integer"}), 400
         name = f"{ns}.{tbl}" if tbl else ns
         try:
             df = spark.table(name)

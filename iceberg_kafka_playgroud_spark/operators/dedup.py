@@ -337,7 +337,7 @@ ORACLES = {
         SELECT d1, d2,
                round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6) AS jaccard
         FROM inter JOIN sizes n1 ON n1.doc_id=d1 JOIN sizes n2 ON n2.doc_id=d2
-        WHERE CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE) >= 0.5
+        WHERE round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6) >= 0.5
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},

@@ -104,8 +104,12 @@ def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "orig_len": [len(p) for p in payloads],
                     "resized_len": [len(c) for c in cropped],
+                    # content hash over the lowercase-hex encoding of the
+                    # cropped BYTES: byte-exact for any payload (DuckDB's
+                    # md5 can't take a BLOB, but both engines can hash
+                    # the hex string of the same byte slice)
                     "resized_md5": [
-                        hashlib.md5(c).hexdigest() for c in cropped
+                        hashlib.md5(c.hex().encode()).hexdigest() for c in cropped
                     ],
                 }
             )
@@ -138,7 +142,10 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(j)
                     out["frame_len"].append(len(fr))
-                    out["frame_md5"].append(hashlib.md5(fr).hexdigest())
+                    # hex-encoded hash — see multimodal_resize
+                    out["frame_md5"].append(
+                        hashlib.md5(fr.hex().encode()).hexdigest()
+                    )
             yield pd.DataFrame(out)
 
     return src.mapInPandas(
@@ -154,12 +161,16 @@ QUERIES = {
 }
 
 ORACLES = {
-    # the stub decode is pure byte arithmetic, so plain SQL can predict it
+    # the stub decode is pure BYTE arithmetic; oracles operate on the
+    # hex encoding of the utf-8 bytes (2 hex chars per byte), so every
+    # offset, length, and hash below is byte-exact even for multibyte
+    # text — DuckDB has no BLOB substring/md5, hex-slicing is the
+    # portable equivalent.
     "multimodal_features": """
         SELECT doc_id,
                source AS origin,
                CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
-               lower(hex(encode(substring(text, 1, 8)))) AS header_hex,
+               lower(substring(hex(encode(text)), 1, 16)) AS header_hex,
                CAST(octet_length(encode(text)) % 3 + 1 AS BIGINT) AS fake_channels
         FROM documents
     """,
@@ -167,19 +178,19 @@ ORACLES = {
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS orig_len,
                CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS resized_len,
-               md5(substring(text, 1, 256)) AS resized_md5
+               md5(lower(substring(hex(encode(text)), 1, 512))) AS resized_md5
         FROM documents
     """,
     "multimodal_frame_sample": """
         SELECT d.doc_id,
                CAST(t.j AS BIGINT) AS frame_idx,
-               CAST(octet_length(encode(substring(d.text, 1 + 64*t.j, 64))) AS BIGINT)
-                 AS frame_len,
-               md5(substring(d.text, 1 + 64*t.j, 64)) AS frame_md5
+               CAST(octet_length(from_hex(substring(hex(encode(d.text)), 1 + 128*t.j, 128)))
+                    AS BIGINT) AS frame_len,
+               md5(lower(substring(hex(encode(d.text)), 1 + 128*t.j, 128))) AS frame_md5
         FROM documents d,
              LATERAL (
                SELECT unnest(generate_series(
-                 0, CAST(floor((length(d.text) - 1) / 64.0) AS INT))) AS j
+                 0, CAST(floor((octet_length(encode(d.text)) - 1) / 64.0) AS INT))) AS j
              ) t
         WHERE t.j % 4 = 0
     """,

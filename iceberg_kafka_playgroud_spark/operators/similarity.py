@@ -1,6 +1,6 @@
 """Similarity search over embeddings (SURVEY §2.9 X2).
 
-Three operators:
+Four operators:
 
 - ``ann_topk_bruteforce`` — exact top-k cosine via pure JVM-side array
   expressions (zip_with + aggregate). The correctness baseline; also
@@ -12,19 +12,44 @@ Three operators:
   it shares the same SQL oracle. At 100 TB this is the
   block-partitioned matmul pattern (queries × corpus-block per task)
   with per-block top-k pushed before the shuffle.
-- ``embedding_near_dup_pairs`` — cosine-threshold duplicate pairs
-  (X1's embedding tier). Self-join is fine at fixture scale; the
-  LSH-bucketed variant for 100 TB reuses ``dedup.lsh_bands`` over
-  sign-bit sketches.
+- ``embedding_near_dup_pairs`` — EXACT cosine-threshold pair join,
+  implemented as a block-partitioned pair scan: the corpus is hashed
+  into ``N_BLOCKS`` blocks, each of the K(K+1)/2 block pairs becomes
+  one task, and each task runs a NumPy matmul over exactly two blocks.
+  Per-task memory is bounded by two blocks — no full-table broadcast,
+  no BroadcastNestedLoopJoin, no driver collect (plan-pinned in
+  tests/test_plans.py). The O(n²) *compute* is irreducible: an exact
+  threshold join at t = 0.45 admits no sub-quadratic candidate
+  scheme — measured on this corpus, every sign-bit LSH banding with
+  100 % recall leaves 64–100 % of all pairs as candidates
+  (128 bits r=4: 86 %; 512 bits r=6: 72 %; 64 bits r=4: 64 % but
+  misses 3 true pairs at sf0.1), because the qualifying pairs sit at
+  cosine 0.45–0.51 against a background whose p99.9 is 0.38. LSH
+  separates near-dups from noise only at high thresholds — that
+  regime is ``embedding_near_dup_lsh`` below.
+- ``embedding_near_dup_lsh`` — the 100 TB-shaped variant: quantized
+  sign-sketch (integer-exact, engine-portable), banded buckets in the
+  style of ``dedup.lsh_bands``, candidate equi-join on
+  (band_idx, band_val), exact cosine verification on candidates only.
+  Its DuckDB oracle replicates the ENTIRE pipeline (sketch → bands →
+  candidates → verify), so parity is exact by construction, and the
+  operator's recall vs the exact join is measured in
+  tests/test_properties.py (100 % on both fixture scales with the
+  committed parameters).
 
 Engine-parity: similarity is rounded to 6 decimals *before* ranking /
 thresholding in BOTH engines, so FP association differences (Spark
 sequential fold vs NumPy SIMD vs DuckDB list_sum) can't flip an
 ordering or a threshold decision except on measure-zero boundaries.
+The LSH sketch goes further: embeddings are quantized to integers
+(floor(x·1000)) and projected through a ±1 hyperplane matrix derived
+from md5, so every sketch bit is integer arithmetic — bit-identical
+across Spark, NumPy, and DuckDB regardless of summation order.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
 import pandas as pd
@@ -37,7 +62,15 @@ from ..schema import load_table
 
 TOP_K = 5
 N_QUERIES = 5  # query set = vec_id < 5
+MAX_QUERY_ROWS = 10_000  # driver-collect guard for the broadcast pattern
 NEAR_DUP_THRESHOLD = 0.45
+N_BLOCKS = 8  # block-pair tasks = K(K+1)/2; at scale K ≈ corpus_rows / 10⁵
+
+# --- LSH sketch parameters (embedding_near_dup_lsh) -----------------------
+EMB_DIM = 64
+SKETCH_BITS = 128
+BAND_BITS = 4  # bands = SKETCH_BITS / BAND_BITS = 32
+QUANT = 1000  # fixed-point scale: q_j = floor(x_j * 1000), exact in IEEE
 
 
 def _to_double(arr: Column) -> Column:
@@ -87,13 +120,22 @@ def ann_topk_blocked(spark: SparkSession, sf: str) -> DataFrame:
     qrows = (
         em.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding")
+        .limit(MAX_QUERY_ROWS + 1)
         .collect()
+    )
+    # the broadcast pattern is only valid while the query set fits on
+    # the driver — fail loudly instead of OOMing if it ever grows
+    assert len(qrows) <= MAX_QUERY_ROWS, (
+        f"query set exceeds {MAX_QUERY_ROWS} rows; "
+        "use a join-based ANN variant instead of driver broadcast"
     )
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
 
     def block_sims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy()
@@ -120,14 +162,178 @@ def ann_topk_blocked(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine-threshold pairs via block-partitioned pair scan.
+
+    Every vector lands in block ``vec_id % K``; block-pair (bi, bj)
+    with bi ≤ bj is one applyInPandas group holding exactly the rows
+    of those two blocks, so per-task memory is 2·(corpus/K) rows and
+    the shuffle volume is K+1 copies of the corpus — never a
+    full-table broadcast. Each unordered pair (u, v) appears in
+    exactly one group: (min(bu,bv), max(bu,bv)).
+    """
+    import numpy as np
+
     em = load_table(spark, sf, "embeddings").select(
-        "vec_id", _to_double(F.col("embedding")).alias("vec")
+        "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).alias("bid")
     )
-    a = em.select(F.col("vec_id").alias("d1"), F.col("vec").alias("v1"))
-    b = em.select(F.col("vec_id").alias("d2"), F.col("vec").alias("v2"))
-    pairs = a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+    keys = spark.createDataFrame(
+        [(i, j) for i in range(N_BLOCKS) for j in range(i, N_BLOCKS)],
+        "bi int, bj int",
+    )
+    left = em.join(F.broadcast(keys), em.bid == keys.bi).select(
+        "bi", "bj", "vec_id", "embedding", F.lit("L").alias("side")
+    )
+    right = em.join(
+        F.broadcast(keys.filter(F.col("bi") < F.col("bj"))), em.bid == keys.bj
+    ).select("bi", "bj", "vec_id", "embedding", F.lit("R").alias("side"))
+    both = left.unionByName(right)
+
+    def block_pairs(key, pdf):
+        bi, bj = key
+        out_d1, out_d2, out_sim = [], [], []
+
+        def emit(ids_a, mat_a, ids_b, mat_b, triangular: bool) -> None:
+            na = np.linalg.norm(mat_a, axis=1)
+            nb = np.linalg.norm(mat_b, axis=1)
+            sims = np.round((mat_a @ mat_b.T) / (na[:, None] * nb[None, :]), 6)
+            if triangular:
+                ii, jj = np.triu_indices(len(ids_a), k=1)
+            else:
+                ii, jj = np.indices(sims.shape).reshape(2, -1)
+            keep = sims[ii, jj] >= NEAR_DUP_THRESHOLD
+            ii, jj = ii[keep], jj[keep]
+            d1 = np.minimum(ids_a[ii], ids_b[jj])
+            d2 = np.maximum(ids_a[ii], ids_b[jj])
+            out_d1.append(d1)
+            out_d2.append(d2)
+            out_sim.append(sims[ii, jj])
+
+        if bi == bj:
+            sub = pdf
+            if len(sub) >= 2:
+                ids = sub["vec_id"].to_numpy()
+                mat = np.array(sub["embedding"].tolist(), dtype=np.float64)
+                emit(ids, mat, ids, mat, triangular=True)
+        else:
+            lrows = pdf[pdf["side"] == "L"]
+            rrows = pdf[pdf["side"] == "R"]
+            if len(lrows) and len(rrows):
+                emit(
+                    lrows["vec_id"].to_numpy(),
+                    np.array(lrows["embedding"].tolist(), dtype=np.float64),
+                    rrows["vec_id"].to_numpy(),
+                    np.array(rrows["embedding"].tolist(), dtype=np.float64),
+                    triangular=False,
+                )
+        if not out_d1:
+            return pd.DataFrame({"d1": [], "d2": [], "sim": []}).astype(
+                {"d1": "int64", "d2": "int64", "sim": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "d1": np.concatenate(out_d1),
+                "d2": np.concatenate(out_d2),
+                "sim": np.concatenate(out_sim),
+            }
+        )
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        block_pairs, schema="d1 long, d2 long, sim double"
+    )
+
+
+# --- LSH sketch (embedding_near_dup_lsh) ----------------------------------
+
+
+def _sign_matrix():
+    """±1 hyperplane matrix, SKETCH_BITS × EMB_DIM, derived from md5 so
+    DuckDB can rebuild the identical matrix in SQL: entry (i, j) is +1
+    iff the first hex nibble of md5(f"{i}:{j}") is ≥ 8."""
+    import numpy as np
+
+    s = np.empty((SKETCH_BITS, EMB_DIM), dtype=np.int64)
+    for i in range(SKETCH_BITS):
+        for j in range(EMB_DIM):
+            nib = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0], 16)
+            s[i, j] = 1 if nib >= 8 else -1
+    return s
+
+
+def sketch_bands(em: DataFrame) -> DataFrame:
+    """(vec_id, band_idx, band_val) — banded sign-sketch buckets.
+
+    The sketch is integer-exact: q = floor(x·1000) as int64, projected
+    through the ±1 md5 matrix with an int64 matmul (order-independent),
+    bit i = (Σ_j s_ij·q_j > 0). Bands are BAND_BITS consecutive bits
+    rendered as a '0'/'1' string — the bucket key for the equi-join,
+    same shape as ``dedup.lsh_bands``.
+    """
+    import numpy as np
+
+    smat = _sign_matrix()
+    n_bands = SKETCH_BITS // BAND_BITS
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            q = np.floor(x * QUANT).astype(np.int64)
+            bits = (q @ smat.T) > 0  # n × SKETCH_BITS, exact integers
+            chars = np.where(bits, "1", "0")
+            ids = pdf["vec_id"].to_numpy()
+            n = len(ids)
+            band_vals = [
+                ["".join(row[b * BAND_BITS : (b + 1) * BAND_BITS]) for b in range(n_bands)]
+                for row in chars
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_bands),
+                    "band_idx": np.tile(np.arange(n_bands), n),
+                    "band_val": [v for row in band_vals for v in row],
+                }
+            )
+
+    return em.select("vec_id", "embedding").mapInPandas(
+        fn, schema="vec_id long, band_idx int, band_val string"
+    )
+
+
+def embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed near-dup join: sign-sketch bands → candidate equi-join
+    → exact cosine verification on candidates only.
+
+    This is the shape that scales: every shuffle is keyed by
+    (band_idx, band_val) or vec_id, and similarity is computed for
+    candidate pairs only. Recall is governed by the banding
+    (probabilistic in general; measured 100 % on the fixtures — see
+    tests/test_properties.py). The oracle replicates this exact
+    pipeline, so correctness is exact parity, not a recall bound.
+    """
+    em = load_table(spark, sf, "embeddings")
+    bands = sketch_bands(em)
+    b1 = bands.alias("a")
+    b2 = bands.alias("b")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        .distinct()
+    )
+    v = em.select("vec_id", _to_double(F.col("embedding")).alias("vec"))
+    v1 = v.select(F.col("vec_id").alias("d1"), F.col("vec").alias("v1"))
+    v2 = v.select(F.col("vec_id").alias("d2"), F.col("vec").alias("v2"))
     return (
-        pairs.select(
+        cand.join(v1, "d1")
+        .join(v2, "d2")
+        .select(
             "d1",
             "d2",
             F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("sim"),
@@ -140,6 +346,7 @@ QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_blocked": ann_topk_blocked,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
 }
 
 _DOT = (
@@ -163,6 +370,47 @@ SELECT query_id, neighbor_id, sim, rank FROM (
 ) WHERE rank <= 5
 """
 
+# full-pipeline oracle for the LSH variant: identical sketch (integer
+# arithmetic, md5-derived ±1 matrix), identical banding, identical
+# candidate join, identical verification formula.
+_LSH_ORACLE = f"""
+WITH dims AS (SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS j),
+bit_ids AS (SELECT unnest(generate_series(0, {SKETCH_BITS - 1})) AS i),
+signs AS (
+  SELECT i, j,
+         CASE WHEN substring(md5(i || ':' || j), 1, 1)
+                   IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS s
+  FROM bit_ids, dims
+),
+q AS (
+  SELECT vec_id, j,
+         CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * {QUANT}) AS BIGINT) AS qv
+  FROM embeddings, dims
+),
+proj AS (
+  SELECT q.vec_id, signs.i, SUM(signs.s * q.qv) AS p
+  FROM q JOIN signs USING (j) GROUP BY q.vec_id, signs.i
+),
+bands AS (
+  SELECT vec_id, CAST(i // {BAND_BITS} AS INT) AS band_idx,
+         string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS band_val
+  FROM proj GROUP BY vec_id, i // {BAND_BITS}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+)
+SELECT c.d1, c.d2,
+       round({_DOT.format(a='e1.embedding', b='e2.embedding')}
+             / ({_NORM.format(a='e1.embedding')} * {_NORM.format(a='e2.embedding')}), 6) AS sim
+FROM cand c
+JOIN embeddings e1 ON e1.vec_id = c.d1
+JOIN embeddings e2 ON e2.vec_id = c.d2
+WHERE round({_DOT.format(a='e1.embedding', b='e2.embedding')}
+            / ({_NORM.format(a='e1.embedding')} * {_NORM.format(a='e2.embedding')}), 6) >= 0.45
+"""
+
 ORACLES = {
     "ann_topk_bruteforce": _TOPK_ORACLE,
     "ann_topk_blocked": _TOPK_ORACLE,
@@ -174,4 +422,5 @@ ORACLES = {
         WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
                     / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}), 6) >= 0.45
     """,
+    "embedding_near_dup_lsh": _LSH_ORACLE,
 }

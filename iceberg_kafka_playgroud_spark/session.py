@@ -72,6 +72,12 @@ def get_spark(
         .config("spark.hadoop.fs.s3a.path.style.access", "true")
         .config("spark.hadoop.fs.s3a.connection.timeout", "300000")
     )
+    # ad-hoc conf overrides for tuning runs: "k=v;k=v" (env wins over
+    # factory defaults, loses to explicit extra_conf)
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for item in filter(None, env_conf.split(";")):
+        k, _, v = item.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

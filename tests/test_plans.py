@@ -6,7 +6,12 @@ At 100 TB these properties are the difference between a working plan
 and a dead cluster.
 """
 
-from iceberg_kafka_playgroud_spark.operators import advanced, dedup, relational
+from iceberg_kafka_playgroud_spark.operators import (
+    advanced,
+    dedup,
+    relational,
+    similarity,
+)
 from iceberg_kafka_playgroud_spark.plans.inspect import physical_plan
 
 
@@ -74,6 +79,40 @@ def test_ngram_jaccard_broadcasts_hot_list(spark, sf_dir):
     # the pruning side: the hot-shingle list must broadcast
     plan = physical_plan(dedup.dedup_ngram_jaccard(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_near_dup_exact_is_blocked_not_allpairs(spark, sf_dir):
+    # the exact threshold join must run as block-pair equi-join +
+    # per-block matmul — never a full-table broadcast nested loop or
+    # cartesian product (the round-1 scale-killer)
+    plan = physical_plan(similarity.embedding_near_dup_pairs(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the block matmul
+
+
+def test_near_dup_lsh_is_bucketed(spark, sf_dir):
+    # candidate generation is an equi-join on (band_idx, band_val);
+    # no all-pairs operator anywhere in the plan
+    plan = physical_plan(similarity.embedding_near_dup_lsh(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "band_idx" in plan and "band_val" in plan
+
+
+def test_near_dup_lsh_full_recall_on_fixture(spark, sf_dir):
+    # LSH recall is probabilistic in general; with the committed
+    # sketch parameters it is 100% on the fixtures — pin that, so a
+    # parameter change that silently loses pairs fails here
+    exact = {
+        (r["d1"], r["d2"])
+        for r in similarity.embedding_near_dup_pairs(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["d1"], r["d2"])
+        for r in similarity.embedding_near_dup_lsh(spark, sf_dir).collect()
+    }
+    assert lsh == exact
 
 
 def test_layout_cache_compacts_single_row_group(tmp_path):

@@ -64,6 +64,42 @@ def test_query_bad_sql_400(client):
     assert "error" in r.get_json()
 
 
+def test_query_non_numeric_limit_400(client):
+    # a bad limit must be a 400 validation error, not an unhandled 500
+    for ep, body in (
+        ("/query", {"query": "SELECT 1 AS x", "limit": "ten"}),
+        ("/table_query", {"table": "region", "limit": "ten"}),
+    ):
+        r = client.post(ep, json=body)
+        assert r.status_code == 400, ep
+        assert "error" in r.get_json()
+
+
+def test_env_substitution_helper(monkeypatch):
+    # T8 (kafka_publisher.py:225-245): ${VAR} replacement through
+    # nested config trees; unset vars stay literal; non-strings pass
+    from iceberg_kafka_playgroud_spark.functions.config import (
+        substitute_env_vars,
+    )
+
+    monkeypatch.setenv("KAFKA_HOST", "broker-1")
+    monkeypatch.setenv("TOPIC", "iceberg-topic")
+    monkeypatch.delenv("MISSING_VAR", raising=False)
+    cfg = {
+        "url": "http://${KAFKA_HOST}:8083",
+        "topics": ["${TOPIC}", "${MISSING_VAR}"],
+        "nested": {"pair": "${KAFKA_HOST}/${TOPIC}", "n": 5, "flag": True},
+    }
+    out = substitute_env_vars(cfg)
+    assert out == {
+        "url": "http://broker-1:8083",
+        "topics": ["iceberg-topic", "${MISSING_VAR}"],
+        "nested": {"pair": "broker-1/iceberg-topic", "n": 5, "flag": True},
+    }
+    # input tree is not mutated
+    assert cfg["url"] == "http://${KAFKA_HOST}:8083"
+
+
 def test_list_and_query_parquet(client, sf_dir):
     r = client.get(f"/list_parquet?path={sf_dir}")
     files = r.get_json()["files"]
