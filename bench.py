@@ -76,8 +76,9 @@ def main() -> None:
             pass
 
     # steady-state timing: best of N runs per query (TPC-style warm
-    # runs; run 1 at target scale still pays AQE/codegen specialization)
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # runs; runs 1-2 at target scale still pay AQE/codegen
+    # specialization and JIT tiering — best-of-3 is the steady state)
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")

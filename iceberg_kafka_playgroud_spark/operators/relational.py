@@ -8,15 +8,28 @@ selection and AQE for free.
 Oracle-parity rules used throughout (so the driver's order-insensitive
 value-hash matches DuckDB bit-for-bit):
 
-- money math goes through DECIMAL (exact, association-order-independent)
-  and is cast to DOUBLE only at the end — see ``functions.scalar``;
-- averages are written ``CAST(sum_dec AS DOUBLE) / CAST(n AS DOUBLE)``
+- money math is integer-cents arithmetic: ``round(x*100)`` → BIGINT,
+  summed as int64 (exact and association-order-independent; Spark keeps
+  the whole aggregate in primitive-long codegen, ~1.5× faster than the
+  DECIMAL path it replaces), cast to DOUBLE only at the end. Products
+  with rate columns keep the constant factors OUT of the sum —
+  ``Σ p(100−d) = 100·Σp − Σ(p·d)`` — so the per-row magnitude is
+  ≤ price_cents·rate_cents ≈ 10⁹ and the int64 sum is exact to ~10¹⁰
+  rows PER GROUP (≈ sf10⁴, far past the bench scales; for groups beyond
+  that, widen the final accumulator to DECIMAL(38) — the formulation
+  this replaced — or two-level the sum as in ``agg_salted_skew``);
+- averages are written ``CAST(sum AS DOUBLE) / CAST(n AS DOUBLE)``
   (one well-defined IEEE division) instead of native AVG-over-double;
 - every computed column is aliased identically in the DataFrame plan and
   the oracle SQL;
 - queries with LIMIT > 0 carry a total ORDER BY (unique tie-break) so the
   selected row set is deterministic;
 - rounding of genuinely-floating outputs happens at ≥6 decimals only.
+- DuckDB sums BIGINT into HUGEINT (int128) — identical integers while
+  Spark's long doesn't overflow, so the final CAST AS DOUBLE agrees.
+  ``round()`` ties can't bite: every money column is 2-decimal, so
+  x·100 is within 1e-9 of an integer, never at .5 (asserted in
+  tests/test_properties.py).
 
 Scale notes are attached per query; the common posture: dimension joins
 (region/nation/customer/supplier/part) broadcast — at 100 TB the fact
@@ -30,18 +43,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.scalar import money
 from ..schema import load_table
 
-RATE = "decimal(4,2)"  # discounts/taxes in [0, 9.99] — exact at cent scale
+
+def _cents(col: str | F.Column) -> F.Column:
+    """Exact integer cents of a 2-decimal money column (int64)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
 
 
-def _rate(col: str) -> F.Column:
-    return F.col(col).cast(RATE)
+def _dbl(c: F.Column) -> F.Column:
+    return c.cast("double")
 
 
-def _one() -> F.Column:
-    return F.lit(1).cast(RATE)
+def _revenue_sum() -> F.Column:
+    """``Σ p·(1−d)`` as exact factored int64 sums, surfaced in dollars:
+    ``(100·Σp − Σ(p·d)) / 10⁴`` — constants stay out of the sums, so the
+    per-row magnitude is price_cents·disc_cents ≤ ~10⁹."""
+    p, d = _cents("l_extendedprice"), _cents("l_discount")
+    return _dbl(F.lit(100) * F.sum(p) - F.sum(p * d)) / F.lit(10000.0)
+
+
+# SQL twins of the helpers above (DuckDB sums BIGINT→HUGEINT; values are
+# identical to Spark's long sums while in range, so the DOUBLE casts agree)
+_C = "CAST(round({c} * 100) AS BIGINT)"
+_CSUM = "CAST(SUM(CAST(round({c} * 100) AS BIGINT)) AS DOUBLE) / 100.0"
+_REV_SQL = (
+    f"CAST(100 * SUM({_C.format(c='l_extendedprice')}) "
+    f"- SUM({_C.format(c='l_extendedprice')} * {_C.format(c='l_discount')}) "
+    "AS DOUBLE) / 10000.0"
+)
 
 
 # --------------------------------------------------------------------------
@@ -130,46 +161,53 @@ def files_glob_listing(spark: SparkSession, sf: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter → hash agg (partial+final) → sort.
     The shuffle carries only 4 grouped rows per partition — optimal at
-    any scale."""
+    any scale. All six money sums are primitive int64 (module
+    docstring): ``(100−d)(100+t)`` is expanded so the sums carry only
+    p, p·d, p·t, p·d·t and the constants multiply the FINISHED sums."""
     l = load_table(spark, sf, "lineitem")
-    price, qty, disc, tax = (
-        money("l_extendedprice"),
-        money("l_quantity"),
-        _rate("l_discount"),
-        _rate("l_tax"),
+    p, q, d, t = (
+        _cents("l_extendedprice"),
+        _cents("l_quantity"),
+        _cents("l_discount"),
+        _cents("l_tax"),
     )
     n = F.count("*")
-    sum_qty = F.sum(qty)
-    sum_price = F.sum(price)
-    sum_disc = F.sum(disc)
+    sp, sq, sd = F.sum(p), F.sum(q), F.sum(d)
+    spd, spt, spdt = F.sum(p * d), F.sum(p * t), F.sum(p * d * t)
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            sum_qty.cast("double").alias("sum_qty"),
-            sum_price.cast("double").alias("sum_base_price"),
-            F.sum(price * (_one() - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (_one() - disc) * (_one() + tax))
-            .cast("double")
-            .alias("sum_charge"),
-            (sum_qty.cast("double") / n.cast("double")).alias("avg_qty"),
-            (sum_price.cast("double") / n.cast("double")).alias("avg_price"),
-            (sum_disc.cast("double") / n.cast("double")).alias("avg_disc"),
+            (_dbl(sq) / F.lit(100.0)).alias("sum_qty"),
+            (_dbl(sp) / F.lit(100.0)).alias("sum_base_price"),
+            (_dbl(F.lit(100) * sp - spd) / F.lit(10000.0)).alias("sum_disc_price"),
+            (
+                _dbl(F.lit(10000) * sp + F.lit(100) * spt - F.lit(100) * spd - spdt)
+                / F.lit(1000000.0)
+            ).alias("sum_charge"),
+            (_dbl(sq) / F.lit(100.0) / _dbl(n)).alias("avg_qty"),
+            (_dbl(sp) / F.lit(100.0) / _dbl(n)).alias("avg_price"),
+            (_dbl(sd) / F.lit(100.0) / _dbl(n)).alias("avg_disc"),
             n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-ORACLE_Q1 = """
+_Q1_P = _C.format(c="l_extendedprice")
+_Q1_Q = _C.format(c="l_quantity")
+_Q1_D = _C.format(c="l_discount")
+_Q1_T = _C.format(c="l_tax")
+
+ORACLE_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+       CAST(SUM({_Q1_Q}) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM({_Q1_P}) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(100 * SUM({_Q1_P}) - SUM({_Q1_P} * {_Q1_D}) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(10000 * SUM({_Q1_P}) + 100 * SUM({_Q1_P} * {_Q1_T}) - 100 * SUM({_Q1_P} * {_Q1_D}) - SUM({_Q1_P} * {_Q1_D} * {_Q1_T}) AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(SUM({_Q1_Q}) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM({_Q1_P}) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       CAST(SUM({_Q1_D}) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -195,7 +233,7 @@ def agg_having(spark: SparkSession, sf: str) -> DataFrame:
     l = load_table(spark, sf, "lineitem")
     return (
         l.groupBy("l_partkey")
-        .agg(F.sum(money("l_quantity")).cast("double").alias("total_qty"))
+        .agg((_dbl(F.sum(_cents("l_quantity"))) / F.lit(100.0)).alias("total_qty"))
         .filter(F.col("total_qty") > 900)
     )
 
@@ -207,7 +245,7 @@ def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
         l.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
-            F.sum(money("l_quantity")).cast("double").alias("qty"),
+            (_dbl(F.sum(_cents("l_quantity"))) / F.lit(100.0)).alias("qty"),
         )
     )
 
@@ -219,7 +257,7 @@ def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.sum(money("o_totalprice")).cast("double").alias("total"),
+            (_dbl(F.sum(_cents("o_totalprice"))) / F.lit(100.0)).alias("total"),
         )
     )
 
@@ -230,7 +268,7 @@ def pivot_linestatus(spark: SparkSession, sf: str) -> DataFrame:
     return (
         l.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(money("l_quantity")).cast("double"))
+        .agg(_dbl(F.sum(_cents("l_quantity"))) / F.lit(100.0))
     )
 
 
@@ -342,7 +380,7 @@ def join_theta_range(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(money("o_totalprice")).cast("double").alias("total"),
+            (_dbl(F.sum(_cents("o_totalprice"))) / F.lit(100.0)).alias("total"),
         )
     )
 
@@ -361,11 +399,7 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.sum(money("l_extendedprice") * (_one() - _rate("l_discount")))
-            .cast("double")
-            .alias("revenue")
-        )
+        .agg(_revenue_sum().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -389,11 +423,7 @@ def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.sum(money("l_extendedprice") * (_one() - _rate("l_discount")))
-            .cast("double")
-            .alias("revenue")
-        )
+        .agg(_revenue_sum().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
@@ -448,7 +478,7 @@ def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.sum(money("value")).over(w).cast("double").alias("running_total"),
+        (_dbl(F.sum(_cents("value")).over(w)) / F.lit(100.0)).alias("running_total"),
     )
 
 
@@ -464,8 +494,9 @@ def window_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
     return e.select(
         "event_id",
         (
-            F.sum(money("value")).over(w).cast("double")
-            / F.count("*").over(w).cast("double")
+            _dbl(F.sum(_cents("value")).over(w))
+            / F.lit(100.0)
+            / _dbl(F.count("*").over(w))
         ).alias("mavg_3"),
     )
 
@@ -594,24 +625,27 @@ def subquery_exists(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_CTE_SQL = """
+WITH cust_totals AS (
+  SELECT o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(t.spend_c) AS DOUBLE) / 100.0 AS segment_spend
+FROM cust_totals t JOIN customer c ON t.o_custkey = c.c_custkey
+WHERE t.n_orders >= 5
+GROUP BY c.c_mktsegment
+"""
+
+
 def cte_query(spark: SparkSession, sf: str) -> DataFrame:
+    """CTE + two-level rollup; the identical SQL string is the oracle
+    (integer-cents spend, so per-customer partials re-sum exactly)."""
     _views(spark, sf, "orders", "customer")
-    return spark.sql(
-        """
-        WITH cust_totals AS (
-          SELECT o_custkey,
-                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend,
-                 COUNT(*) AS n_orders
-          FROM orders GROUP BY o_custkey
-        )
-        SELECT c.c_mktsegment,
-               COUNT(*) AS n_customers,
-               CAST(SUM(CAST(t.spend AS DECIMAL(18,2))) AS DOUBLE) AS segment_spend
-        FROM cust_totals t JOIN customer c ON t.o_custkey = c.c_custkey
-        WHERE t.n_orders >= 5
-        GROUP BY c.c_mktsegment
-        """
-    )
+    return spark.sql(_CTE_SQL)
 
 
 def window_ntile_first_last(spark: SparkSession, sf: str) -> DataFrame:
@@ -664,13 +698,14 @@ def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
         l.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-            & _rate("l_discount").between(0.05, 0.07)
+            & _cents("l_discount").between(5, 7)
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(money("l_extendedprice") * _rate("l_discount"))
-            .cast("double")
-            .alias("revenue"),
+            (
+                _dbl(F.sum(_cents("l_extendedprice") * _cents("l_discount")))
+                / F.lit(10000.0)
+            ).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -692,11 +727,7 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            F.sum(money("l_extendedprice") * (_one() - _rate("l_discount")))
-            .cast("double")
-            .alias("revenue")
-        )
+        .agg(_revenue_sum().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -710,18 +741,19 @@ def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
-    disc_price = money("l_extendedprice") * (_one() - _rate("l_discount"))
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
-            F.lit(0).cast("decimal(14,4)")
-        )
-    ).cast("double")
-    total = F.sum(disc_price).cast("double")
+    pc, dc = _cents("l_extendedprice"), _cents("l_discount")
+    is_promo = F.col("p_type") == "PROMO"
+    promo_i = F.lit(100) * F.sum(F.when(is_promo, pc).otherwise(F.lit(0))) - F.sum(
+        F.when(is_promo, pc * dc).otherwise(F.lit(0))
+    )
+    total_i = F.lit(100) * F.sum(pc) - F.sum(pc * dc)
+    promo_rev = _dbl(promo_i) / F.lit(10000.0)
+    total_rev = _dbl(total_i) / F.lit(10000.0)
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            (F.lit(100.0) * promo / total).alias("promo_revenue_pct"),
-            total.alias("total_revenue"),
+            (F.lit(100.0) * promo_rev / total_rev).alias("promo_revenue_pct"),
+            total_rev.alias("total_revenue"),
         )
     )
 
@@ -736,8 +768,8 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer")
     qty = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(money("l_quantity")).alias("sum_qty_dec"))
-        .filter(F.col("sum_qty_dec") > 300)
+        .agg(F.sum(_cents("l_quantity")).alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > 30000)
     )
     return (
         o.join(F.broadcast(qty), o.o_orderkey == qty.l_orderkey)
@@ -748,7 +780,7 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             "o_totalprice",
-            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+            (_dbl(F.col("sum_qty_c")) / F.lit(100.0)).alias("sum_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
@@ -783,9 +815,7 @@ def q19_disjunctive_pred(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return j.filter(cond).agg(
-        F.sum(money("l_extendedprice") * (_one() - _rate("l_discount")))
-        .cast("double")
-        .alias("revenue"),
+        _revenue_sum().alias("revenue"),
         F.count("*").alias("n_lines"),
     )
 
@@ -841,12 +871,8 @@ QUERIES = {
     "cte_query": cte_query,
 }
 
+# kept for queries that still cast single VALUES through decimal
 _MONEY_SUM = "CAST(SUM(CAST({c} AS DECIMAL(12,2))) AS DOUBLE)"
-
-_DISC_PRICE = (
-    "CAST(l_extendedprice AS DECIMAL(12,2)) "
-    "* (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
-)
 
 ORACLES = {
     "window_ntile_first_last": (
@@ -872,18 +898,18 @@ ORACLES = {
         "3 AS n_entries FROM events"
     ),
     "q6_forecast_revenue": (
-        "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
-        "* CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue, "
+        f"SELECT CAST(SUM({_C.format(c='l_extendedprice')} "
+        f"* {_C.format(c='l_discount')}) AS DOUBLE) / 10000.0 AS revenue, "
         "COUNT(*) AS n_lines "
         "FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
-        "AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07 "
+        f"AND {_C.format(c='l_discount')} BETWEEN 5 AND 7 "
         "AND l_quantity < 24"
     ),
     "q10_returned_items": (
         "SELECT c_custkey, c_name, c_acctbal, n_name, "
-        f"CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue "
+        f"{_REV_SQL} AS revenue "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "
@@ -894,27 +920,30 @@ ORACLES = {
         "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
     ),
     "q14_promo_revenue": (
-        "SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' "
-        f"THEN {_DISC_PRICE} ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE) "
-        f"/ CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS promo_revenue_pct, "
-        f"CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS total_revenue "
+        "SELECT 100.0 * (CAST(100 * SUM(CASE WHEN p_type = 'PROMO' "
+        f"THEN {_C.format(c='l_extendedprice')} ELSE 0 END) "
+        "- SUM(CASE WHEN p_type = 'PROMO' "
+        f"THEN {_C.format(c='l_extendedprice')} * {_C.format(c='l_discount')} "
+        "ELSE 0 END) AS DOUBLE) / 10000.0) "
+        f"/ ({_REV_SQL}) AS promo_revenue_pct, "
+        f"{_REV_SQL} AS total_revenue "
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'"
     ),
     "q18_large_orders": (
         "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
-        "CAST(q.sum_qty_dec AS DOUBLE) AS sum_qty "
+        "CAST(q.sum_qty_c AS DOUBLE) / 100.0 AS sum_qty "
         "FROM orders "
-        "JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_dec "
+        f"JOIN (SELECT l_orderkey, SUM({_C.format(c='l_quantity')}) AS sum_qty_c "
         "      FROM lineitem GROUP BY l_orderkey "
-        "      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300) q "
+        f"      HAVING SUM({_C.format(c='l_quantity')}) > 30000) q "
         "ON o_orderkey = q.l_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
     ),
     "q19_disjunctive_pred": (
-        f"SELECT CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue, "
+        f"SELECT {_REV_SQL} AS revenue, "
         "COUNT(*) AS n_lines "
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
@@ -956,24 +985,24 @@ ORACLES = {
         "COUNT(*) AS n_orders FROM orders GROUP BY o_orderstatus"
     ),
     "agg_having": (
-        f"SELECT l_partkey, {_MONEY_SUM.format(c='l_quantity')} AS total_qty "
+        f"SELECT l_partkey, {_CSUM.format(c='l_quantity')} AS total_qty "
         "FROM lineitem GROUP BY l_partkey "
-        f"HAVING {_MONEY_SUM.format(c='l_quantity')} > 900"
+        f"HAVING {_CSUM.format(c='l_quantity')} > 900"
     ),
     "agg_rollup": (
         "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
-        f"{_MONEY_SUM.format(c='l_quantity')} AS qty "
+        f"{_CSUM.format(c='l_quantity')} AS qty "
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
     ),
     "agg_cube": (
         "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
-        f"{_MONEY_SUM.format(c='o_totalprice')} AS total "
+        f"{_CSUM.format(c='o_totalprice')} AS total "
         "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
     ),
     "pivot_linestatus": (
         "SELECT l_returnflag, "
-        "CAST(SUM(CASE WHEN l_linestatus='O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS \"O\", "
-        "CAST(SUM(CASE WHEN l_linestatus='F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS \"F\" "
+        f"CAST(SUM(CASE WHEN l_linestatus='O' THEN {_C.format(c='l_quantity')} END) AS DOUBLE) / 100.0 AS \"O\", "
+        f"CAST(SUM(CASE WHEN l_linestatus='F' THEN {_C.format(c='l_quantity')} END) AS DOUBLE) / 100.0 AS \"F\" "
         "FROM lineitem GROUP BY l_returnflag"
     ),
     "join_inner_dim": (
@@ -1012,13 +1041,13 @@ ORACLES = {
         "WITH bands(lo, hi, band) AS (VALUES (0.0, 100000.0, 'S'), "
         "(100000.0, 250000.0, 'M'), (250000.0, 600000.0, 'L')) "
         "SELECT band, COUNT(*) AS n_orders, "
-        f"{_MONEY_SUM.format(c='o_totalprice')} AS total "
+        f"{_CSUM.format(c='o_totalprice')} AS total "
         "FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi "
         "GROUP BY band"
     ),
     "q3_shipping_priority": (
         "SELECT l_orderkey, o_orderdate, o_orderpriority, "
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue "
+        f"{_REV_SQL} AS revenue "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "WHERE c_mktsegment = 'BUILDING' "
@@ -1029,7 +1058,7 @@ ORACLES = {
     ),
     "q5_region_revenue": (
         "SELECT n_name, "
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue "
+        f"{_REV_SQL} AS revenue "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN supplier ON l_suppkey = s_suppkey "
         "JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey "
@@ -1055,13 +1084,13 @@ ORACLES = {
     ),
     "window_running_sum": (
         "SELECT event_id, user_id, "
-        "CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_total "
+        f"CAST(SUM({_C.format(c='value')}) OVER w AS DOUBLE) / 100.0 AS running_total "
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     ),
     "window_moving_avg": (
         "SELECT event_id, "
-        "CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS mavg_3 "
+        f"CAST(SUM({_C.format(c='value')}) OVER w AS DOUBLE) / 100.0 / CAST(COUNT(*) OVER w AS DOUBLE) AS mavg_3 "
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
     ),
@@ -1105,13 +1134,5 @@ ORACLES = {
         "SELECT o_orderkey FROM orders o WHERE EXISTS ("
         "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)"
     ),
-    "cte_query": (
-        "WITH cust_totals AS ("
-        "SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend, "
-        "COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) "
-        "SELECT c.c_mktsegment, COUNT(*) AS n_customers, "
-        "CAST(SUM(CAST(t.spend AS DECIMAL(18,2))) AS DOUBLE) AS segment_spend "
-        "FROM cust_totals t JOIN customer c ON t.o_custkey = c.c_custkey "
-        "WHERE t.n_orders >= 5 GROUP BY c.c_mktsegment"
-    ),
+    "cte_query": _CTE_SQL,
 }

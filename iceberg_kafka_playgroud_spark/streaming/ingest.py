@@ -30,11 +30,37 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MAX_RECORDS_PER_FILE = 1000  # reference flush.size, s3-connector-config.json:18
+
+# Stateful streaming ops instantiate one state store per shuffle
+# partition at query start; the replayed fixture streams have ~10²-10³
+# keys, so 32 stores are pure setup overhead (~0.4 s/query measured).
+# Production sizing: state partitions ≈ executor cores, set per query.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+def _ckpt_dir(prefix: str) -> str:
+    """Checkpoint dirs on tmpfs when available — offset/commit logs are
+    tiny and rewritten per micro-batch, so page-cache-backed is right."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+@contextmanager
+def _stream_partitions(spark: SparkSession):
+    """Scope streaming-query state partitioning: a streaming query
+    pins its shuffle-partition count from the session conf at start."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -104,6 +130,16 @@ def dual_sink_batch_writer(lake_dir: str, raw_dir: str):
             )
             (
                 with_time_partitions(batch_df)
+                # hash the hour-dirs across ALL cores: each writer task
+                # opens its parquet writers serially (~10 ms each), so
+                # a replay batch spanning 720 hour-dirs needs the dirs
+                # spread wide, while each dir's rows still land in one
+                # task (one file per dir, no tasks×dirs blowup). A live
+                # 5 s micro-batch touches 1-2 dirs and is unaffected.
+                .repartition(
+                    batch_df.sparkSession.sparkContext.defaultParallelism,
+                    "year", "month", "day", "hour",
+                )
                 .write.mode("append")
                 .option("maxRecordsPerFile", MAX_RECORDS_PER_FILE)
                 .partitionBy("year", "month", "day", "hour")
@@ -120,29 +156,32 @@ def run_dual_sink_ingest(
 ) -> None:
     """Drive the full ingest synchronously (availableNow trigger)."""
     stream = events_file_stream(spark, sf_dir)
-    q = (
-        stream.writeStream.foreachBatch(dual_sink_batch_writer(lake_dir, raw_dir))
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ingest_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(dual_sink_batch_writer(lake_dir, raw_dir))
+            .option("checkpointLocation", _ckpt_dir("ingest_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     """Run a streaming frame to completion into a memory sink and
     return the sink contents as a batch DataFrame."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="mem_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    with _stream_partitions(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", _ckpt_dir("mem_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
 
 
 # --- queries() entries (streaming semantics with batch-equivalent oracles) --
