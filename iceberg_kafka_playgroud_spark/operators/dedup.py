@@ -230,13 +230,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """32-bit SimHash per document + Hamming-0 bucket sizes.
+def simhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """32-bit SimHash per document: (doc_id, simhash bit-string).
 
     Bit b of the signature = sign of Σ_words (±1), where the ±1 is the
     high bit of the b-th hex nibble of md5(word) — engine-portable and
-    exactly SQL-expressible. Output: doc_id, signature, and how many
-    docs share it (exact-signature near-dup group size).
+    exactly SQL-expressible.
     """
     d = load_table(spark, sf, "documents")
     words = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
@@ -263,7 +262,13 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     bits = F.concat(
         *[F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(32)]
     )
-    sigs = sig.select("doc_id", bits.alias("simhash"))
+    return sig.select("doc_id", bits.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash Hamming-0 bucket sizes: doc_id, signature, and how many
+    docs share it exactly (near-dup group size)."""
+    sigs = simhash_signatures(spark, sf)
     # bucket size via window — one shuffle on simhash instead of a
     # groupBy + join pair
     from pyspark.sql import Window as W
@@ -275,11 +280,61 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+K_HAMMING = 3
+SIMHASH_BANDS = K_HAMMING + 1  # pigeonhole: d(x,y) ≤ k ⇒ ≥1 band equal
+
+
+def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ 3 via banded SimHash.
+
+    Splitting the 32-bit signature into k+1 = 4 bands of 8 bits makes
+    candidate generation a band-bucket equi-join with FULL recall
+    (pigeonhole: ≤3 differing bits can't touch all 4 bands), fixing
+    the Hamming-0-only blind spot of ``dedup_simhash``. Shuffles are
+    keyed by (band_idx, band_val) — uniform md5-derived buckets, never
+    the O(n²) cross product — so the shape survives a 100 TB corpus;
+    verification XOR-popcounts candidate pairs only.
+    """
+    sigs = simhash_signatures(spark, sf)
+    bw = 32 // SIMHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[F.substring("simhash", bw * b + 1, bw) for b in range(SIMHASH_BANDS)]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"),
+        "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"),
+        "band_idx", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "s1", "s2")
+        .distinct()
+    )
+    ham = F.expr(
+        "bit_count(cast(conv(s1, 2, 10) as bigint) ^ cast(conv(s2, 2, 10) as bigint))"
+    ).cast("long")
+    return (
+        cand.select("d1", "d2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= K_HAMMING)
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_hamming": dedup_simhash_hamming,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -293,6 +348,24 @@ sh AS (
            generate_series(1, greatest(len(toks)-2, 0)),
            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
   FROM toksrc
+)
+"""
+
+_SIMHASH_SIGS_CTE = f"""
+words AS (
+  SELECT doc_id, md5(unnest({_TOKS})) AS hw FROM documents
+),
+sums AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN substring(hw, b+1, 1) IN ('8','9','a','b','c','d','e','f')
+                  THEN 1 ELSE -1 END) AS s
+  FROM words, (SELECT unnest(generate_series(0,31)) AS b) bits
+  GROUP BY doc_id, b
+),
+sigs AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+  FROM sums GROUP BY doc_id
 )
 """
 
@@ -359,23 +432,32 @@ ORACLES = {
         WHERE round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6) >= 0.5
     """,
     "dedup_simhash": f"""
-        WITH words AS (
-          SELECT doc_id, md5(unnest({_TOKS})) AS hw FROM documents
-        ),
-        sums AS (
-          SELECT doc_id, b,
-                 SUM(CASE WHEN substring(hw, b+1, 1) IN ('8','9','a','b','c','d','e','f')
-                          THEN 1 ELSE -1 END) AS s
-          FROM words, (SELECT unnest(generate_series(0,31)) AS b) bits
-          GROUP BY doc_id, b
-        ),
-        sigs AS (
-          SELECT doc_id,
-                 string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
-          FROM sums GROUP BY doc_id
-        )
+        WITH {_SIMHASH_SIGS_CTE}
         SELECT doc_id, simhash,
                COUNT(*) OVER (PARTITION BY simhash) AS n_in_bucket
         FROM sigs
+    """,
+    "dedup_simhash_hamming": f"""
+        WITH {_SIMHASH_SIGS_CTE},
+        bands AS (
+          SELECT doc_id, simhash, unnest([0,1,2,3]) AS band_idx,
+                 unnest([substring(simhash, 1, 8), substring(simhash, 9, 8),
+                         substring(simhash, 17, 8), substring(simhash, 25, 8)]) AS band_val
+          FROM sigs
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                 a.simhash AS s1, b.simhash AS s2
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+        )
+        SELECT d1, d2, hamming FROM (
+          SELECT d1, d2,
+                 CAST(len(list_filter(generate_series(1, 32),
+                      i -> substring(s1, i, 1) != substring(s2, i, 1))) AS BIGINT)
+                   AS hamming
+          FROM cand
+        ) WHERE hamming <= 3
     """,
 }

@@ -115,6 +115,36 @@ def test_near_dup_lsh_full_recall_on_fixture(spark, sf_dir):
     assert lsh == exact
 
 
+def test_simhash_hamming_is_banded_not_allpairs(spark, sf_dir):
+    # banded candidate generation is an equi-join on (band_idx,
+    # band_val); the verify step XOR-popcounts candidates only
+    plan = physical_plan(dedup.dedup_simhash_hamming(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "band_idx" in plan and "band_val" in plan
+
+
+def test_simhash_hamming_full_recall_vs_bruteforce(spark, sf_dir):
+    # pigeonhole guarantee: 4 bands of 8 bits catch EVERY pair at
+    # Hamming distance <= 3 — verify against the brute-force answer
+    sigs = {
+        r["doc_id"]: int(r["simhash"], 2)
+        for r in dedup.simhash_signatures(spark, sf_dir).collect()
+    }
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (sigs[a] ^ sigs[b]).bit_count() <= dedup.K_HAMMING
+    }
+    banded = {
+        (r["d1"], r["d2"])
+        for r in dedup.dedup_simhash_hamming(spark, sf_dir).collect()
+    }
+    assert banded == brute
+
+
 def test_layout_cache_compacts_single_row_group(tmp_path):
     # single-row-group fixtures must be rewritten into a splittable
     # layout (byte-identical data, many files) so scans parallelize
