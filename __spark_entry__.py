@@ -28,7 +28,7 @@ from iceberg_kafka_playgroud_spark.operators import (  # noqa: E402
     similarity,
     text,
 )
-from iceberg_kafka_playgroud_spark import catalog  # noqa: E402
+from iceberg_kafka_playgroud_spark import catalog, snapshots  # noqa: E402
 from iceberg_kafka_playgroud_spark.sources import kafka_avro  # noqa: E402
 from iceberg_kafka_playgroud_spark.streaming import ingest  # noqa: E402
 
@@ -43,6 +43,7 @@ _MODULES = [
     ingest,
     kafka_avro,
     catalog,
+    snapshots,
 ]
 
 
@@ -74,6 +75,8 @@ _PRIORITY = [
     "stream_sessionize", "stream_dual_sink", "stream_stateful_user_totals",
     "confluent_roundtrip", "catalog_table_columns",
     "catalog_write_read_roundtrip",
+    # round-2 additions — driver-unchecked until they earn a row
+    "dedup_simhash_hamming", "snapshot_time_travel", "snapshot_files",
 ]
 
 

@@ -1,0 +1,310 @@
+"""Snapshot log, time travel, and compaction (SURVEY §2.4/§2.8).
+
+The reference's center of gravity is a real Iceberg table: format-v2
+snapshot commits every 5 s (connector-config.json:24-27), snapshot and
+file metadata inspection (pyiceberg_rest_server.py:129-171,
+init-scripts/init-iceberg-catalog.sql:10-38). The iceberg-spark-runtime
+jar is not in this container, so the same CAPABILITIES are provided by
+a minimal manifest-per-commit layer over parquet, following the public
+Iceberg spec's shape:
+
+- a **snapshot** is an immutable JSON manifest under ``_snapshots/``
+  listing every live data file (with per-file record counts, the
+  file-level stats Iceberg keeps in manifests);
+- an **append** writes new data files and a manifest = parent's files
+  + the new ones — old snapshots stay readable (time travel);
+- **compaction** (``rewrite_data_files`` analog) rewrites the current
+  file set into fewer files and commits an operation="replace"
+  manifest — bytes change, logical content doesn't;
+- ``snapshots_df`` / ``files_df`` are the ``tbl.snapshots`` /
+  ``tbl.files`` metadata tables.
+
+With the Iceberg jar on the classpath, use the native path instead
+(``USING iceberg``, ``VERSION AS OF``, ``CALL rewrite_data_files``) —
+``streaming.ingest.iceberg_available`` is the gate. This module is the
+jar-absent analog, not a replacement for the real runtime.
+
+100 TB posture: commits are metadata-only over the written files (the
+per-bucket counts come from a map-side groupBy, no re-read); a time-
+travel read opens exactly the manifest's file list, so planning cost is
+O(live files) and data files are never copied. Compaction is the only
+data-moving operation and is a straight repartition-rewrite.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DATA_DIR = "data"
+SNAP_DIR = "_snapshots"
+BUCKET_COL = "bucket"
+
+
+def _snap_path(table_dir: str, sid: int) -> str:
+    return os.path.join(table_dir, SNAP_DIR, f"v{sid}.json")
+
+
+def current_snapshot_id(table_dir: str) -> int:
+    d = os.path.join(table_dir, SNAP_DIR)
+    if not os.path.isdir(d):
+        return 0
+    ids = [
+        int(f[1:-5])
+        for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(ids, default=0)
+
+
+def load_manifest(table_dir: str, sid: int) -> dict:
+    with open(_snap_path(table_dir, sid)) as fh:
+        return json.load(fh)
+
+
+def _write_manifest(table_dir: str, manifest: dict) -> None:
+    os.makedirs(os.path.join(table_dir, SNAP_DIR), exist_ok=True)
+    with open(_snap_path(table_dir, manifest["snapshot_id"]), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+
+
+def _write_bucketed(df: DataFrame, out_dir: str) -> list[dict]:
+    """Write df partitioned by BUCKET_COL (one file per bucket) and
+    return file entries [{path, bucket, record_count}] with counts
+    taken from the dataframe itself — no post-write re-read."""
+    counts = {
+        r[BUCKET_COL]: r["cnt"]
+        for r in df.groupBy(BUCKET_COL).agg(F.count("*").alias("cnt")).collect()
+    }
+    # one task → exactly one file per bucket value
+    df.repartition(1).write.partitionBy(BUCKET_COL).parquet(out_dir)
+    entries = []
+    for f in sorted(_glob.glob(f"{out_dir}/{BUCKET_COL}=*/part-*.parquet")):
+        bucket = int(f.split(f"{BUCKET_COL}=")[1].split("/")[0])
+        entries.append(
+            {
+                "path": os.path.relpath(f, os.path.dirname(out_dir)),
+                "bucket": bucket,
+                "record_count": counts[bucket],
+            }
+        )
+    return entries
+
+
+def commit_append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
+    """Append commit: write df's buckets as new data files, manifest =
+    parent files + new files."""
+    parent = current_snapshot_id(table_dir)
+    sid = parent + 1
+    out = os.path.join(table_dir, DATA_DIR, f"s{sid}")
+    new_files = _write_bucketed(df, out)
+    prev = load_manifest(table_dir, parent)["files"] if parent else []
+    _write_manifest(
+        table_dir,
+        {
+            "snapshot_id": sid,
+            "parent_id": parent or None,
+            "operation": "append",
+            "files": prev + new_files,
+            "added_files": len(new_files),
+            "total_records": sum(f["record_count"] for f in prev + new_files),
+        },
+    )
+    return sid
+
+
+def rewrite_data_files(spark: SparkSession, table_dir: str) -> int:
+    """Compaction commit (Iceberg ``rewrite_data_files`` analog):
+    rewrite the current snapshot into one file per bucket; manifest
+    lists ONLY the new files with operation="replace"."""
+    parent = current_snapshot_id(table_dir)
+    sid = parent + 1
+    cur = read_snapshot(spark, table_dir, parent, keep_bucket=True)
+    out = os.path.join(table_dir, DATA_DIR, f"s{sid}")
+    new_files = _write_bucketed(cur, out)
+    _write_manifest(
+        table_dir,
+        {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "operation": "replace",
+            "files": new_files,
+            "added_files": len(new_files),
+            "total_records": sum(f["record_count"] for f in new_files),
+        },
+    )
+    return sid
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    keep_bucket: bool = False,
+) -> DataFrame:
+    """Time-travel read: the file list of the requested (default:
+    current) snapshot, nothing else."""
+    sid = snapshot_id or current_snapshot_id(table_dir)
+    m = load_manifest(table_dir, sid)
+    paths = [os.path.join(table_dir, DATA_DIR, f["path"]) for f in m["files"]]
+    df = spark.read.parquet(*paths)
+    if keep_bucket:
+        # bucket= dirs aren't hive-discovered under per-file paths;
+        # recover the bucket from each row's input file
+        df = df.withColumn(
+            BUCKET_COL,
+            F.regexp_extract(F.input_file_name(), f"{BUCKET_COL}=(\\d+)", 1).cast(
+                "long"
+            ),
+        )
+    return df
+
+
+def snapshots_df(spark: SparkSession, table_dir: str) -> DataFrame:
+    """``tbl.snapshots`` metadata table."""
+    rows = [
+        (
+            m["snapshot_id"],
+            m["parent_id"],
+            m["operation"],
+            len(m["files"]),
+            m["total_records"],
+        )
+        for m in (
+            load_manifest(table_dir, s)
+            for s in range(1, current_snapshot_id(table_dir) + 1)
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, parent_id long, operation string, "
+        "n_files long, total_records long",
+    )
+
+
+def files_df(spark: SparkSession, table_dir: str) -> DataFrame:
+    """``tbl.files`` metadata table for the current snapshot."""
+    m = load_manifest(table_dir, current_snapshot_id(table_dir))
+    rows = [(f["path"], f["bucket"], f["record_count"]) for f in m["files"]]
+    return spark.createDataFrame(
+        rows, "file_path string, bucket long, record_count long"
+    )
+
+
+# --- queries() entries ------------------------------------------------------
+
+N_PER_APPEND = 400
+N_APPENDS = 3
+N_BUCKETS = 4
+
+
+def _fabric_slice(spark: SparkSession, lo: int, hi: int) -> DataFrame:
+    """Rows [lo, hi) of the deterministic purchase fabric, with the
+    write bucket idx % N_BUCKETS."""
+    from .sources.rate_fabric import purchase_events_batch
+
+    base = 1740787200000
+    fab = purchase_events_batch(spark, hi).select("timestamp", "user_id", "amount")
+    idx = ((F.col("timestamp") - base) / 5000).cast("long")
+    return fab.filter((idx >= lo) & (idx < hi)).withColumn(
+        BUCKET_COL, idx % N_BUCKETS
+    )
+
+
+def _build_demo_table(spark: SparkSession) -> str:
+    table_dir = tempfile.mkdtemp(prefix="snap_tbl_")
+    for k in range(N_APPENDS):
+        commit_append(
+            spark, table_dir, _fabric_slice(spark, k * N_PER_APPEND, (k + 1) * N_PER_APPEND)
+        )
+    rewrite_data_files(spark, table_dir)
+    return table_dir
+
+
+def snapshot_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Three append commits + one compaction over the deterministic
+    fabric, then each snapshot's metadata joined with an as-of read:
+    the historical row counts and exact amount sums must still be
+    reachable after later commits (the Iceberg time-travel contract)."""
+    table_dir = _build_demo_table(spark)
+    asof = None
+    for sid in range(1, current_snapshot_id(table_dir) + 1):
+        part = (
+            read_snapshot(spark, table_dir, sid)
+            .agg(
+                F.count("*").alias("asof_rows"),
+                (
+                    F.sum(F.round(F.col("amount") * 100).cast("long")).cast("double")
+                    / F.lit(100.0)
+                ).alias("asof_amount_sum"),
+            )
+            .select(F.lit(sid).cast("long").alias("snapshot_id"), "asof_rows", "asof_amount_sum")
+        )
+        asof = part if asof is None else asof.unionAll(part)
+    return (
+        snapshots_df(spark, table_dir)
+        .join(asof, "snapshot_id")
+        .select(
+            "snapshot_id",
+            "operation",
+            "n_files",
+            "total_records",
+            "asof_rows",
+            "asof_amount_sum",
+        )
+    )
+
+
+def snapshot_files(spark: SparkSession, sf: str) -> DataFrame:
+    """``tbl.files`` over the demo table's final (compacted) snapshot:
+    per-bucket record counts survive the rewrite byte-for-byte."""
+    table_dir = _build_demo_table(spark)
+    return files_df(spark, table_dir).select("bucket", "record_count")
+
+
+QUERIES = {
+    "snapshot_time_travel": snapshot_time_travel,
+    "snapshot_files": snapshot_files,
+}
+
+# fabric invariants (sources/rate_fabric.py): row id's timestamp is
+# 1740787200000 + id*5000 ms; amount = (ts_ms//10 % 1000)/100 dollars —
+# integer cents, so SUM(cents)/100.0 is the exact double.
+_FAB = """
+fab AS (
+  SELECT id, (1740787200000 + id * 5000) // 10 % 1000 AS cents,
+         id % 4 AS bucket
+  FROM (SELECT unnest(generate_series(0, 1199)) AS id)
+)
+"""
+
+ORACLES = {
+    "snapshot_time_travel": f"""
+        WITH {_FAB},
+        snaps AS (
+          SELECT * FROM (VALUES
+            (1, 'append',  4,  400), (2, 'append', 8, 800),
+            (3, 'append', 12, 1200), (4, 'replace', 4, 1200)
+          ) AS t(snapshot_id, operation, n_files, total_records)
+        )
+        SELECT CAST(s.snapshot_id AS BIGINT) AS snapshot_id,
+               s.operation,
+               CAST(s.n_files AS BIGINT) AS n_files,
+               CAST(s.total_records AS BIGINT) AS total_records,
+               (SELECT COUNT(*) FROM fab WHERE id < s.total_records) AS asof_rows,
+               (SELECT CAST(SUM(cents) AS DOUBLE) / 100.0
+                FROM fab WHERE id < s.total_records) AS asof_amount_sum
+        FROM snaps s
+    """,
+    "snapshot_files": f"""
+        WITH {_FAB}
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               COUNT(*) AS record_count
+        FROM fab GROUP BY bucket
+    """,
+}

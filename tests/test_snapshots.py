@@ -1,0 +1,37 @@
+"""Snapshot log / time travel / compaction invariants."""
+
+from iceberg_kafka_playgroud_spark import snapshots as S
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.select("timestamp", "user_id", "amount").collect()
+    )
+
+
+def test_append_commits_preserve_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    a = S._fabric_slice(spark, 0, 100)
+    b = S._fabric_slice(spark, 100, 250)
+    S.commit_append(spark, t, a)
+    S.commit_append(spark, t, b)
+    # snapshot 1 still reads exactly the first append after snapshot 2
+    assert _rows(S.read_snapshot(spark, t, 1)) == _rows(a)
+    assert _rows(S.read_snapshot(spark, t, 2)) == _rows(a.unionAll(b))
+    meta = {r["snapshot_id"]: r for r in S.snapshots_df(spark, t).collect()}
+    assert meta[2]["parent_id"] == 1 and meta[1]["parent_id"] is None
+    assert meta[2]["total_records"] == 250
+
+
+def test_compaction_rewrites_files_not_content(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.commit_append(spark, t, S._fabric_slice(spark, 0, 100))
+    S.commit_append(spark, t, S._fabric_slice(spark, 100, 200))
+    before = _rows(S.read_snapshot(spark, t))
+    n_files_before = S.files_df(spark, t).count()
+    sid = S.rewrite_data_files(spark, t)
+    after = _rows(S.read_snapshot(spark, t, sid))
+    assert after == before  # logical content identical
+    assert S.files_df(spark, t).count() == S.N_BUCKETS < n_files_before
+    op = {r["snapshot_id"]: r["operation"] for r in S.snapshots_df(spark, t).collect()}
+    assert op[sid] == "replace"
