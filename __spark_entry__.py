@@ -77,6 +77,7 @@ _PRIORITY = [
     "catalog_write_read_roundtrip",
     # round-2 additions — driver-unchecked until they earn a row
     "dedup_simhash_hamming", "snapshot_time_travel", "snapshot_files",
+    "schema_evolution_roundtrip",
 ]
 
 

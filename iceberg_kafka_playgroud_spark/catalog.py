@@ -151,9 +151,66 @@ def catalog_write_read_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def schema_evolution_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution on the write path (connector-config.json:5,23):
+    v1 rows land first; the widened v2 PurchaseEvent (new NULLABLE
+    ``discount_pct``) must pass the BACKWARD checker BEFORE it is
+    appended; mergeSchema then reads old+new rows together — exactly
+    the reference sink's auto-evolve flow, minus the Iceberg jar.
+
+    At scale this is metadata-only: parquet footers carry each file's
+    schema, mergeSchema unions them at planning time, and old files are
+    never rewritten (reads project the missing column as null).
+    """
+    from .functions.schema_compat import SchemaRegistry
+
+    out = tempfile.mkdtemp(prefix="evolve_tbl_")
+    base = 1_740_787_200_000
+    fab = purchase_events_batch(spark, 800).select(
+        "timestamp", "user_id", "action", "amount"
+    )
+    idx = ((F.col("timestamp") - base) / 5000).cast("long")
+    v1 = fab.filter(idx < 500)
+    v2 = fab.filter(idx >= 500).withColumn(
+        "discount_pct", (idx % 50).cast("double") / 100.0
+    )
+
+    reg = SchemaRegistry()
+    reg.register("purchase_events-value", v1.schema)
+    issues = reg.test_compatibility("purchase_events-value", v2.schema)
+    if issues:  # the reference rejects the produce; so do we
+        raise ValueError(f"schema evolution rejected: {issues}")
+    reg.register("purchase_events-value", v2.schema)
+
+    v1.write.mode("append").parquet(out)
+    v2.write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    ver = F.when(F.col("discount_pct").isNull(), 1).otherwise(2).cast("long")
+    return (
+        merged.groupBy(ver.alias("schema_version"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("discount_pct").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing_discount"),
+            (F.sum(cents(F.col("amount"))).cast("double") / F.lit(100.0)).alias(
+                "amount_sum"
+            ),
+            (
+                F.sum(F.coalesce(cents(F.col("discount_pct")), F.lit(0)))
+                .cast("double")
+                / F.lit(100.0)
+            ).alias("discount_sum"),
+        )
+    )
+
+
 QUERIES = {
     "catalog_table_columns": catalog_table_columns,
     "catalog_write_read_roundtrip": catalog_write_read_roundtrip,
+    "schema_evolution_roundtrip": schema_evolution_roundtrip,
 }
 
 ORACLES = {
@@ -184,5 +241,23 @@ ORACLES = {
                MAX(ts_ms) AS last_ts,
                round(CAST(SUM(CAST(amount AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_amount
         FROM fab
+    """,
+    # v1 = fabric rows 0-499 (no discount column), v2 = rows 500-799
+    # with discount cents id % 50; amount cents = ts_ms//10 % 1000
+    "schema_evolution_roundtrip": """
+        WITH fab AS (
+          SELECT id, (1740787200000 + id * 5000) // 10 % 1000 AS ac
+          FROM (SELECT unnest(generate_series(0, 799)) AS id)
+        )
+        SELECT CAST(1 AS BIGINT) AS schema_version, COUNT(*) AS n,
+               COUNT(*) AS n_missing_discount,
+               CAST(SUM(ac) AS DOUBLE) / 100.0 AS amount_sum,
+               CAST(0 AS DOUBLE) AS discount_sum
+        FROM fab WHERE id < 500
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), COUNT(*), CAST(0 AS BIGINT),
+               CAST(SUM(ac) AS DOUBLE) / 100.0,
+               CAST(SUM(id % 50) AS DOUBLE) / 100.0
+        FROM fab WHERE id >= 500
     """,
 }
