@@ -77,7 +77,8 @@ _PRIORITY = [
     "catalog_write_read_roundtrip",
     # round-2 additions — driver-unchecked until they earn a row
     "dedup_simhash_hamming", "snapshot_time_travel", "snapshot_files",
-    "schema_evolution_roundtrip",
+    "schema_evolution_roundtrip", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q13_customer_distribution", "q22_idle_customers",
 ]
 
 

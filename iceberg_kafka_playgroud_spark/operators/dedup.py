@@ -290,10 +290,16 @@ def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
     Splitting the 32-bit signature into k+1 = 4 bands of 8 bits makes
     candidate generation a band-bucket equi-join with FULL recall
     (pigeonhole: ≤3 differing bits can't touch all 4 bands), fixing
-    the Hamming-0-only blind spot of ``dedup_simhash``. Shuffles are
-    keyed by (band_idx, band_val) — uniform md5-derived buckets, never
-    the O(n²) cross product — so the shape survives a 100 TB corpus;
-    verification XOR-popcounts candidate pairs only.
+    the Hamming-0-only blind spot of ``dedup_simhash``. Verification
+    XOR-popcounts candidate pairs only — never the O(n²) cross
+    product.
+
+    Scale honesty: an 8-bit band has only 256 bucket values, so the
+    candidate count grows as ~4·n²/2⁹ — fine to ~10⁶ docs, not at 10⁹.
+    The 100 TB shape is the SAME plan over a wider signature (64/128
+    bits from the full md5, 16/32-bit bands → ≥65k buckets); only the
+    signature width and band slicing change, which is why the width is
+    a constant here and not baked into the join.
     """
     sigs = simhash_signatures(spark, sf)
     bw = 32 // SIMHASH_BANDS

@@ -820,6 +820,157 @@ def q19_disjunctive_pred(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: fixture lineitem has no commit/receipt
+    dates, so the EXISTS condition is l_shipdate > o_orderdate): count
+    1996-H1 orders per priority having at least one late-shipping line.
+    The correlated EXISTS becomes a LEFT SEMI join — both facts shuffle
+    once on orderkey, the natural plan at any scale."""
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    o96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    return (
+        o96.join(
+            l,
+            (l.l_orderkey == o96.o_orderkey) & (l.l_shipdate > o96.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between every distinct
+    nation pair by year. supplier+nation broadcast; lineitem/orders/
+    customer co-shuffle on their join keys. Revenue via the factored
+    int64 cents sums (module docstring)."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_revenue_sum().alias("revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1 suppliers' share of PROMO-part revenue
+    to EUROPE customers, by order year. The share is one IEEE division
+    of two exact factored int64 sums, so it hash-matches the oracle.
+    part/supplier/nation/region broadcast; the three facts co-shuffle."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    pc, dc = _cents("l_extendedprice"), _cents("l_discount")
+    is_n1 = F.col("supp_nation") == "NATION_1"
+    numer = F.lit(100) * F.sum(F.when(is_n1, pc).otherwise(F.lit(0))) - F.sum(
+        F.when(is_n1, pc * dc).otherwise(F.lit(0))
+    )
+    denom = F.lit(100) * F.sum(pc) - F.sum(pc * dc)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cr_key") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (_dbl(numer) / _dbl(denom)).alias("mkt_share"),
+            (_dbl(denom) / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of orders-per-customer including
+    zero-order customers (LEFT join + count of the right key). Two
+    aggregations, each a single shuffle; the second one's input is one
+    row per customer."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+IDLE_SINCE = "2000-03-01"  # ~last 18 months of the fixture date range
+
+
+def q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: fixture customer has no phone, so the
+    cohort is per-nation, and every customer has SOME order at fixture
+    scales, so "idle" = no order since IDLE_SINCE): above-average-
+    balance customers gone idle. The scalar average broadcasts; the
+    idleness test is a LEFT ANTI join against the date-filtered orders
+    key projection — the filter prunes at the scan, so the anti side
+    ships only recent keys."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    n = load_table(spark, sf, "nation")
+    pos = c.filter(F.col("c_acctbal") > 0)
+    thresh = pos.agg(
+        (
+            _dbl(F.sum(_cents("c_acctbal"))) / F.lit(100.0) / _dbl(F.count("*"))
+        ).alias("avg_bal")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit(IDLE_SINCE).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            (_dbl(F.sum(_cents("c_acctbal"))) / F.lit(100.0)).alias("totacctbal"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -869,6 +1020,11 @@ QUERIES = {
     "subquery_in": subquery_in,
     "subquery_exists": subquery_exists,
     "cte_query": cte_query,
+    "q4_order_priority": q4_order_priority,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q22_idle_customers": q22_idle_customers,
 }
 
 # kept for queries that still cast single VALUES through decimal
@@ -1135,4 +1291,70 @@ ORACLES = {
         "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)"
     ),
     "cte_query": _CTE_SQL,
+    "q4_order_priority": (
+        "SELECT o_orderpriority, COUNT(*) AS order_count "
+        "FROM orders o "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' "
+        "AND EXISTS (SELECT 1 FROM lineitem l "
+        "            WHERE l.l_orderkey = o.o_orderkey "
+        "            AND l.l_shipdate > o.o_orderdate) "
+        "GROUP BY o_orderpriority"
+    ),
+    "q7_volume_shipping": (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+        f"{_REV_SQL} AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "AND n1.n_name != n2.n_name "
+        "GROUP BY 1, 2, 3"
+    ),
+    "q8_market_share": (
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "CAST(100 * SUM(CASE WHEN n1.n_name = 'NATION_1' "
+        f"THEN {_C.format(c='l_extendedprice')} ELSE 0 END) "
+        "- SUM(CASE WHEN n1.n_name = 'NATION_1' "
+        f"THEN {_C.format(c='l_extendedprice')} * {_C.format(c='l_discount')} "
+        "ELSE 0 END) AS DOUBLE) "
+        f"/ CAST(100 * SUM({_C.format(c='l_extendedprice')}) "
+        f"- SUM({_C.format(c='l_extendedprice')} * {_C.format(c='l_discount')}) "
+        "AS DOUBLE) AS mkt_share, "
+        f"{_REV_SQL} AS total_revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "JOIN region ON n2.n_regionkey = r_regionkey "
+        "WHERE p_type = 'PROMO' AND r_name = 'EUROPE' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY 1"
+    ),
+    "q13_customer_distribution": (
+        "SELECT c_count, COUNT(*) AS custdist FROM ("
+        "  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count "
+        "  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "  GROUP BY c.c_custkey"
+        ") GROUP BY c_count"
+    ),
+    "q22_idle_customers": (
+        "WITH t AS (SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)"
+        " / 100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_bal "
+        "FROM customer WHERE c_acctbal > 0) "
+        "SELECT n_name, COUNT(*) AS numcust, "
+        f"{_CSUM.format(c='c_acctbal')} AS totacctbal "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey CROSS JOIN t "
+        "WHERE c_acctbal > t.avg_bal "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "                AND o_orderdate >= TIMESTAMP '2000-03-01 00:00:00') "
+        "GROUP BY n_name"
+    ),
 }

@@ -39,6 +39,29 @@ def test_topk_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q7_broadcasts_dims_and_pushes_date(spark, sf_dir):
+    plan = physical_plan(relational.q7_volume_shipping(spark, sf_dir))
+    # supplier + both nation copies broadcast; the ship-date range
+    # reaches the lineitem scan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q8_broadcasts_all_dims(spark, sf_dir):
+    # part/supplier/nation/nation/region all broadcast — the three
+    # facts are the only shuffled inputs
+    plan = physical_plan(relational.q8_market_share(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_q22_anti_join_prunes_recent_orders(spark, sf_dir):
+    plan = physical_plan(relational.q22_idle_customers(spark, sf_dir))
+    assert "LeftAnti" in plan
+    # the idle-window filter reaches SOME parquet scan (the orders one)
+    sections = plan.split("PushedFilters")[1:]
+    assert any("o_orderdate" in s[:400] for s in sections)
+
+
 def test_q1_partial_aggregation(spark, sf_dir):
     plan = physical_plan(relational.q1_pricing_summary(spark, sf_dir))
     # map-side partial agg before the shuffle
