@@ -252,8 +252,55 @@ def agg_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+INTERVAL_US = 300_000_000  # 5-minute follow window, microseconds
+
+
+def interval_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval (range) self-join: per event, how many same-user events
+    fall in the following 5 minutes.
+
+    Spark has no native band-join operator, and a raw non-equi join
+    degenerates to BroadcastNestedLoop — the classic range-join trap.
+    The scale-safe shape is time-bucket blocking: bucket width = the
+    interval, probe side replicated to (bucket, bucket+1), so the join
+    is a pure equi-join on (user_id, bucket) and every true pair is in
+    exactly one bucket pairing. Candidates per key are bounded by
+    per-user 10-minute activity — skew-safe for human-scale streams at
+    any corpus size.
+    """
+    e = load_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    bucket = F.expr(f"unix_micros(ts) div {INTERVAL_US}")  # exact integer div
+    a = e.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        us.alias("a_us"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
+    b = e.select(
+        F.col("user_id").alias("b_user"),
+        us.alias("b_us"),
+        bucket.alias("bucket"),
+    )
+    pairs = a.join(
+        b, (a.a_user == b.b_user) & (a.bucket == b.bucket)
+    ).filter((F.col("b_us") > F.col("a_us")) & (F.col("b_us") <= F.col("a_us") + INTERVAL_US))
+    counts = pairs.groupBy("a_id").agg(F.count("*").alias("n_following"))
+    return (
+        e.select(F.col("event_id"))
+        .join(counts, F.col("event_id") == counts.a_id, "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("n_following"), F.lit(0)).cast("long").alias(
+                "n_following"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
+    "interval_join_events": interval_join_events,
     "agg_salted_skew": agg_salted_skew,
     "sample_hash_bucket": sample_hash_bucket,
     "grouping_sets_agg": grouping_sets_agg,
@@ -277,6 +324,15 @@ _BUCKET = (
 )
 
 ORACLES = {
+    "interval_join_events": """
+        SELECT a.event_id,
+               COUNT(b.event_id) AS n_following
+        FROM events a LEFT JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        GROUP BY a.event_id
+    """,
     "agg_salted_skew": """
         SELECT l_returnflag,
                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

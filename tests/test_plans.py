@@ -138,6 +138,14 @@ def test_near_dup_lsh_full_recall_on_fixture(spark, sf_dir):
     assert lsh == exact
 
 
+def test_interval_join_is_bucketed_equijoin(spark, sf_dir):
+    # the range condition must ride on a (user, time-bucket) equi-join,
+    # never the BroadcastNestedLoop a naive non-equi self-join produces
+    plan = physical_plan(advanced.interval_join_events(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_simhash_hamming_is_banded_not_allpairs(spark, sf_dir):
     # banded candidate generation is an equi-join on (band_idx,
     # band_val); the verify step XOR-popcounts candidates only
