@@ -79,7 +79,7 @@ _PRIORITY = [
     "dedup_simhash_hamming", "snapshot_time_travel", "snapshot_files",
     "schema_evolution_roundtrip", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q13_customer_distribution", "q22_idle_customers",
-    "interval_join_events",
+    "interval_join_events", "dedup_connected_components",
 ]
 
 

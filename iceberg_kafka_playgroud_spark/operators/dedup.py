@@ -335,6 +335,67 @@ def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+MAX_CC_ITERS = 25  # fixpoint bound; components here are tiny
+
+
+def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the
+    MinHash near-dup pair graph (keep one doc per component).
+
+    Hash-to-min label propagation: every node starts labeled with its
+    own id; each round, a node adopts the minimum label among itself
+    and its neighbors; fixpoint = components labeled by their minimum
+    doc_id. Each round is one shuffle keyed by node; the driver loop
+    only checks a converged-count — no edge data ever collects. The
+    fixture graph converges in ≤3 rounds; at 100 TB the same loop runs
+    O(log n) rounds (or the published big-star/small-star variant for
+    pathological chains) with per-round checkpointing to cut lineage.
+    """
+    pairs = dedup_minhash_lsh(spark, sf).select("d1", "d2")
+    # undirected adjacency (both directions), plus self-loops so
+    # isolated-after-filter nodes keep their own label
+    edges = pairs.union(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+    labels = (
+        edges.select(F.col("d1").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_CC_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.d2 == labels.node)
+            .groupBy(edges.d1)
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.d1, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage each round
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    from pyspark.sql import Window as W
+
+    out = labels.select("node", F.col("label").alias("component"))
+    return out.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count("*").over(W.partitionBy("component")).alias("component_size"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -467,3 +528,28 @@ ORACLES = {
         ) WHERE hamming <= 3
     """,
 }
+
+QUERIES["dedup_connected_components"] = dedup_connected_components
+# the recursive closure enumerates (node, reachable-root) pairs — fine
+# for the near-dup graph's tiny components; the Spark side is the
+# scalable iterative form
+ORACLES["dedup_connected_components"] = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT d1, d2 FROM ({ORACLES["dedup_minhash_lsh"]})
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION ALL
+      SELECT d2, d1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)
+    SELECT node AS doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS component_size
+    FROM comp
+"""
