@@ -80,6 +80,7 @@ _PRIORITY = [
     "schema_evolution_roundtrip", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q13_customer_distribution", "q22_idle_customers",
     "interval_join_events", "dedup_connected_components",
+    "join_bucketed_colocated",
 ]
 
 

@@ -138,6 +138,19 @@ def test_near_dup_lsh_full_recall_on_fixture(spark, sf_dir):
     assert lsh == exact
 
 
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    # both sides bucketed+sorted on the join key: SortMergeJoin with
+    # no Exchange and no Sort on either input; the only shuffle in the
+    # whole plan is the final aggregation's
+    plan = physical_plan(relational.join_bucketed_colocated(spark, sf_dir))
+    assert plan.count("Bucketed: true") == 2
+    tree = plan.split("(1)")[0]  # operator tree, before the detail dump
+    assert "SortMergeJoin" in tree
+    # below the join: scans only, no Exchange feeding either side
+    assert "Exchange" not in tree.split("SortMergeJoin")[1]
+    assert tree.count("Exchange") == 1  # the final aggregation's
+
+
 def test_interval_join_is_bucketed_equijoin(spark, sf_dir):
     # the range condition must ride on a (user, time-bucket) equi-join,
     # never the BroadcastNestedLoop a naive non-equi self-join produces
