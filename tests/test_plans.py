@@ -138,6 +138,52 @@ def test_near_dup_lsh_full_recall_on_fixture(spark, sf_dir):
     assert lsh == exact
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    # AQE's runtime skew handling: pile ~99% of rows onto one join key,
+    # force a sort-merge join, and check the EXECUTED plan split the
+    # hot partition (skew=true / AQEShuffleRead skewed). Two pitfalls
+    # this pins so the 100 TB posture is real and not assumed:
+    # (1) AQE splits a reduce partition at MAPPER boundaries, so the
+    #     input must span several map tasks (single-file tiny fixtures
+    #     have one mapper — nothing to split); at real scale inputs
+    #     always have many mappers.
+    # (2) forceOptimizeSkewedJoin is needed when Spark would otherwise
+    #     preserve the join's output partitioning for downstream reuse.
+    from pyspark.sql import functions as F
+
+    scoped = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in scoped}
+    try:
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 500_000, 1, 16).select(
+            F.when(F.col("id") % 100 != 0, 0).otherwise(F.col("id")).alias("k"),
+            (F.col("id") * 2).alias("payload"),
+        )
+        right = spark.range(0, 100).select((F.col("id") * 100).alias("k"))
+        df = left.join(right.hint("merge"), "k")
+        # collect() executes df's OWN queryExecution (count()/write()
+        # would execute a derived plan and leave df's unfinalized)
+        assert len(df.collect()) == 495_100
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed
+        assert "AQEShuffleRead skewed" in executed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
     # both sides bucketed+sorted on the join key: SortMergeJoin with
     # no Exchange and no Sort on either input; the only shuffle in the
