@@ -75,12 +75,16 @@ _PRIORITY = [
     "stream_sessionize", "stream_dual_sink", "stream_stateful_user_totals",
     "confluent_roundtrip", "catalog_table_columns",
     "catalog_write_read_roundtrip",
-    # round-2 additions — driver-unchecked until they earn a row
-    "dedup_simhash_hamming", "snapshot_time_travel", "snapshot_files",
-    "schema_evolution_roundtrip", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q13_customer_distribution", "q22_idle_customers",
-    "interval_join_events", "dedup_connected_components",
-    "join_bucketed_colocated",
+    # round-2 additions — driver-unchecked until they earn a row; the
+    # TPC-H variants sort LAST (driver already validated 8 TPC-H shapes
+    # in round 1, so they carry the least marginal signal if the
+    # driver's check cap cuts the tail)
+    "dedup_simhash_hamming", "dedup_connected_components",
+    "ann_topk_ivf",
+    "interval_join_events", "snapshot_time_travel", "snapshot_files",
+    "schema_evolution_roundtrip", "join_bucketed_colocated",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q13_customer_distribution", "q22_idle_customers",
 ]
 
 

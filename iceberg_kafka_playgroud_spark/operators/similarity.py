@@ -342,9 +342,87 @@ def embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+K_CELLS = 16  # IVF coarse cells; production sizing ≈ √corpus_rows
+NPROBE = 2  # cells probed per query
+
+
+def ann_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into K_CELLS cells,
+    probe the NPROBE nearest cells per query, exact top-k inside them.
+
+    The "trained" codebook is the first K_CELLS corpus vectors —
+    deterministic, so the DuckDB oracle replicates the exact procedure
+    (like the LSH variants, correctness is exact parity with the same
+    algorithm, not a recall bound against brute force). Cell assignment
+    is broadcast centroids + a NARROW argmax over an array of structs —
+    zero shuffle; the only shuffles are the candidate equi-join on
+    cell id and the final per-query top-k. At 100 TB: K_CELLS ≈ √n,
+    assignment stays narrow, and the cell join's skew (popular cells)
+    is AQE-splittable because cell id is the shuffle key.
+    """
+    em = load_table(spark, sf, "embeddings").select(
+        "vec_id", _to_double(F.col("embedding")).alias("vec")
+    )
+    cent_rows = (
+        em.filter(F.col("vec_id") < K_CELLS).orderBy("vec_id").collect()
+    )
+    assert len(cent_rows) <= K_CELLS  # tiny by construction
+
+    def cell_sims(vec: Column) -> Column:
+        """Array of (sim_to_centroid, -cell_id) structs; array_max picks
+        max sim with lowest cell id on ties."""
+        return F.array(
+            *[
+                F.struct(
+                    F.round(
+                        cosine(vec, F.array(*[F.lit(float(x)) for x in r["vec"]])), 6
+                    ).alias("sim"),
+                    F.lit(-r["vec_id"]).alias("neg_cell"),
+                )
+                for r in cent_rows
+            ]
+        )
+
+    corpus = em.select(
+        "vec_id",
+        "vec",
+        (-F.array_max(cell_sims(F.col("vec"))).getField("neg_cell")).alias("cell"),
+    )
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.slice(
+            F.reverse(F.array_sort(cell_sims(F.col("vec")))), 1, NPROBE
+        ).alias("probe_structs"),
+    )
+    probes = q.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.transform(
+                F.col("probe_structs"), lambda s: -s.getField("neg_cell")
+            )
+        ).alias("cell"),
+    )
+    cands = F.broadcast(probes).join(corpus, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sims = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_blocked": ann_topk_blocked,
+    "ann_topk_ivf": ann_topk_ivf,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
 }
@@ -411,9 +489,56 @@ WHERE round({_DOT.format(a='e1.embedding', b='e2.embedding')}
             / ({_NORM.format(a='e1.embedding')} * {_NORM.format(a='e2.embedding')}), 6) >= 0.45
 """
 
+# procedure-replicating IVF oracle: same codebook (first K_CELLS
+# vectors), same argmax assignment, same NPROBE probe, same final top-k
+_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < {K_CELLS}
+),
+allsims AS (
+  SELECT e.vec_id, c.cell_id,
+         round({_DOT.format(a='e.embedding', b='c.ce')}
+               / ({_NORM.format(a='e.embedding')} * {_NORM.format(a='c.ce')}), 6) AS csim
+  FROM embeddings e, cents c
+),
+assign AS (
+  SELECT vec_id, cell_id AS cell FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id) AS rn
+    FROM allsims
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell_id AS cell FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id) AS rn
+    FROM allsims WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id != p.query_id
+),
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({_DOT.format(a='q.embedding', b='e.embedding')}
+               / ({_NORM.format(a='q.embedding')} * {_NORM.format(a='e.embedding')}), 6) AS sim
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= {TOP_K}
+"""
+
 ORACLES = {
     "ann_topk_bruteforce": _TOPK_ORACLE,
     "ann_topk_blocked": _TOPK_ORACLE,
+    "ann_topk_ivf": _IVF_ORACLE,
     "embedding_near_dup_pairs": f"""
         SELECT a.vec_id AS d1, b.vec_id AS d2,
                round({_DOT.format(a='a.embedding', b='b.embedding')}
