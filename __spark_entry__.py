@@ -83,6 +83,7 @@ _PRIORITY = [
     "ann_topk_ivf",
     "interval_join_events", "snapshot_time_travel", "snapshot_files",
     "schema_evolution_roundtrip", "join_bucketed_colocated",
+    "stream_rate_limited_ingest",
     "q4_order_priority", "q7_volume_shipping", "q8_market_share",
     "q13_customer_distribution", "q22_idle_customers",
 ]

@@ -325,8 +325,55 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
 
 
+N_RATE_FILES = 4  # fixture split for the rate-limit demo
+
+
+def stream_rate_limited_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Source rate limiting / backpressure (the ``maxFilesPerTrigger``
+    / ``maxOffsetsPerTrigger`` knob family): split the fixture into 4
+    files and replay with maxFilesPerTrigger=1 — availableNow honors
+    the cap, so ingestion proceeds in 4 bounded micro-batches instead
+    of one unbounded gulp. That cap is what keeps a backlogged 100 TB
+    topic from OOMing the first batch after downtime. Output pins the
+    batch count and the exact per-batch row bounds."""
+    from ..schema import load_table
+
+    events = load_table(spark, sf, "events")
+    stage = tempfile.mkdtemp(prefix="rate_src_")
+    events.repartition(N_RATE_FILES).write.mode("overwrite").parquet(stage)
+
+    batch_rows: list[int] = []
+
+    def count_batch(bdf: DataFrame, _bid: int) -> None:
+        batch_rows.append(bdf.count())
+
+    with _stream_partitions(spark):
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(count_batch)
+            .option("checkpointLocation", _ckpt_dir("rate_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.createDataFrame(
+        [
+            (
+                len(batch_rows),
+                sum(batch_rows),
+                max(batch_rows),
+                min(batch_rows),
+            )
+        ],
+        "n_batches long, total_rows long, max_batch_rows long, min_batch_rows long",
+    )
+
+
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_rate_limited_ingest": stream_rate_limited_ingest,
     "stream_stream_join": stream_stream_join,
     "stream_exact_dedup": stream_exact_dedup,
     "stream_sessionize": stream_sessionize,
@@ -335,6 +382,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    # 4-way even split of the fixture (row count divisible by 4 at all
+    # sf), one file per micro-batch
+    "stream_rate_limited_ingest": """
+        SELECT CAST(4 AS BIGINT) AS n_batches,
+               COUNT(*) AS total_rows,
+               CAST(COUNT(*) / 4 AS BIGINT) AS max_batch_rows,
+               CAST(COUNT(*) / 4 AS BIGINT) AS min_batch_rows
+        FROM events
+    """,
     "stream_stream_join": """
         SELECT e1.user_id, COUNT(*) AS n_pairs
         FROM events e1 JOIN events e2
