@@ -86,6 +86,9 @@ _PRIORITY = [
     "stream_rate_limited_ingest",
     "q4_order_priority", "q7_volume_shipping", "q8_market_share",
     "q13_customer_distribution", "q22_idle_customers",
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
+    "q12_ship_priority_class", "q15_top_supplier", "q16_supplier_counts",
+    "q17_small_qty_revenue", "q20_dominant_suppliers", "q21_last_shipper",
 ]
 
 
