@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from iceberg_kafka_playgroud_spark.operators import (  # noqa: E402
     advanced,
+    curation,
     dedup,
     multimodal,
     relational,
@@ -37,6 +38,7 @@ _MODULES = [
     scalar_funcs,
     text,
     dedup,
+    curation,
     similarity,
     multimodal,
     advanced,
@@ -89,6 +91,10 @@ _PRIORITY = [
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
     "q12_ship_priority_class", "q15_top_supplier", "q16_supplier_counts",
     "q17_small_qty_revenue", "q20_dominant_suppliers", "q21_last_shipper",
+    "split_train_val_test", "stratified_sample_per_source",
+    "sequence_pack_contiguous", "vocab_top_terms",
+    "contamination_ngram_overlap", "quality_filter_funnel",
+    "dedup_keep_canonical",
 ]
 
 

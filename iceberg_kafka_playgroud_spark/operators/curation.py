@@ -1,0 +1,393 @@
+"""Training-corpus curation operators — the pipeline stages a
+large-scale LLM data build runs between raw documents and tokenized
+shards: deterministic splits, stratified sampling, sequence packing,
+vocabulary stats, benchmark-contamination checks, and the quality
+funnel that strings the filters together.
+
+The reference exposes raw documents through its SQL passthrough only;
+these operators are the SURVEY §2.9 north-star extensions that make
+the engine useful as a data-pipeline backend at 100 TB.
+
+Design rules shared by every operator here:
+
+- **Determinism without RNG state.** Anything sample- or split-shaped
+  derives from md5 of a stable key, never ``rand()`` — the same row
+  lands in the same split on every engine, run, and cluster size
+  (md5 is also the one hash both Spark and DuckDB compute
+  identically, so every query stays exactly oracle-checkable).
+- **Narrow where possible.** Split assignment and hash sampling are
+  pure projections/filters (zero shuffle, scan-local at any scale);
+  packing and vocab are single-shuffle aggregations.
+- **Integer arithmetic** for anything compared or summed (token
+  counts, cumulative budgets) — no float accumulation drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+from .dedup import shingle_set
+from .text import tokens
+
+# ---------------------------------------------------------------------------
+# deterministic split
+# ---------------------------------------------------------------------------
+
+# hex first-char buckets: 0-b → train (12/16), c-d → val, e-f → test
+_VAL_CHARS = ("c", "d")
+_TEST_CHARS = ("e", "f")
+
+
+def _split_col() -> F.Column:
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        F.when(h.isin(*_TEST_CHARS), "test")
+        .when(h.isin(*_VAL_CHARS), "val")
+        .otherwise("train")
+    )
+
+
+def split_train_val_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test assignment.
+
+    The split is a pure narrow projection on md5(doc_id) — no shuffle,
+    no RNG, no global coordination; a 100 TB corpus splits at scan
+    speed, and re-running (or re-sharding) the corpus never moves a
+    document across splits.  The summary aggregation on top is one
+    map-side-combined shuffle over ≤3 rows per partition.
+    """
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(_split_col().alias("split"), F.col("n_chars"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+SAMPLE_PER_SOURCE = 10
+
+
+def stratified_sample_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly k docs per source,
+    chosen by md5 rank (reproducible reservoir-sampling analog).
+
+    One shuffle on ``source``; rank state is per-group and O(1) via
+    TOP-K-per-group semantics.  For skewed strata at 100 TB the same
+    md5 order can be pre-filtered with a hash-prefix predicate (see
+    ``sample_hash_bucket``) so the window never sees the full stratum.
+    """
+    d = load_table(spark, sf, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "source", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_PER_SOURCE)
+        .select("doc_id", "source", "lang")
+        .orderBy("source", "doc_id")
+    )
+
+
+PACK_BUDGET = 512  # tokens per packed sequence
+
+
+def sequence_pack_contiguous(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: assign doc_id-ordered documents per source to
+    fixed token-budget bins (bin = exclusive-prefix-sum // budget —
+    the contiguous-packing rule used by streaming shard writers, which
+    never reorders documents and needs only a running counter).
+
+    One shuffle on ``source`` for the prefix sum, one map-side-combined
+    aggregation for the bin summary.  Token counts are int64 end to
+    end.  At 100 TB the window is per-source and the packing remains a
+    single pass — no driver state, no global sort.
+    """
+    d = load_table(spark, sf, "documents")
+    sized = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = sized.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(PACK_BUDGET)
+        ),
+    )
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+VOCAB_TOP_K = 50
+
+
+def vocab_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary: top-k casefolded terms by frequency.
+
+    Explode → count is the canonical two-phase aggregation: partial
+    counts combine map-side so the shuffle carries one row per distinct
+    term per map partition (vocabulary-sized, not corpus-sized); the
+    final top-k is TakeOrderedAndProject.  This is the word-count that
+    actually scales — no collect, no driver-side dictionary.
+    """
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(VOCAB_TOP_K)
+    )
+
+
+EVAL_MOD = 10  # doc_id % 10 == 7 → held-out "benchmark" set
+
+
+def contamination_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination check: training docs sharing word
+    3-gram shingles with a held-out eval set, scored by the number of
+    distinct shared shingles.
+
+    The held-out set is tiny relative to the corpus, so its distinct
+    shingles BROADCAST and the check is a narrow semi-join-shaped
+    probe over the training shingles — the corpus-sized side never
+    shuffles on the shingle key.  This is the decontamination pass a
+    training pipeline runs before every dataset release.
+    """
+    d = load_table(spark, sf, "documents")
+    sh = shingle_set(d)
+    is_eval = (F.col("doc_id") % EVAL_MOD) == F.lit(EVAL_MOD - 3)
+    eval_sh = (
+        sh.filter(is_eval).select(F.col("shingle").alias("ev_shingle")).distinct()
+    )
+    train_sh = sh.filter(~is_eval)
+    return (
+        train_sh.join(
+            F.broadcast(eval_sh),
+            train_sh.shingle == F.col("ev_shingle"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared_ngrams"))
+        .orderBy(F.col("n_shared_ngrams").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+
+
+MIN_CHARS, MAX_CHARS = 100, 20000
+
+
+def quality_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The curation funnel: survivor count after each successive
+    filter stage (raw → length gate → English → canonical-text dedup).
+
+    Each stage is a narrow predicate over the previous one, evaluated
+    in ONE scan: stage membership becomes four 0/1 indicator columns
+    summed in a single map-side-combined aggregation — the funnel
+    costs one pass over the corpus regardless of stage count (the
+    dedup indicator adds the one unavoidable shuffle, on the
+    canonical-text hash).
+    """
+    from .text import normalized
+
+    d = load_table(spark, sf, "documents")
+    w = W.partitionBy(F.md5(normalized(F.col("text")))).orderBy("doc_id")
+    flagged = (
+        d.select("doc_id", "lang", "n_chars", "text")
+        .withColumn("dup_rk", F.row_number().over(w))
+        .select(
+            F.lit(1).alias("s0"),
+            F.col("n_chars").between(MIN_CHARS, MAX_CHARS).cast("int").alias("s1"),
+            (
+                F.col("n_chars").between(MIN_CHARS, MAX_CHARS)
+                & (F.col("lang") == "en")
+            )
+            .cast("int")
+            .alias("s2"),
+            (
+                F.col("n_chars").between(MIN_CHARS, MAX_CHARS)
+                & (F.col("lang") == "en")
+                & (F.col("dup_rk") == 1)
+            )
+            .cast("int")
+            .alias("s3"),
+        )
+    )
+    agg = flagged.agg(
+        F.sum("s0").alias("raw"),
+        F.sum("s1").alias("after_length"),
+        F.sum("s2").alias("after_lang"),
+        F.sum("s3").alias("after_dedup"),
+    )
+    stages = F.array(
+        F.struct(F.lit("0_raw").alias("stage"), F.col("raw").alias("n_docs")),
+        F.struct(
+            F.lit("1_length").alias("stage"),
+            F.col("after_length").alias("n_docs"),
+        ),
+        F.struct(
+            F.lit("2_lang").alias("stage"), F.col("after_lang").alias("n_docs")
+        ),
+        F.struct(
+            F.lit("3_dedup").alias("stage"),
+            F.col("after_dedup").alias("n_docs"),
+        ),
+    )
+    return (
+        agg.select(F.explode(stages).alias("s"))
+        .select("s.stage", "s.n_docs")
+        .orderBy("stage")
+    )
+
+
+def dedup_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized dedup: per source, total docs vs canonical
+    survivors (first doc_id per normalized-text group) — the summary a
+    pipeline emits after the keep-one-per-cluster pass.
+
+    The group key is md5 of the canonical text, so the shuffle is
+    hash-uniform (no hot key even if one document dominates the
+    corpus); survivors are row_number()==1, the same keep-first rule
+    as ``dedup_exact``.
+    """
+    from .text import normalized
+
+    d = load_table(spark, sf, "documents")
+    w = W.partitionBy(F.md5(normalized(F.col("text")))).orderBy("doc_id")
+    return (
+        d.select("doc_id", "source", "text")
+        .withColumn("rk", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("rk") == 1).cast("long")).alias("n_canonical"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "split_train_val_test": split_train_val_test,
+    "stratified_sample_per_source": stratified_sample_per_source,
+    "sequence_pack_contiguous": sequence_pack_contiguous,
+    "vocab_top_terms": vocab_top_terms,
+    "contamination_ngram_overlap": contamination_ngram_overlap,
+    "quality_filter_funnel": quality_filter_funnel,
+    "dedup_keep_canonical": dedup_keep_canonical,
+}
+
+_TOKS_LOWER = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SPLIT_SQL = (
+    "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') "
+    "THEN 'test' "
+    "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') "
+    "THEN 'val' ELSE 'train' END"
+)
+
+_SHINGLES_CTE = """
+toksrc AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks)-2, 0)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM toksrc
+)
+"""
+
+ORACLES = {
+    "split_train_val_test": (
+        f"SELECT {_SPLIT_SQL} AS split, COUNT(*) AS n_docs, "
+        "SUM(n_chars) AS total_chars "
+        "FROM documents GROUP BY 1 ORDER BY 1"
+    ),
+    "stratified_sample_per_source": (
+        "SELECT doc_id, source, lang FROM ("
+        "  SELECT doc_id, source, lang, "
+        "  ROW_NUMBER() OVER (PARTITION BY source "
+        "      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk "
+        "  FROM documents) "
+        f"WHERE rk <= {SAMPLE_PER_SOURCE} ORDER BY source, doc_id"
+    ),
+    "sequence_pack_contiguous": (
+        "WITH sized AS (SELECT doc_id, source, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x != '')) "
+        "AS BIGINT) AS n_tokens FROM documents), "
+        "packed AS (SELECT source, "
+        "CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
+        f"/ {PACK_BUDGET}) AS BIGINT) AS bin, n_tokens FROM sized) "
+        "SELECT source, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens "
+        "FROM packed GROUP BY source, bin ORDER BY source, bin"
+    ),
+    "vocab_top_terms": (
+        "SELECT term, COUNT(*) AS freq FROM "
+        f"(SELECT unnest({_TOKS_LOWER}) AS term FROM documents) "
+        "GROUP BY term "
+        f"ORDER BY freq DESC, term ASC LIMIT {VOCAB_TOP_K}"
+    ),
+    "contamination_ngram_overlap": (
+        f"WITH {_SHINGLES_CTE}, "
+        f"ev AS (SELECT DISTINCT shingle FROM sh "
+        f"       WHERE doc_id % {EVAL_MOD} = {EVAL_MOD - 3}), "
+        f"tr AS (SELECT * FROM sh WHERE doc_id % {EVAL_MOD} <> {EVAL_MOD - 3}) "
+        "SELECT tr.doc_id, COUNT(DISTINCT tr.shingle) AS n_shared_ngrams "
+        "FROM tr JOIN ev ON tr.shingle = ev.shingle "
+        "GROUP BY tr.doc_id "
+        "ORDER BY n_shared_ngrams DESC, doc_id ASC LIMIT 100"
+    ),
+    "quality_filter_funnel": (
+        "WITH flagged AS (SELECT doc_id, lang, n_chars, "
+        f"ROW_NUMBER() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) "
+        "AS dup_rk FROM documents), "
+        "agg AS (SELECT COUNT(*) AS raw, "
+        f"SUM(CASE WHEN n_chars BETWEEN {MIN_CHARS} AND {MAX_CHARS} "
+        "    THEN 1 ELSE 0 END) AS after_length, "
+        f"SUM(CASE WHEN n_chars BETWEEN {MIN_CHARS} AND {MAX_CHARS} "
+        "    AND lang = 'en' THEN 1 ELSE 0 END) AS after_lang, "
+        f"SUM(CASE WHEN n_chars BETWEEN {MIN_CHARS} AND {MAX_CHARS} "
+        "    AND lang = 'en' AND dup_rk = 1 THEN 1 ELSE 0 END) AS after_dedup "
+        "FROM flagged) "
+        "SELECT '0_raw' AS stage, raw AS n_docs FROM agg "
+        "UNION ALL SELECT '1_length', after_length FROM agg "
+        "UNION ALL SELECT '2_lang', after_lang FROM agg "
+        "UNION ALL SELECT '3_dedup', after_dedup FROM agg "
+        "ORDER BY stage"
+    ),
+    "dedup_keep_canonical": (
+        "WITH ranked AS (SELECT doc_id, source, "
+        f"ROW_NUMBER() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) "
+        "AS rk FROM documents) "
+        "SELECT source, COUNT(*) AS n_docs, "
+        "SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS n_canonical "
+        "FROM ranked GROUP BY source ORDER BY source"
+    ),
+}
