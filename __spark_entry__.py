@@ -94,7 +94,7 @@ _PRIORITY = [
     "split_train_val_test", "stratified_sample_per_source",
     "sequence_pack_contiguous", "vocab_top_terms",
     "contamination_ngram_overlap", "quality_filter_funnel",
-    "dedup_keep_canonical",
+    "dedup_keep_canonical", "embedding_centroids",
 ]
 
 

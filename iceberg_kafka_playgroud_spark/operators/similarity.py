@@ -419,10 +419,56 @@ def ann_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CENTROID_SCALE = 1_000_000  # fixed-point: round(x·1e6) is exact for f32 inputs
+
+
+def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid: element-wise mean of the embedding vectors
+    (the clustering/class-prototype primitive an embedding pipeline
+    recomputes every refresh).
+
+    posexplode → groupBy(label, pos) is the shape that scales: the
+    shuffle carries (label, dim) partial sums — map-side combine
+    reduces each task's output to ≤ labels·dims rows no matter how
+    many vectors it read, so a 100 TB corpus aggregates into
+    labels·dims cells with one shuffle.  Sums are fixed-point int64
+    (round(x·1e6)) so the mean is exact and association-order-free —
+    float accumulation would diverge between engines and runs.
+    """
+    em = load_table(spark, sf, "embeddings")
+    exploded = em.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * CENTROID_SCALE).cast(
+                    "long"
+                ),
+            )
+        ).alias("pos", "q"),
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.sum("q").alias("sum_q"), F.count("*").alias("n_vecs"))
+        .select(
+            "label",
+            "pos",
+            (
+                F.col("sum_q").cast("double")
+                / F.lit(float(CENTROID_SCALE))
+                / F.col("n_vecs").cast("double")
+            ).alias("centroid_val"),
+            "n_vecs",
+        )
+        .orderBy("label", "pos")
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_blocked": ann_topk_blocked,
     "ann_topk_ivf": ann_topk_ivf,
+    "embedding_centroids": embedding_centroids,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
 }
@@ -539,6 +585,22 @@ ORACLES = {
     "ann_topk_bruteforce": _TOPK_ORACLE,
     "ann_topk_blocked": _TOPK_ORACLE,
     "ann_topk_ivf": _IVF_ORACLE,
+    "embedding_centroids": f"""
+        SELECT label, pos, CAST(SUM(q) AS DOUBLE) / {CENTROID_SCALE}.0
+               / CAST(COUNT(*) AS DOUBLE) AS centroid_val,
+               COUNT(*) AS n_vecs
+        FROM (
+          SELECT label,
+                 unnest(list_transform(range(len(embedding)),
+                        i -> CAST(i AS INT))) AS pos,
+                 unnest(list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {CENTROID_SCALE})
+                             AS BIGINT))) AS q
+          FROM embeddings
+        )
+        GROUP BY label, pos
+        ORDER BY label, pos
+    """,
     "embedding_near_dup_pairs": f"""
         SELECT a.vec_id AS d1, b.vec_id AS d2,
                round({_DOT.format(a='a.embedding', b='b.embedding')}
