@@ -95,6 +95,7 @@ _PRIORITY = [
     "sequence_pack_contiguous", "vocab_top_terms",
     "contamination_ngram_overlap", "quality_filter_funnel",
     "dedup_keep_canonical", "embedding_centroids",
+    "event_sessionize_batch", "stream_upsert_latest",
 ]
 
 

@@ -298,8 +298,56 @@ def interval_join_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MIN = 30
+
+
+def event_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch gap-based sessionization — the lag/cumsum idiom: a session
+    break is a gap > 30 min, session ids are the running sum of breaks,
+    then one aggregation per (user, session).
+
+    This is the first-class batch twin of ``stream_sessionize`` (same
+    boundaries, same 30-min gap). Both windows and the final groupBy
+    share ONE hash partitioning on user_id, so the whole operator costs
+    a single shuffle; per-user state is a sort within the partition —
+    at 100 TB sessionization parallelizes by user with no global sort.
+    """
+    e = load_table(spark, sf, "events")
+    wu = W.partitionBy("user_id").orderBy("ts")
+    # exact microsecond arithmetic — fixture timestamps carry sub-second
+    # precision, so second-truncated casts would misplace gap boundaries
+    gap_break = (
+        F.unix_micros(F.col("ts"))
+        - F.lag(F.unix_micros(F.col("ts"))).over(wu)
+        > SESSION_GAP_MIN * 60 * 1_000_000
+    )
+    sess = (
+        e.select("user_id", "ts")
+        .withColumn(
+            "new_session",
+            F.when(gap_break | F.lag("ts").over(wu).isNull(), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                wu.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
+    "event_sessionize_batch": event_sessionize_batch,
     "interval_join_events": interval_join_events,
     "agg_salted_skew": agg_salted_skew,
     "sample_hash_bucket": sample_hash_bucket,
@@ -324,6 +372,27 @@ _BUCKET = (
 )
 
 ORACLES = {
+    "event_sessionize_batch": """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                           (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sessions AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+          FROM gaps
+        )
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    """,
     "interval_join_events": """
         SELECT a.event_id,
                COUNT(b.event_id) AS n_following

@@ -33,6 +33,7 @@ import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 MAX_RECORDS_PER_FILE = 1000  # reference flush.size, s3-connector-config.json:18
@@ -371,8 +372,74 @@ def stream_rate_limited_ingest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stream_upsert_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming upsert (MERGE-on-key) sink: maintain latest-event-per-
+    user across rate-limited micro-batches.
+
+    Each foreachBatch epoch merges the batch into a keyed state table:
+    union(previous state, batch) → keep the (ts, event_id)-max row per
+    user — the same merge an Iceberg/Delta ``MERGE INTO ... WHEN
+    MATCHED UPDATE`` performs, expressed engine-agnostically with a
+    window rank and epoch-versioned parquet state (write-new-then-swap,
+    so a failed epoch never corrupts the previous version — the same
+    snapshot-isolation discipline as ``snapshots.py``).  The merge is
+    associative with a total tie-break, so the result is independent of
+    batch boundaries — which is exactly what makes it exactly-once
+    under replay.  State shuffles on user_id only; at 100 TB the state
+    table is keys-sized, not events-sized.
+    """
+    from ..schema import load_table
+
+    events = load_table(spark, sf, "events")
+    stage = tempfile.mkdtemp(prefix="upsert_src_")
+    events.repartition(N_RATE_FILES).write.mode("overwrite").parquet(stage)
+    state_root = tempfile.mkdtemp(prefix="upsert_state_")
+    state: dict[str, str | None] = {"dir": None}
+
+    latest_w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def merge_batch(bdf: DataFrame, bid: int) -> None:
+        merged = bdf.select("user_id", "ts", "event_id", "event_type", "value")
+        if state["dir"] is not None:
+            merged = merged.unionByName(
+                spark.read.parquet(state["dir"])
+            )
+        new_dir = os.path.join(state_root, f"v{bid}")
+        (
+            merged.withColumn("rk", F.row_number().over(latest_w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+            .write.mode("overwrite")
+            .parquet(new_dir)
+        )
+        state["dir"] = new_dir  # swap only after the full write succeeds
+
+    with _stream_partitions(spark):
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", _ckpt_dir("upsert_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert state["dir"] is not None
+    return spark.read.parquet(state["dir"]).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_upsert_latest": stream_upsert_latest,
     "stream_rate_limited_ingest": stream_rate_limited_ingest,
     "stream_stream_join": stream_stream_join,
     "stream_exact_dedup": stream_exact_dedup,
@@ -382,6 +449,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_upsert_latest": """
+        SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+               event_type AS last_event_type, value AS last_value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rk FROM events)
+        WHERE rk = 1
+    """,
     # 4-way even split of the fixture (row count divisible by 4 at all
     # sf), one file per micro-batch
     "stream_rate_limited_ingest": """
