@@ -96,6 +96,7 @@ _PRIORITY = [
     "contamination_ngram_overlap", "quality_filter_funnel",
     "dedup_keep_canonical", "embedding_centroids",
     "event_sessionize_batch", "stream_upsert_latest",
+    "agg_stats_moments", "window_cume_dist",
 ]
 
 

@@ -345,9 +345,70 @@ def event_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def agg_stats_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Second-moment statistics (stddev, correlation) with exact
+    reproducibility: native STDDEV/CORR accumulate floats in partition
+    order, so no two engines — or two runs of the same engine — agree
+    bit-for-bit.  Here every Σ is an exact int64 sum of cents, and the
+    closed-form variance/correlation is ONE identical IEEE expression
+    in both engines, so the driver's value-hash matches exactly.
+
+    The aggregation is a plain map-side-combined groupBy carrying six
+    int64 cells per group — the moment sketch pattern that scales to
+    any corpus (and parallelizes better than Welford chains, which are
+    order-sensitive by construction)."""
+    l = load_table(spark, sf, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    g = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qc).alias("sq"),
+        F.sum(dc).alias("sd"),
+        F.sum(qc * qc).alias("sqq"),
+        F.sum(dc * dc).alias("sdd"),
+        F.sum(qc * dc).alias("sqd"),
+    )
+    nd = F.col("n").cast("double")
+    sq, sd = F.col("sq").cast("double"), F.col("sd").cast("double")
+    sqq, sdd = F.col("sqq").cast("double"), F.col("sdd").cast("double")
+    sqd = F.col("sqd").cast("double")
+    var_q = (nd * sqq - sq * sq) / (nd * (nd - F.lit(1.0)))
+    var_d = (nd * sdd - sd * sd) / (nd * (nd - F.lit(1.0)))
+    corr = (nd * sqd - sq * sd) / F.sqrt(
+        (nd * sqq - sq * sq) * (nd * sdd - sd * sd)
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        (sq / F.lit(100.0) / nd).alias("mean_qty"),
+        (F.sqrt(var_q) / F.lit(100.0)).alias("stddev_qty"),
+        (F.sqrt(var_d) / F.lit(100.0)).alias("stddev_disc"),
+        corr.alias("corr_qty_disc"),
+    ).orderBy("l_returnflag")
+
+
+def window_cume_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """CUME_DIST + PERCENT_RANK over per-status price order — rank
+    arithmetic produces exact rationals, so the doubles match the
+    oracle bit-for-bit (unlike float aggregation).  One shuffle on the
+    partition key, sort within partition."""
+    o = load_table(spark, sf, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
     "event_sessionize_batch": event_sessionize_batch,
+    "agg_stats_moments": agg_stats_moments,
+    "window_cume_dist": window_cume_dist,
     "interval_join_events": interval_join_events,
     "agg_salted_skew": agg_salted_skew,
     "sample_hash_bucket": sample_hash_bucket,
@@ -372,6 +433,46 @@ _BUCKET = (
 )
 
 ORACLES = {
+    "agg_stats_moments": """
+        WITH g AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sq,
+                 SUM(CAST(round(l_discount * 100) AS BIGINT)) AS sd,
+                 SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                     * CAST(round(l_quantity * 100) AS BIGINT)) AS sqq,
+                 SUM(CAST(round(l_discount * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)) AS sdd,
+                 SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)) AS sqd
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               CAST(sq AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mean_qty,
+               SQRT((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+               / 100.0 AS stddev_qty,
+               SQRT((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+               / 100.0 AS stddev_disc,
+               (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+                - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                       - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                         - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+               AS corr_qty_disc
+        FROM g ORDER BY l_returnflag
+    """,
+    "window_cume_dist": """
+        SELECT o_orderkey, o_orderstatus,
+               CUME_DIST() OVER w AS cd,
+               PERCENT_RANK() OVER w AS pr
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
     "event_sessionize_batch": """
         WITH gaps AS (
           SELECT user_id, ts,
