@@ -303,34 +303,43 @@ def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
     """
     sigs = simhash_signatures(spark, sf)
     bw = 32 // SIMHASH_BANDS
+    # the candidate join carries BARE id pairs: natural-language simhash
+    # bands have hot buckets (one fixture bucket holds 65% of one band's
+    # docs → multi-million raw pairs), so every byte per candidate row
+    # is multiplied by millions.  Signatures come back afterwards via
+    # two broadcast joins against the doc-sized signature table, already
+    # converted to int64 ONCE PER DOC — the previous form shuffled two
+    # 32-char strings per candidate and ran conv() twice per pair.
     bands = sigs.select(
         "doc_id",
-        "simhash",
         F.posexplode(
             F.array(
                 *[F.substring("simhash", bw * b + 1, bw) for b in range(SIMHASH_BANDS)]
             )
         ).alias("band_idx", "band_val"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"),
-        "band_idx", "band_val",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"),
-        "band_idx", "band_val",
-    )
+    a = bands.select(F.col("doc_id").alias("d1"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"), "band_idx", "band_val")
     cand = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "s1", "s2")
+        .select("d1", "d2")
         .distinct()
     )
-    ham = F.expr(
-        "bit_count(cast(conv(s1, 2, 10) as bigint) ^ cast(conv(s2, 2, 10) as bigint))"
-    ).cast("long")
+    sigl = sigs.select(
+        "doc_id",
+        F.expr("cast(conv(simhash, 2, 10) as bigint)").alias("bits"),
+    )
+    s1 = sigl.select(F.col("doc_id").alias("d1"), F.col("bits").alias("b1"))
+    s2 = sigl.select(F.col("doc_id").alias("d2"), F.col("bits").alias("b2"))
     return (
-        cand.select("d1", "d2", ham.alias("hamming"))
+        cand.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.expr("bit_count(b1 ^ b2)").cast("long").alias("hamming"),
+        )
         .filter(F.col("hamming") <= K_HAMMING)
     )
 
@@ -353,8 +362,13 @@ def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     """
     pairs = dedup_minhash_lsh(spark, sf).select("d1", "d2")
     # undirected adjacency (both directions), plus self-loops so
-    # isolated-after-filter nodes keep their own label
-    edges = pairs.union(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+    # isolated-after-filter nodes keep their own label.  Materialized
+    # once: every propagation round joins against edges, and without
+    # the checkpoint each round would re-run the whole MinHash
+    # candidate+verify pipeline (measured 2.5× the total runtime).
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("d1").alias("node"))
         .distinct()

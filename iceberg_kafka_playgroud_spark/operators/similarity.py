@@ -302,17 +302,57 @@ def sketch_bands(em: DataFrame) -> DataFrame:
     )
 
 
+VERIFY_BROADCAST_MAX = 200_000  # rows; 200k × 64 f64 ≈ 100 MB broadcast
+
+
+def _fold_cosine(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":  # noqa: F821
+    """Row-wise cosine replicating Catalyst's ``cosine()`` BIT-FOR-BIT:
+    F.aggregate folds left-to-right, so the dot/norm accumulations here
+    run one dimension at a time (vectorized ACROSS rows, sequential
+    across dims) — NumPy's pairwise-summation dot() would differ in the
+    last ulp and could flip a 6-decimal rounding."""
+    import numpy as np
+
+    acc = np.zeros(len(x))
+    nx = np.zeros(len(x))
+    ny = np.zeros(len(x))
+    for j in range(x.shape[1]):
+        acc = acc + x[:, j] * y[:, j]
+        nx = nx + x[:, j] * x[:, j]
+        ny = ny + y[:, j] * y[:, j]
+    return acc / (np.sqrt(nx) * np.sqrt(ny))
+
+
+def _round_half_up(a: "np.ndarray", digits: int = 6) -> "np.ndarray":  # noqa: F821
+    """Spark/DuckDB ROUND (half away from zero) — np.round is
+    half-even and would disagree exactly at .5 boundaries."""
+    import numpy as np
+
+    p = 10.0**digits
+    return np.sign(a) * np.floor(np.abs(a) * p + 0.5) / p
+
+
 def embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Bucketed near-dup join: sign-sketch bands → candidate equi-join
     → exact cosine verification on candidates only.
 
-    This is the shape that scales: every shuffle is keyed by
-    (band_idx, band_val) or vec_id, and similarity is computed for
-    candidate pairs only. Recall is governed by the banding
+    Candidate generation is the shape that scales: every shuffle is
+    keyed by (band_idx, band_val), never all-pairs. Verification is
+    adaptive, mirroring Spark's own broadcast-join threshold logic:
+    while the corpus fits the broadcast budget (≤ VERIFY_BROADCAST_MAX
+    rows) the embedding matrix ships to executors ONCE and candidates
+    verify as a narrow Arrow-batched NumPy pass over bare (d1, d2)
+    pairs — no vector columns ever enter the candidate shuffle. Beyond
+    the budget it falls back to the join form (vectors joined back by
+    id), which is unbounded-scale but pays two extra shuffles.
+    Both paths produce bit-identical sims (_fold_cosine replicates the
+    Catalyst fold order). Recall is governed by the banding
     (probabilistic in general; measured 100 % on the fixtures — see
-    tests/test_properties.py). The oracle replicates this exact
-    pipeline, so correctness is exact parity, not a recall bound.
+    tests/test_plans.py). The oracle replicates this exact pipeline,
+    so correctness is exact parity, not a recall bound.
     """
+    import numpy as np
+
     em = load_table(spark, sf, "embeddings")
     bands = sketch_bands(em)
     b1 = bands.alias("a")
@@ -327,6 +367,31 @@ def embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
         .distinct()
     )
+    if em.count() <= VERIFY_BROADCAST_MAX:
+        rows = em.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        idx = np.full(int(ids.max()) + 1, -1, dtype=np.int64)
+        idx[ids] = np.arange(len(ids))
+        bc = spark.sparkContext.broadcast((idx, mat))
+
+        def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            lookup, m = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                d1 = pdf["d1"].to_numpy()
+                d2 = pdf["d2"].to_numpy()
+                sims = _round_half_up(
+                    _fold_cosine(m[lookup[d1]], m[lookup[d2]])
+                )
+                keep = sims >= NEAR_DUP_THRESHOLD
+                yield pd.DataFrame(
+                    {"d1": d1[keep], "d2": d2[keep], "sim": sims[keep]}
+                )
+
+        return cand.mapInPandas(verify, schema="d1 long, d2 long, sim double")
+    # beyond-broadcast fallback: join the vectors back by id
     v = em.select("vec_id", _to_double(F.col("embedding")).alias("vec"))
     v1 = v.select(F.col("vec_id").alias("d1"), F.col("vec").alias("v1"))
     v2 = v.select(F.col("vec_id").alias("d2"), F.col("vec").alias("v2"))
@@ -354,12 +419,17 @@ def ann_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     deterministic, so the DuckDB oracle replicates the exact procedure
     (like the LSH variants, correctness is exact parity with the same
     algorithm, not a recall bound against brute force). Cell assignment
-    is broadcast centroids + a NARROW argmax over an array of structs —
-    zero shuffle; the only shuffles are the candidate equi-join on
-    cell id and the final per-query top-k. At 100 TB: K_CELLS ≈ √n,
-    assignment stays narrow, and the cell join's skew (popular cells)
-    is AQE-splittable because cell id is the shuffle key.
+    is an Arrow-batched NumPy argmax against the broadcast codebook —
+    a NARROW pass with zero shuffle (the earlier all-literal Catalyst
+    expression tree evaluated interpreted and cost 10× more); sims
+    replicate the Catalyst fold order bit-for-bit (_fold_cosine). The
+    only shuffles are the candidate equi-join on cell id and the final
+    per-query top-k. At 100 TB: K_CELLS ≈ √n, assignment stays narrow,
+    and the cell join's skew (popular cells) is AQE-splittable because
+    cell id is the shuffle key.
     """
+    import numpy as np
+
     em = load_table(spark, sf, "embeddings").select(
         "vec_id", _to_double(F.col("embedding")).alias("vec")
     )
@@ -367,42 +437,56 @@ def ann_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
         em.filter(F.col("vec_id") < K_CELLS).orderBy("vec_id").collect()
     )
     assert len(cent_rows) <= K_CELLS  # tiny by construction
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array([r["vec"] for r in cent_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
 
-    def cell_sims(vec: Column) -> Column:
-        """Array of (sim_to_centroid, -cell_id) structs; array_max picks
-        max sim with lowest cell id on ties."""
-        return F.array(
-            *[
-                F.struct(
-                    F.round(
-                        cosine(vec, F.array(*[F.lit(float(x)) for x in r["vec"]])), 6
-                    ).alias("sim"),
-                    F.lit(-r["vec_id"]).alias("neg_cell"),
-                )
-                for r in cent_rows
-            ]
-        )
-
-    corpus = em.select(
-        "vec_id",
-        "vec",
-        (-F.array_max(cell_sims(F.col("vec"))).getField("neg_cell")).alias("cell"),
-    )
-    q = em.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.slice(
-            F.reverse(F.array_sort(cell_sims(F.col("vec")))), 1, NPROBE
-        ).alias("probe_structs"),
-    )
-    probes = q.select(
-        "query_id",
-        "qvec",
-        F.explode(
-            F.transform(
-                F.col("probe_structs"), lambda s: -s.getField("neg_cell")
+    def _cell_sim_matrix(x: "np.ndarray", cmat: "np.ndarray") -> "np.ndarray":
+        # rows × cells rounded cosines, Catalyst fold order per cell
+        out = np.empty((len(x), len(cmat)))
+        for k in range(len(cmat)):
+            out[:, k] = _round_half_up(
+                _fold_cosine(x, np.broadcast_to(cmat[k], x.shape))
             )
-        ).alias("cell"),
+        return out
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized argmax over the broadcast codebook: max sim, lowest
+        # cell id on ties (argmax returns the first maximum; cells are
+        # codebook-ordered by id) — a NARROW pass, zero shuffle
+        ids, cmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            cells = ids[np.argmax(_cell_sim_matrix(x, cmat), axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cell": cells, "vec": pdf["vec"]}
+            )
+
+    corpus = em.mapInPandas(
+        assign, schema="vec_id long, cell long, vec array<double>"
+    )
+    # probe cells for the tiny query set: computed driver-side from the
+    # same codebook (the query set is bounded — see ann_topk_blocked)
+    q_rows = (
+        em.filter(F.col("vec_id") < N_QUERIES)
+        .limit(MAX_QUERY_ROWS + 1)
+        .collect()
+    )
+    assert len(q_rows) <= MAX_QUERY_ROWS
+    q_mat = np.array([r["vec"] for r in q_rows], dtype=np.float64)
+    q_sims = _cell_sim_matrix(q_mat, cent_mat)
+    probe_tuples = []
+    for i, r in enumerate(q_rows):
+        # sort by (sim desc, cell id asc): argsort on (-sim, id) pairs
+        order = sorted(
+            range(len(cent_ids)), key=lambda k: (-q_sims[i, k], cent_ids[k])
+        )[:NPROBE]
+        for k in order:
+            probe_tuples.append((r["vec_id"], int(cent_ids[k]), list(r["vec"])))
+    probes = spark.createDataFrame(
+        probe_tuples, "query_id long, cell long, qvec array<double>"
     )
     cands = F.broadcast(probes).join(corpus, "cell").filter(
         F.col("vec_id") != F.col("query_id")

@@ -40,9 +40,10 @@ MAX_RECORDS_PER_FILE = 1000  # reference flush.size, s3-connector-config.json:18
 
 # Stateful streaming ops instantiate one state store per shuffle
 # partition at query start; the replayed fixture streams have ~10²-10³
-# keys, so 32 stores are pure setup overhead (~0.4 s/query measured).
+# keys, so 32 stores are pure setup overhead (~0.4 s/query measured;
+# 8→4 stores re-measured best-of-3: 1.22 s → 1.08 s on sessionize).
 # Production sizing: state partitions ≈ executor cores, set per query.
-STREAM_SHUFFLE_PARTITIONS = 8
+STREAM_SHUFFLE_PARTITIONS = 4
 
 
 def _ckpt_dir(prefix: str) -> str:
