@@ -97,6 +97,7 @@ _PRIORITY = [
     "dedup_keep_canonical", "embedding_centroids",
     "event_sessionize_batch", "stream_upsert_latest",
     "agg_stats_moments", "window_cume_dist",
+    "regex_functions", "bit_functions", "array_set_functions",
 ]
 
 

@@ -228,7 +228,65 @@ def event_time_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def regex_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex family: extract / replace / rlike. Patterns stay within
+    the POSIX-compatible subset (character classes, alternation) that
+    Java and RE2-style engines interpret identically — the portability
+    rule for any cross-engine regex pipeline."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^([0-9]+)", 1)
+        .cast("int")
+        .alias("prio_num"),
+        F.regexp_replace(F.lower("o_orderpriority"), r"[^a-z]+", "_").alias(
+            "prio_slug"
+        ),
+        F.col("o_orderpriority").rlike("URGENT|HIGH").alias("is_critical"),
+    )
+
+
+def bit_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise family: and/or/xor, shifts, popcount — the primitives
+    hash-partitioners and bitmap sketches are built from; all evaluate
+    inside whole-stage codegen on primitive longs."""
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.expr("event_id & 255").alias("low_byte"),
+        F.expr("event_id | 4096").alias("with_flag"),
+        F.expr("event_id ^ user_id").alias("x"),
+        F.expr("shiftleft(event_id, 2)").alias("shl"),
+        F.expr("shiftright(event_id, 3)").alias("shr"),
+        F.expr("bit_count(event_id)").cast("int").alias("bc"),
+    )
+
+
+def array_set_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Array set algebra: union / intersect / except over token
+    windows, normalized through array_sort so the comparison is
+    order-insensitive (Spark's set functions keep first-occurrence
+    order; the oracle's list ops keep theirs — sorting makes both
+    canonical). Narrow per-row expressions, zero shuffle."""
+    from .text import tokens
+
+    d = load_table(spark, sf, "documents")
+    with_toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    a = F.slice("toks", 1, 5)
+    b = F.slice("toks", 3, 5)
+    return with_toks.select(
+        "doc_id",
+        F.array_sort(F.array_union(a, b)).alias("u"),
+        F.array_sort(F.array_intersect(a, b)).alias("i"),
+        F.array_sort(F.array_except(a, b)).alias("e"),
+        F.array_contains("toks", "spark").alias("has_spark"),
+    )
+
+
 QUERIES = {
+    "regex_functions": regex_functions,
+    "bit_functions": bit_functions,
+    "array_set_functions": array_set_functions,
     "str_functions": str_functions,
     "date_functions": date_functions,
     "math_functions": math_functions,
@@ -245,6 +303,40 @@ QUERIES = {
 }
 
 ORACLES = {
+    "regex_functions": """
+        SELECT o_orderkey,
+               CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS INT)
+                 AS prio_num,
+               regexp_replace(lower(o_orderpriority), '[^a-z]+', '_', 'g')
+                 AS prio_slug,
+               regexp_matches(o_orderpriority, 'URGENT|HIGH') AS is_critical
+        FROM orders
+    """,
+    "bit_functions": """
+        SELECT event_id,
+               event_id & 255 AS low_byte,
+               event_id | 4096 AS with_flag,
+               xor(event_id, user_id) AS x,
+               event_id << 2 AS shl,
+               event_id >> 3 AS shr,
+               CAST(bit_count(event_id) AS INT) AS bc
+        FROM events
+    """,
+    "array_set_functions": """
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '), x -> x != '')
+                            AS toks
+                   FROM documents)
+        SELECT doc_id,
+               list_sort(list_distinct(list_concat(toks[1:5], toks[3:7])))
+                 AS u,
+               list_sort(list_distinct(list_filter(toks[1:5],
+                   x -> list_contains(toks[3:7], x)))) AS i,
+               list_sort(list_distinct(list_filter(toks[1:5],
+                   x -> NOT list_contains(toks[3:7], x)))) AS e,
+               list_contains(toks, 'spark') AS has_spark
+        FROM t
+    """,
     "str_functions": """
         SELECT c_custkey,
                upper(c_name) AS uname,
