@@ -154,13 +154,84 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def multimodal_audio_rms(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-feature shape: payload bytes as an 8-bit PCM waveform,
+    RMS energy per fixed 64-sample window — the windowed-DSP pattern
+    (VAD, loudness normalization) over a binary column.
+
+    mapInPandas + NumPy: the sum of squares per window is exact int64
+    (byte values ≤ 255 → Σb² ≤ 64·65025, no float accumulation), and
+    the final RMS is the single IEEE expression sqrt(ss/n) written
+    identically in the oracle — bit-exact parity for a DSP feature.
+    Zero shuffle; scales linearly with input splits.
+    """
+    import numpy as np
+
+    src = with_payload(load_table(spark, sf, "documents"))
+
+    def rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "win_idx": [], "n_samples": [], "rms": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                for j in range(0, (len(b) - 1) // FRAME_BYTES + 1):
+                    w = b[FRAME_BYTES * j : FRAME_BYTES * (j + 1)]
+                    ss = int((w * w).sum())
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(j)
+                    out["n_samples"].append(len(w))
+                    out["rms"].append(float(np.sqrt(ss / len(w))))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        rms, schema="doc_id long, win_idx long, n_samples long, rms double"
+    )
+
+
 QUERIES = {
+    "multimodal_audio_rms": multimodal_audio_rms,
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES = {
+    # byte values come from hex pairs of the encoded blob (byte-based,
+    # not char-based — valid for any payload); Σb² is integer-exact and
+    # the RMS expression matches the Spark side token for token
+    "multimodal_audio_rms": """
+        WITH docs AS (
+          SELECT doc_id, hex(encode(text)) AS h,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        ),
+        wins AS (
+          SELECT doc_id, h, n,
+                 unnest(generate_series(0,
+                     CAST(ceil(CAST(n AS DOUBLE) / 64) - 1 AS BIGINT)))
+                   AS win_idx
+          FROM docs
+        ),
+        stats AS (
+          SELECT doc_id, win_idx,
+                 least(64, n - 64 * win_idx) AS n_samples,
+                 list_aggregate(list_transform(
+                     generate_series(1, least(64, n - 64 * win_idx)),
+                     i -> CAST(CAST(concat('0x',
+                              substring(h, CAST(128 * win_idx + 2*i - 1
+                                        AS INT), 2)) AS INTEGER) AS BIGINT)
+                          * CAST(concat('0x',
+                              substring(h, CAST(128 * win_idx + 2*i - 1
+                                        AS INT), 2)) AS INTEGER)), 'sum')
+                   AS ss
+          FROM wins
+        )
+        SELECT doc_id, win_idx, CAST(n_samples AS BIGINT) AS n_samples,
+               sqrt(CAST(ss AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms
+        FROM stats
+    """,
     # the stub decode is pure BYTE arithmetic; oracles operate on the
     # hex encoding of the utf-8 bytes (2 hex chars per byte), so every
     # offset, length, and hash below is byte-exact even for multibyte
