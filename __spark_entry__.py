@@ -98,7 +98,7 @@ _PRIORITY = [
     "event_sessionize_batch", "stream_upsert_latest",
     "agg_stats_moments", "window_cume_dist",
     "regex_functions", "bit_functions", "array_set_functions",
-    "multimodal_audio_rms",
+    "multimodal_audio_rms", "curation_pipeline_end_to_end",
 ]
 
 

@@ -287,11 +287,54 @@ def dedup_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def curation_pipeline_end_to_end(spark: SparkSession, sf: str) -> DataFrame:
+    """The whole corpus-build pipeline as ONE composed plan: length
+    gate → English gate → canonical dedup (keep first) → deterministic
+    split → per-(split, source) shard manifest with document and token
+    counts.  This is the query a dataset release actually runs; every
+    stage is the operator tested individually above, and composing them
+    costs two shuffles total (the dedup window's hash partition and the
+    final manifest aggregation) because all intermediate stages are
+    narrow.
+
+    Catalyst fuses the narrow stages into the same whole-stage-codegen
+    span — the pipeline is NOT materialized between steps, which is
+    the point of declaring it as one DataFrame instead of running the
+    stages with intermediate writes.
+    """
+    from .text import normalized
+
+    d = load_table(spark, sf, "documents")
+    w = W.partitionBy(F.md5(normalized(F.col("text")))).orderBy("doc_id")
+    survivors = (
+        d.filter(
+            F.col("n_chars").between(MIN_CHARS, MAX_CHARS)
+            & (F.col("lang") == "en")
+        )
+        .withColumn("dup_rk", F.row_number().over(w))
+        .filter(F.col("dup_rk") == 1)
+    )
+    return (
+        survivors.select(
+            _split_col().alias("split"),
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split", "source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "curation_pipeline_end_to_end": curation_pipeline_end_to_end,
     "split_train_val_test": split_train_val_test,
     "stratified_sample_per_source": stratified_sample_per_source,
     "sequence_pack_contiguous": sequence_pack_contiguous,
@@ -324,6 +367,20 @@ sh AS (
 """
 
 ORACLES = {
+    "curation_pipeline_end_to_end": (
+        "WITH gated AS ("
+        "  SELECT doc_id, source, text, "
+        f"  ROW_NUMBER() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) "
+        "    AS dup_rk "
+        "  FROM documents "
+        f"  WHERE n_chars BETWEEN {MIN_CHARS} AND {MAX_CHARS} "
+        "    AND lang = 'en'), "
+        "survivors AS (SELECT * FROM gated WHERE dup_rk = 1) "
+        f"SELECT {_SPLIT_SQL} AS split, source, COUNT(*) AS n_docs, "
+        "SUM(CAST(len(list_filter(string_split(text, ' '), x -> x != '')) "
+        "AS BIGINT)) AS total_tokens "
+        "FROM survivors GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
     "split_train_val_test": (
         f"SELECT {_SPLIT_SQL} AS split, COUNT(*) AS n_docs, "
         "SUM(n_chars) AS total_chars "
