@@ -99,6 +99,7 @@ _PRIORITY = [
     "agg_stats_moments", "window_cume_dist",
     "regex_functions", "bit_functions", "array_set_functions",
     "multimodal_audio_rms", "curation_pipeline_end_to_end",
+    "events_zscore_normalize", "user_behavior_features",
 ]
 
 

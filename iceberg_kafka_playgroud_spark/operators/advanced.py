@@ -404,11 +404,79 @@ def window_cume_dist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def events_zscore_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type z-score normalization of event values — the two-pass
+    feature-scaling pattern: exact int64 moment sums per event type
+    (population variance), broadcast back, then a narrow per-row
+    normalization. At 100 TB the moments table is types-sized, the
+    broadcast is trivial, and the second pass is zero-shuffle.
+
+    All float expressions (mean, sqrt-variance, the z division) are
+    written identically in the oracle, so parity is bit-exact like
+    ``agg_stats_moments``."""
+    e = load_table(spark, sf, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    moments = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vc).alias("sv"),
+        F.sum(vc * vc).alias("svv"),
+    )
+    nd = F.col("n").cast("double")
+    sv, svv = F.col("sv").cast("double"), F.col("svv").cast("double")
+    stats = moments.select(
+        "event_type",
+        (sv / F.lit(100.0) / nd).alias("mean_v"),
+        (F.sqrt((nd * svv - sv * sv) / (nd * nd)) / F.lit(100.0)).alias(
+            "std_v"
+        ),
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            ((F.col("value") - F.col("mean_v")) / F.col("std_v")).alias(
+                "z"
+            ),
+        )
+    )
+
+
+def user_behavior_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user feature extraction — the feature-store aggregation: one
+    map-side-combined shuffle on user_id producing event counts,
+    distinct types, first/last activity, and exact money totals. The
+    canonical input to downstream training joins."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("total_value"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
     "event_sessionize_batch": event_sessionize_batch,
     "agg_stats_moments": agg_stats_moments,
     "window_cume_dist": window_cume_dist,
+    "events_zscore_normalize": events_zscore_normalize,
+    "user_behavior_features": user_behavior_features,
     "interval_join_events": interval_join_events,
     "agg_salted_skew": agg_salted_skew,
     "sample_hash_bucket": sample_hash_bucket,
@@ -433,6 +501,37 @@ _BUCKET = (
 )
 
 ORACLES = {
+    "events_zscore_normalize": """
+        WITH m AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(CAST(round(value * 100) AS BIGINT)) AS sv,
+                 SUM(CAST(round(value * 100) AS BIGINT)
+                     * CAST(round(value * 100) AS BIGINT)) AS svv
+          FROM events GROUP BY event_type
+        ),
+        s AS (
+          SELECT event_type,
+                 CAST(sv AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mean_v,
+                 SQRT((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                       - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 100.0
+                   AS std_v
+          FROM m
+        )
+        SELECT event_id, e.event_type, value,
+               (value - mean_v) / std_v AS z
+        FROM events e JOIN s ON e.event_type = s.event_type
+    """,
+    "user_behavior_features": """
+        SELECT user_id, COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_types,
+               MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS total_value,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS n_purchases
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
     "agg_stats_moments": """
         WITH g AS (
           SELECT l_returnflag, COUNT(*) AS n,
