@@ -307,3 +307,27 @@ def test_centroids_partial_aggregation(spark, sf_dir):
     # the shuffle carries (label, dim) cells, not exploded elements
     plan = physical_plan(similarity.embedding_centroids(spark, sf_dir))
     assert "partial_sum" in plan
+
+
+def test_zscore_broadcasts_moments(spark, sf_dir):
+    # the types-sized moments table must broadcast; the second pass
+    # over events is narrow (no shuffle of the fact side)
+    plan = physical_plan(advanced.events_zscore_normalize(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_audio_rms_is_narrow(spark, sf_dir):
+    # windowed DSP fans out rows but never shuffles
+    from iceberg_kafka_playgroud_spark.operators import multimodal
+
+    plan = physical_plan(multimodal.multimodal_audio_rms(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_curation_pipeline_two_shuffles(spark, sf_dir):
+    # dedup window hash partition + final manifest agg (+ output sort);
+    # the narrow gates/split stages must add no exchanges
+    from iceberg_kafka_playgroud_spark.operators import curation
+
+    plan = physical_plan(curation.curation_pipeline_end_to_end(spark, sf_dir))
+    assert plan.count("Exchange") <= 6  # ≤3 physical, printed twice each
