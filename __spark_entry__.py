@@ -100,6 +100,7 @@ _PRIORITY = [
     "regex_functions", "bit_functions", "array_set_functions",
     "multimodal_audio_rms", "curation_pipeline_end_to_end",
     "events_zscore_normalize", "user_behavior_features",
+    "snapshot_expire", "snapshot_incremental_read",
 ]
 
 

@@ -267,9 +267,109 @@ def snapshot_files(spark: SparkSession, sf: str) -> DataFrame:
     return files_df(spark, table_dir).select("bucket", "record_count")
 
 
+def expire_snapshots(
+    spark: SparkSession, table_dir: str, keep_last: int = 1
+) -> dict:
+    """Iceberg ``expire_snapshots`` analog: drop all but the last
+    ``keep_last`` snapshot manifests and delete data files no live
+    manifest references.  Metadata-only except the orphan unlink —
+    planning cost is O(total files), no data is read or moved.
+    Returns counts for inspection."""
+    cur = current_snapshot_id(table_dir)
+    keep = set(range(max(1, cur - keep_last + 1), cur + 1))
+    live: set[str] = set()
+    for sid in keep:
+        live |= {f["path"] for f in load_manifest(table_dir, sid)["files"]}
+    expired = 0
+    for sid in range(1, cur + 1):
+        if sid not in keep:
+            os.remove(_snap_path(table_dir, sid))
+            expired += 1
+    removed = 0
+    for p in _glob.glob(os.path.join(table_dir, DATA_DIR, "**", "*.parquet"),
+                        recursive=True):
+        rel = os.path.relpath(p, os.path.join(table_dir, DATA_DIR))
+        if rel not in live:
+            os.remove(p)
+            removed += 1
+    return {"expired_snapshots": expired, "removed_files": removed,
+            "live_files": len(live)}
+
+
+def snapshot_expire(spark: SparkSession, sf: str) -> DataFrame:
+    """Maintenance contract: after expiring to the compacted snapshot
+    only, the historical manifests are gone, the pre-compaction data
+    files are unlinked, and the table still reads back exactly — the
+    row count and exact amount sum survive (VALUES-style deterministic
+    oracle like the other snapshot queries)."""
+    table_dir = _build_demo_table(spark)
+    stats = expire_snapshots(spark, table_dir, keep_last=1)
+    remaining = len(
+        _glob.glob(os.path.join(table_dir, SNAP_DIR, "v*.json"))
+    )
+    final = read_snapshot(spark, table_dir).agg(
+        F.count("*").alias("rows_after_expire"),
+        (
+            F.sum(F.round(F.col("amount") * 100).cast("long")).cast("double")
+            / F.lit(100.0)
+        ).alias("amount_sum"),
+    )
+    return final.select(
+        F.lit(stats["expired_snapshots"]).cast("long").alias("expired_snapshots"),
+        F.lit(stats["removed_files"]).cast("long").alias("removed_files"),
+        F.lit(remaining).cast("long").alias("live_snapshots"),
+        "rows_after_expire",
+        "amount_sum",
+    )
+
+
+def read_incremental(
+    spark: SparkSession, table_dir: str, from_sid: int, to_sid: int
+) -> DataFrame:
+    """Incremental scan (Iceberg incremental-append consumption): the
+    rows in files added strictly after ``from_sid`` up to ``to_sid``.
+    For append-only history this is exactly the manifest file-list
+    difference — planning cost O(files), no diffing of row data."""
+    base = {f["path"] for f in load_manifest(table_dir, from_sid)["files"]}
+    target = load_manifest(table_dir, to_sid)
+    added = [f["path"] for f in target["files"] if f["path"] not in base]
+    if not added:
+        return read_snapshot(spark, table_dir, to_sid).limit(0)
+    paths = [os.path.join(table_dir, DATA_DIR, p) for p in added]
+    return spark.read.parquet(*paths)
+
+
+def snapshot_incremental_read(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC-style consumption: per (from, to) snapshot window over the
+    append history, the incremental read returns exactly the rows of
+    the intervening appends — count and exact amount sum pinned by the
+    deterministic fabric oracle."""
+    table_dir = _build_demo_table(spark)
+    out = None
+    for lo, hi in [(1, 2), (2, 3), (1, 3)]:
+        part = read_incremental(spark, table_dir, lo, hi).agg(
+            F.count("*").alias("added_rows"),
+            (
+                F.sum(F.round(F.col("amount") * 100).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("added_amount_sum"),
+        ).select(
+            F.lit(lo).cast("long").alias("from_snapshot"),
+            F.lit(hi).cast("long").alias("to_snapshot"),
+            "added_rows",
+            "added_amount_sum",
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
 QUERIES = {
     "snapshot_time_travel": snapshot_time_travel,
     "snapshot_files": snapshot_files,
+    "snapshot_expire": snapshot_expire,
+    "snapshot_incremental_read": snapshot_incremental_read,
 }
 
 # fabric invariants (sources/rate_fabric.py): row id's timestamp is
@@ -306,5 +406,31 @@ ORACLES = {
         SELECT CAST(bucket AS BIGINT) AS bucket,
                COUNT(*) AS record_count
         FROM fab GROUP BY bucket
+    """,
+    # expire keeps only the compacted snapshot: 3 manifests dropped,
+    # the 12 pre-compaction bucket files unlinked, 1 manifest left,
+    # and the table reads back in full
+    "snapshot_expire": f"""
+        WITH {_FAB}
+        SELECT CAST(3 AS BIGINT) AS expired_snapshots,
+               CAST(12 AS BIGINT) AS removed_files,
+               CAST(1 AS BIGINT) AS live_snapshots,
+               (SELECT COUNT(*) FROM fab) AS rows_after_expire,
+               (SELECT CAST(SUM(cents) AS DOUBLE) / 100.0 FROM fab)
+                 AS amount_sum
+    """,
+    # append k covers fabric ids [k*400, (k+1)*400)
+    "snapshot_incremental_read": f"""
+        WITH {_FAB},
+        w AS (SELECT * FROM (VALUES
+            (1, 2, 400, 800), (2, 3, 800, 1200), (1, 3, 400, 1200)
+        ) AS t(from_snapshot, to_snapshot, lo, hi))
+        SELECT CAST(from_snapshot AS BIGINT) AS from_snapshot,
+               CAST(to_snapshot AS BIGINT) AS to_snapshot,
+               (SELECT COUNT(*) FROM fab
+                WHERE id >= w.lo AND id < w.hi) AS added_rows,
+               (SELECT CAST(SUM(cents) AS DOUBLE) / 100.0 FROM fab
+                WHERE id >= w.lo AND id < w.hi) AS added_amount_sum
+        FROM w
     """,
 }

@@ -35,3 +35,31 @@ def test_compaction_rewrites_files_not_content(spark, tmp_path):
     assert S.files_df(spark, t).count() == S.N_BUCKETS < n_files_before
     op = {r["snapshot_id"]: r["operation"] for r in S.snapshots_df(spark, t).collect()}
     assert op[sid] == "replace"
+
+
+def test_expire_drops_history_keeps_current(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.commit_append(spark, t, S._fabric_slice(spark, 0, 100))
+    S.commit_append(spark, t, S._fabric_slice(spark, 100, 200))
+    S.rewrite_data_files(spark, t)
+    before = _rows(S.read_snapshot(spark, t))
+    stats = S.expire_snapshots(spark, t, keep_last=1)
+    assert stats["expired_snapshots"] == 2
+    # current snapshot unaffected; history unreachable
+    assert _rows(S.read_snapshot(spark, t)) == before
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        S.load_manifest(t, 1)
+
+
+def test_incremental_read_is_append_diff(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    a = S._fabric_slice(spark, 0, 100)
+    b = S._fabric_slice(spark, 100, 250)
+    S.commit_append(spark, t, a)
+    S.commit_append(spark, t, b)
+    inc = S.read_incremental(spark, t, 1, 2)
+    assert _rows(inc) == _rows(b)
+    # empty window → empty frame with the right schema
+    assert S.read_incremental(spark, t, 2, 2).count() == 0
