@@ -438,8 +438,67 @@ def stream_upsert_latest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stream_snapshot_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's core loop, end to end: a rate-limited stream
+    committing one SNAPSHOT per micro-batch into the versioned table
+    layer (Kafka → Iceberg with 5 s commits, connector-config.json:24-27
+    — here the file-replay source and the jar-absent snapshot analog,
+    snapshots.py). Each foreachBatch epoch is one atomic manifest
+    commit; the output reads the snapshot metadata BACK from the table
+    and proves per-commit lineage: operation, files and records added
+    per snapshot, and the exactly-once cumulative total.
+
+    At 100 TB this is the pattern that bounds ingestion memory (bounded
+    batches), keeps commits atomic (manifest swap), and makes the lake
+    time-travelable per micro-batch.
+    """
+    from .. import snapshots as S
+    from ..schema import load_table
+
+    events = load_table(spark, sf, "events")
+    stage = tempfile.mkdtemp(prefix="snap_ingest_src_")
+    events.repartition(N_RATE_FILES).write.mode("overwrite").parquet(stage)
+    table_dir = tempfile.mkdtemp(prefix="snap_ingest_tbl_")
+
+    def commit_batch(bdf: DataFrame, _bid: int) -> None:
+        S.commit_append(
+            spark,
+            table_dir,
+            bdf.select(
+                "event_id",
+                "user_id",
+                "value",
+                (F.col("user_id") % S.N_BUCKETS).alias(S.BUCKET_COL),
+            ),
+        )
+
+    with _stream_partitions(spark):
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", _ckpt_dir("snap_ingest_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    snaps = S.snapshots_df(spark, table_dir)
+    w = W.orderBy("snapshot_id")
+    return snaps.select(
+        "snapshot_id",
+        "operation",
+        "total_records",
+        (
+            F.col("total_records")
+            - F.coalesce(F.lag("total_records").over(w), F.lit(0))
+        ).alias("added_records"),
+    ).orderBy("snapshot_id")
+
+
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_snapshot_ingest": stream_snapshot_ingest,
     "stream_upsert_latest": stream_upsert_latest,
     "stream_rate_limited_ingest": stream_rate_limited_ingest,
     "stream_stream_join": stream_stream_join,
@@ -450,6 +509,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    # 4 even micro-batches (row count divisible by 4 at all sf), one
+    # append snapshot per batch, strictly cumulative totals
+    "stream_snapshot_ingest": """
+        WITH n AS (SELECT COUNT(*) AS total FROM events)
+        SELECT CAST(s AS BIGINT) AS snapshot_id,
+               'append' AS operation,
+               CAST(total / 4 * s AS BIGINT) AS total_records,
+               CAST(total / 4 AS BIGINT) AS added_records
+        FROM n, (SELECT unnest(generate_series(1, 4)) AS s)
+        ORDER BY snapshot_id
+    """,
     "stream_upsert_latest": """
         SELECT user_id, ts AS last_ts, event_id AS last_event_id,
                event_type AS last_event_type, value AS last_value
