@@ -164,3 +164,25 @@ def test_shingle_set_matches_reference(spark, texts):
         got.setdefault(row.doc_id, set()).add(row.shingle)
     for i, t in enumerate(texts):
         assert got.get(i, set()) == _py_shingles(t), f"doc {i}: {t!r}"
+
+
+def test_numpy_half_up_round_matches_duckdb():
+    # _round_half_up backs every NumPy-verified sim; it must agree with
+    # DuckDB's ROUND (half away from zero) on the values both engines
+    # see — including negatives and exact .5 boundaries
+    import duckdb
+    import numpy as np
+
+    from iceberg_kafka_playgroud_spark.operators.similarity import (
+        _round_half_up,
+    )
+
+    rng = [x / 7.0 for x in range(-200, 200)]
+    rng += [0.1234565, -0.1234565, 0.9999995, -0.9999995, 0.45, -0.45]
+    con = duckdb.connect()
+    duck = [
+        con.execute("SELECT round(CAST(? AS DOUBLE), 6)", [v]).fetchone()[0]
+        for v in rng
+    ]
+    ours = _round_half_up(np.array(rng))
+    assert list(ours) == duck
