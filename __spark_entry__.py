@@ -101,7 +101,7 @@ _PRIORITY = [
     "multimodal_audio_rms", "curation_pipeline_end_to_end",
     "events_zscore_normalize", "user_behavior_features",
     "snapshot_expire", "snapshot_incremental_read",
-    "stream_snapshot_ingest",
+    "stream_snapshot_ingest", "stream_dim_enrichment",
 ]
 
 

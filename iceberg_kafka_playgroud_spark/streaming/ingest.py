@@ -496,8 +496,32 @@ def stream_snapshot_ingest(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("snapshot_id")
 
 
+def stream_dim_enrichment(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream–static join: the replayed event stream enriched with the
+    customer dimension (Spark joins a static DataFrame into a stream
+    natively — no state store, the dimension broadcasts into every
+    micro-batch). The row-level join result is independent of batch
+    boundaries, so the oracle is the plain batch join.
+
+    This is the slowly-changing-dimension enrichment every ingest
+    pipeline runs; at 100 TB the dimension side stays broadcast-sized
+    or becomes a keyed state join (``stream_stream_join`` covers the
+    stateful case)."""
+    from ..schema import load_table
+
+    stream = events_file_stream(spark, sf)
+    dim = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
+    )
+    return _run_to_memory(enriched, "append")
+
+
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_dim_enrichment": stream_dim_enrichment,
     "stream_snapshot_ingest": stream_snapshot_ingest,
     "stream_upsert_latest": stream_upsert_latest,
     "stream_rate_limited_ingest": stream_rate_limited_ingest,
@@ -509,6 +533,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_dim_enrichment": """
+        SELECT event_id, user_id, event_type, c_name, c_mktsegment
+        FROM events JOIN customer ON user_id = c_custkey
+    """,
     # 4 even micro-batches (row count divisible by 4 at all sf), one
     # append snapshot per batch, strictly cumulative totals
     "stream_snapshot_ingest": """
