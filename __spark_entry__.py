@@ -102,6 +102,8 @@ _PRIORITY = [
     "events_zscore_normalize", "user_behavior_features",
     "snapshot_expire", "snapshot_incremental_read",
     "stream_snapshot_ingest", "stream_dim_enrichment",
+    "sort_nulls_ordering", "agg_collect_list_set", "str_format_functions",
+    "stream_sliding_counts",
 ]
 
 

@@ -283,7 +283,72 @@ def array_set_functions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sort_nulls_ordering(spark: SparkSession, sf: str) -> DataFrame:
+    """NULLS FIRST / NULLS LAST semantics, captured as rank values (the
+    driver's compare is order-insensitive, so the placement of NULL
+    keys must be materialized into a column to be checkable): customers
+    without orders produce NULL totals via the left join; the two rank
+    columns pin both null-ordering policies."""
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.max("o_totalprice").alias("max_price"))
+    )
+    w_last = W.orderBy(
+        F.col("max_price").desc_nulls_last(), F.col("c_custkey").asc()
+    )
+    w_first = W.orderBy(
+        F.col("max_price").asc_nulls_first(), F.col("c_custkey").asc()
+    )
+    return per_cust.select(
+        "c_custkey",
+        "max_price",
+        F.row_number().over(w_last).alias("rk_desc_nulls_last"),
+        F.row_number().over(w_first).alias("rk_asc_nulls_first"),
+    )
+
+
+def agg_collect_list_set(spark: SparkSession, sf: str) -> DataFrame:
+    """Array aggregation (collect_list / collect_set), canonicalized
+    with sort_array so the nondeterministic accumulation order never
+    reaches the output — the rule for ANY engine-portable array agg."""
+    n = load_table(spark, sf, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("names"),
+            F.sort_array(F.collect_set(F.col("n_nationkey") % 5)).alias(
+                "key_mods"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+def str_format_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """printf-style formatting + pad/repeat/translate — the message-
+    fabric string interpolation family (kafka_publisher.py:304-312
+    f-strings re-expressed as column exprs)."""
+    n = load_table(spark, sf, "nation")
+    return n.select(
+        "n_nationkey",
+        F.format_string("nation_%04d", F.col("n_nationkey")).alias("tag"),
+        F.lpad("n_name", 12, ".").alias("padded"),
+        F.rpad("n_name", 12, "_").alias("rpadded"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.translate("n_name", "NATION", "nation").alias("xlate"),
+    )
+
+
 QUERIES = {
+    "sort_nulls_ordering": sort_nulls_ordering,
+    "agg_collect_list_set": agg_collect_list_set,
+    "str_format_functions": str_format_functions,
     "regex_functions": regex_functions,
     "bit_functions": bit_functions,
     "array_set_functions": array_set_functions,
@@ -303,6 +368,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sort_nulls_ordering": """
+        WITH per_cust AS (
+          SELECT c_custkey, MAX(o_totalprice) AS max_price
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        )
+        SELECT c_custkey, max_price,
+               ROW_NUMBER() OVER (ORDER BY max_price DESC NULLS LAST,
+                                  c_custkey ASC) AS rk_desc_nulls_last,
+               ROW_NUMBER() OVER (ORDER BY max_price ASC NULLS FIRST,
+                                  c_custkey ASC) AS rk_asc_nulls_first
+        FROM per_cust
+    """,
+    "agg_collect_list_set": """
+        SELECT n_regionkey,
+               list_sort(list(n_name)) AS names,
+               list_sort(list_distinct(list(n_nationkey % 5))) AS key_mods,
+               COUNT(*) AS n
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    "str_format_functions": """
+        SELECT n_nationkey,
+               printf('nation_%04d', n_nationkey) AS tag,
+               lpad(n_name, 12, '.') AS padded,
+               rpad(n_name, 12, '_') AS rpadded,
+               repeat('ab', 3) AS rep,
+               translate(n_name, 'NATION', 'nation') AS xlate
+        FROM nation
+    """,
     "regex_functions": """
         SELECT o_orderkey,
                CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS INT)

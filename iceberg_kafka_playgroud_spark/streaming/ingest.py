@@ -496,6 +496,24 @@ def stream_snapshot_ingest(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("snapshot_id")
 
 
+def stream_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding (hopping) windows: 1-hour windows advancing every 30
+    minutes, so each event lands in exactly two windows. Same
+    watermarked streaming aggregation as the tumbling form; state is
+    2× per event, still keyed and bounded. Oracle expands each event
+    into its two window starts in SQL."""
+    stream = events_file_stream(spark, sf)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("win_start"), "event_type", "n"
+    )
+
+
 def stream_dim_enrichment(spark: SparkSession, sf: str) -> DataFrame:
     """Stream–static join: the replayed event stream enriched with the
     customer dimension (Spark joins a static DataFrame into a stream
@@ -521,6 +539,7 @@ def stream_dim_enrichment(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_sliding_counts": stream_sliding_counts,
     "stream_dim_enrichment": stream_dim_enrichment,
     "stream_snapshot_ingest": stream_snapshot_ingest,
     "stream_upsert_latest": stream_upsert_latest,
@@ -536,6 +555,19 @@ ORACLES = {
     "stream_dim_enrichment": """
         SELECT event_id, user_id, event_type, c_name, c_mktsegment
         FROM events JOIN customer ON user_id = c_custkey
+    """,
+    # every event belongs to the two 1-hour windows whose starts are
+    # the two preceding 30-minute boundaries
+    "stream_sliding_counts": """
+        WITH expanded AS (
+          SELECT event_type,
+                 to_timestamp(epoch_us(ts) // 1800000000 * 1800
+                              - unnest([CAST(0 AS BIGINT),
+                                        CAST(1800 AS BIGINT)])) AS win_start
+          FROM events
+        )
+        SELECT win_start, event_type, COUNT(*) AS n
+        FROM expanded GROUP BY win_start, event_type
     """,
     # 4 even micro-batches (row count divisible by 4 at all sf), one
     # append snapshot per batch, strictly cumulative totals
