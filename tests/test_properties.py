@@ -186,3 +186,19 @@ def test_numpy_half_up_round_matches_duckdb():
     ]
     ours = _round_half_up(np.array(rng))
     assert list(ours) == duck
+
+
+def test_upsert_result_independent_of_batch_boundaries(spark, monkeypatch):
+    # the MERGE-on-key sink must produce the same table whether the
+    # backlog replays in 2 or 4 micro-batches — the associativity +
+    # total-tie-break property that makes it exactly-once under replay
+    import iceberg_kafka_playgroud_spark.streaming.ingest as ing
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(n_files):
+        monkeypatch.setattr(ing, "N_RATE_FILES", n_files)
+        df = ing.stream_upsert_latest(spark, sf)
+        return sorted(tuple(r) for r in df.collect())
+
+    assert run(2) == run(4)
