@@ -103,7 +103,7 @@ _PRIORITY = [
     "snapshot_expire", "snapshot_incremental_read",
     "stream_snapshot_ingest", "stream_dim_enrichment",
     "sort_nulls_ordering", "agg_collect_list_set", "str_format_functions",
-    "stream_sliding_counts",
+    "stream_sliding_counts", "join_salted_skew",
 ]
 
 

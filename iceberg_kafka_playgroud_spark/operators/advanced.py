@@ -404,6 +404,55 @@ def window_cume_dist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Manually salted fact-to-dim join over a pathologically skewed
+    key — the static companion to AQE's runtime skew split (pinned in
+    tests/test_plans.py): the fact side's join key is collapsed to 3
+    hot values (status), so a plain shuffle join lands ~n/3 rows on 3
+    reducers.  Salting appends a random-free deterministic salt to the
+    fact key and EXPLODES the dim side across all N_SALTS sub-keys, so
+    the join parallelism is 3·N_SALTS.  Result is row-identical to the
+    unsalted join — the oracle is the plain join + aggregation.
+
+    Use when the skew is known ahead of time (AQE's split only helps
+    sort-merge joins it can re-plan at runtime); at 100 TB this is the
+    difference between 3 straggler tasks and a balanced stage."""
+    o = load_table(spark, sf, "orders")
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "finished"), ("P", "pending")],
+        "status string, status_name string",
+    )
+    salted_fact = o.withColumn(
+        "salt", F.pmod(F.col("o_orderkey"), F.lit(N_SALTS))
+    )
+    salted_dim = dim.select(
+        "status",
+        "status_name",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))).alias("salt"),
+    )
+    # force the shuffle join the pattern addresses — a broadcast join
+    # (which Catalyst would pick for a 3-row dim) has no reduce-side
+    # skew to fix, and in the real scenario the dim is too big to ship
+    return (
+        salted_fact.join(
+            salted_dim.hint("shuffle_hash"),
+            (salted_fact.o_orderstatus == salted_dim.status)
+            & (salted_fact.salt == salted_dim.salt),
+        )
+        .groupBy("status_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("total_price"),
+        )
+        .orderBy("status_name")
+    )
+
+
 def events_zscore_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Per-type z-score normalization of event values — the two-pass
     feature-scaling pattern: exact int64 moment sums per event type
@@ -477,6 +526,7 @@ QUERIES = {
     "window_cume_dist": window_cume_dist,
     "events_zscore_normalize": events_zscore_normalize,
     "user_behavior_features": user_behavior_features,
+    "join_salted_skew": join_salted_skew,
     "interval_join_events": interval_join_events,
     "agg_salted_skew": agg_salted_skew,
     "sample_hash_bucket": sample_hash_bucket,
@@ -501,6 +551,16 @@ _BUCKET = (
 )
 
 ORACLES = {
+    "join_salted_skew": """
+        WITH dim AS (SELECT * FROM (VALUES
+            ('O', 'open'), ('F', 'finished'), ('P', 'pending')
+        ) AS t(status, status_name))
+        SELECT status_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total_price
+        FROM orders JOIN dim ON o_orderstatus = status
+        GROUP BY status_name ORDER BY status_name
+    """,
     "events_zscore_normalize": """
         WITH m AS (
           SELECT event_type, COUNT(*) AS n,

@@ -331,3 +331,12 @@ def test_curation_pipeline_two_shuffles(spark, sf_dir):
 
     plan = physical_plan(curation.curation_pipeline_end_to_end(spark, sf_dir))
     assert plan.count("Exchange") <= 6  # ≤3 physical, printed twice each
+
+
+def test_salted_join_is_shuffled_not_broadcast(spark, sf_dir):
+    # the salting demo must actually exercise a shuffle join — if the
+    # dim broadcasts there is no reduce-side skew for the salt to fix
+    plan = physical_plan(advanced.join_salted_skew(spark, sf_dir))
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "salt" in plan
