@@ -104,6 +104,7 @@ _PRIORITY = [
     "stream_snapshot_ingest", "stream_dim_enrichment",
     "sort_nulls_ordering", "agg_collect_list_set", "str_format_functions",
     "stream_sliding_counts", "join_salted_skew",
+    "null_safe_functions", "explode_outer_tokens",
 ]
 
 

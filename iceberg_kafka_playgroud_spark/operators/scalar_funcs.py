@@ -345,7 +345,44 @@ def str_format_functions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def null_safe_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL-handling family: nullif-derived NULLs put through nvl,
+    nvl2, nanvl, and the null-safe equality operator (<=> /
+    IS NOT DISTINCT FROM) — the semantics every outer-join consumer
+    depends on."""
+    o = load_table(spark, sf, "orders")
+    ns = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        ns.alias("maybe_status"),
+        F.expr("nvl(nullif(o_orderstatus, 'O'), 'OPEN')").alias("filled"),
+        F.expr(
+            "nvl2(nullif(o_orderstatus, 'O'), 'terminal', 'live')"
+        ).alias("liveness"),
+        ns.eqNullSafe(F.lit("F")).alias("is_f_nullsafe"),
+        ns.isNull().alias("was_open"),
+    )
+
+
+def explode_outer_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """posexplode_outer: documents keep a row even when the exploded
+    array is empty (NULL pos/token) — the outer-unnest semantics a
+    LEFT JOIN LATERAL provides in SQL engines. The long-token filter
+    makes some arrays genuinely empty at every sf."""
+    from .text import tokens
+
+    d = load_table(spark, sf, "documents")
+    long_toks = F.filter(
+        tokens(F.col("text")), lambda w: F.length(w) > 7
+    )
+    return d.select(
+        "doc_id", F.posexplode_outer(long_toks).alias("pos", "token")
+    )
+
+
 QUERIES = {
+    "null_safe_functions": null_safe_functions,
+    "explode_outer_tokens": explode_outer_tokens,
     "sort_nulls_ordering": sort_nulls_ordering,
     "agg_collect_list_set": agg_collect_list_set,
     "str_format_functions": str_format_functions,
@@ -368,6 +405,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "null_safe_functions": """
+        SELECT o_orderkey,
+               nullif(o_orderstatus, 'O') AS maybe_status,
+               coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS filled,
+               CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+                    THEN 'terminal' ELSE 'live' END AS liveness,
+               nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F'
+                 AS is_f_nullsafe,
+               nullif(o_orderstatus, 'O') IS NULL AS was_open
+        FROM orders
+    """,
+    "explode_outer_tokens": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(list_filter(string_split(text, ' '),
+                             x -> x != ''), w -> length(w) > 7) AS arr
+          FROM documents
+        ),
+        u AS (
+          SELECT doc_id,
+                 CAST(unnest(generate_series(0, len(arr) - 1)) AS INT)
+                   AS pos,
+                 unnest(arr) AS token
+          FROM t WHERE len(arr) > 0
+        )
+        SELECT doc_id, pos, token FROM u
+        UNION ALL
+        SELECT doc_id, CAST(NULL AS INT), CAST(NULL AS VARCHAR)
+        FROM t WHERE len(arr) = 0
+    """,
     "sort_nulls_ordering": """
         WITH per_cust AS (
           SELECT c_custkey, MAX(o_totalprice) AS max_price
