@@ -139,7 +139,14 @@ def nested_types(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def array_hof(spark: SparkSession, sf: str) -> DataFrame:
-    """Array higher-order functions over the embeddings fixture."""
+    """Array higher-order functions over the embeddings fixture.
+
+    ``sorted4`` is serialized to a comma-joined string of
+    ``floor(x*1e6 + 0.5)`` integers: the driver's pandas canonicalizer
+    cannot hash raw list cells (round-2 red row), and an integer
+    encoding sidesteps engine float-formatting differences entirely —
+    both engines run the identical IEEE double expression.
+    """
     em = load_table(spark, sf, "embeddings")
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return em.select(
@@ -150,7 +157,13 @@ def array_hof(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x), 6
         ).alias("norm_sq"),
-        F.array_sort(F.slice(vd, 1, 4)).alias("sorted4"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.slice(vd, 1, 4)),
+                lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("string"),
+            ),
+        ).alias("sorted4"),
     )
 
 
@@ -175,13 +188,28 @@ def table_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """approx_count_distinct (HLL++). No cross-engine oracle — sketch
-    internals differ by engine — so this runs under the driver's
-    rows-only check; exactness is covered by agg_count_distinct."""
+    """approx_count_distinct (HLL++) with an exact-oracle-checkable
+    contract: per group, assert the sketch estimate is within 5% of the
+    exact distinct count (rsd=0.02 leaves comfortable margin).  The
+    DuckDB oracle returns literal TRUE per group, so the driver's
+    hash compare actually pins the HLL error bound rather than just
+    running the sketch (sketch internals differ per engine, so raw
+    estimates can never cross-match)."""
     l = load_table(spark, sf, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    est = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
+        F.countDistinct("l_partkey").alias("ep"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
+        F.countDistinct("l_orderkey").alias("eo"),
+    )
+    return est.select(
+        "l_returnflag",
+        (F.abs(F.col("ap") - F.col("ep")) <= 0.05 * F.col("ep")).alias(
+            "parts_within_5pct"
+        ),
+        (F.abs(F.col("ao") - F.col("eo")) <= 0.05 * F.col("eo")).alias(
+            "orders_within_5pct"
+        ),
     )
 
 
@@ -582,11 +610,21 @@ ORACLES = {
                CAST(list_max(embedding) AS DOUBLE) AS max_val,
                round(list_sum(list_transform(embedding,
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm_sq,
-               list_sort(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))) AS sorted4
+               array_to_string(
+                   list_transform(
+                       list_sort(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))),
+                       x -> CAST(CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS VARCHAR)),
+                   ',') AS sorted4
         FROM embeddings
     """,
     "explode_unnest": """
         SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings
+    """,
+    "agg_approx_distinct": """
+        SELECT l_returnflag,
+               TRUE AS parts_within_5pct,
+               TRUE AS orders_within_5pct
+        FROM lineitem GROUP BY l_returnflag
     """,
     "table_stats": """
         SELECT COUNT(*) AS n_rows,
