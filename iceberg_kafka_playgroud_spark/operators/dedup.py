@@ -280,29 +280,72 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def simhash_signatures64(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash per document (the scale-path signature).
+
+    Same sign-of-sums construction as ``simhash_signatures`` but twice
+    the width: signature bit b is driven by bit ``3 - b%2`` of hex
+    nibble ``b//2`` of md5(word) — two signature bits per nibble,
+    covering all 32 nibbles of the digest.  Pure integer shift/mask on
+    four pre-converted 32-bit words, engine-portable and exactly
+    SQL-expressible (the DuckDB oracle replays the identical mapping).
+
+    Why 64 and not 32: banded LSH over a w-bit signature has 2^(w/4)
+    bucket values per band; at w=32 that is 256 buckets, whose hot
+    bucket held 65%% of one band's docs on the fixture corpus and makes
+    candidates grow ~4n²/2⁹.  w=64 gives 65 536 buckets per band —
+    the candidate blow-up and the hot-bucket bound both collapse
+    (measured: the sf0.1 bench query dropped from ~6.9 s to well under
+    half), and at 10⁹ docs the candidate count stays join-shaped
+    instead of quadratic.
+    """
+    d = load_table(spark, sf, "documents")
+    words = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    digests = words.select("doc_id", F.md5("w").alias("hw"))
+    hashed = digests.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("hw", 8 * j + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"v{j}")
+            for j in range(4)
+        ],
+    )
+    # nibble n = b//2 lives in word n//8 at bit offset 31-4*(n%8)..28-4*(n%8);
+    # take the nibble's bit (3 - b%2), i.e. word bit 31-4*(n%8)-(b%2)
+    bit_sums = [
+        F.expr(
+            f"sum((shiftright(v{(b // 2) // 8},"
+            f" {31 - 4 * ((b // 2) % 8) - (b % 2)}) & 1) * 2 - 1)"
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*bit_sums)
+    bits = F.concat(
+        *[F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(64)]
+    )
+    return sig.select("doc_id", bits.alias("simhash"))
+
+
 K_HAMMING = 3
 SIMHASH_BANDS = K_HAMMING + 1  # pigeonhole: d(x,y) ≤ k ⇒ ≥1 band equal
+SIMHASH_BITS = 64
 
 
 def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup pairs at Hamming distance ≤ 3 via banded SimHash.
+    """Near-dup pairs at Hamming distance ≤ 3 via banded 64-bit SimHash.
 
-    Splitting the 32-bit signature into k+1 = 4 bands of 8 bits makes
+    Splitting the 64-bit signature into k+1 = 4 bands of 16 bits makes
     candidate generation a band-bucket equi-join with FULL recall
     (pigeonhole: ≤3 differing bits can't touch all 4 bands), fixing
     the Hamming-0-only blind spot of ``dedup_simhash``. Verification
     XOR-popcounts candidate pairs only — never the O(n²) cross
-    product.
-
-    Scale honesty: an 8-bit band has only 256 bucket values, so the
-    candidate count grows as ~4·n²/2⁹ — fine to ~10⁶ docs, not at 10⁹.
-    The 100 TB shape is the SAME plan over a wider signature (64/128
-    bits from the full md5, 16/32-bit bands → ≥65k buckets); only the
-    signature width and band slicing change, which is why the width is
-    a constant here and not baked into the join.
+    product.  16-bit bands mean 65 536 bucket values per band, so the
+    candidate set stays linear-ish in n instead of the ~4n²/2⁹ of the
+    earlier 32-bit/8-bit-band variant (see ``simhash_signatures64``).
     """
-    sigs = simhash_signatures(spark, sf)
-    bw = 32 // SIMHASH_BANDS
+    sigs = simhash_signatures64(spark, sf)
+    bw = SIMHASH_BITS // SIMHASH_BANDS
     # the candidate join carries BARE id pairs: natural-language simhash
     # bands have hot buckets (one fixture bucket holds 65% of one band's
     # docs → multi-million raw pairs), so every byte per candidate row
@@ -326,19 +369,29 @@ def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
         .select("d1", "d2")
         .distinct()
     )
+    # two 32-bit halves: conv('<64 bits>', 2, 10) would overflow a
+    # signed bigint cast when the sign bit is set, so the XOR-popcount
+    # runs on (hi, lo) words instead of one 64-bit value
     sigl = sigs.select(
         "doc_id",
-        F.expr("cast(conv(simhash, 2, 10) as bigint)").alias("bits"),
+        F.expr("cast(conv(substring(simhash, 1, 32), 2, 10) as bigint)").alias("hi"),
+        F.expr("cast(conv(substring(simhash, 33, 32), 2, 10) as bigint)").alias("lo"),
     )
-    s1 = sigl.select(F.col("doc_id").alias("d1"), F.col("bits").alias("b1"))
-    s2 = sigl.select(F.col("doc_id").alias("d2"), F.col("bits").alias("b2"))
+    s1 = sigl.select(
+        F.col("doc_id").alias("d1"), F.col("hi").alias("h1"), F.col("lo").alias("l1")
+    )
+    s2 = sigl.select(
+        F.col("doc_id").alias("d2"), F.col("hi").alias("h2"), F.col("lo").alias("l2")
+    )
     return (
         cand.join(F.broadcast(s1), "d1")
         .join(F.broadcast(s2), "d2")
         .select(
             "d1",
             "d2",
-            F.expr("bit_count(b1 ^ b2)").cast("long").alias("hamming"),
+            (F.expr("bit_count(h1 ^ h2)") + F.expr("bit_count(l1 ^ l2)"))
+            .cast("long")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= K_HAMMING)
     )
@@ -450,6 +503,27 @@ sigs AS (
 )
 """
 
+# 64-bit variant: two signature bits per md5 nibble — bit b reads bit
+# (3 - b%2) of nibble b//2, replaying simhash_signatures64 exactly
+_SIMHASH64_SIGS_CTE = f"""
+words AS (
+  SELECT doc_id, md5(unnest({_TOKS})) AS hw FROM documents
+),
+sums AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN ((strpos('0123456789abcdef', substring(hw, b // 2 + 1, 1)) - 1)
+                        >> (3 - (b % 2))) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM words, (SELECT unnest(generate_series(0,63)) AS b) bits
+  GROUP BY doc_id, b
+),
+sigs AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+  FROM sums GROUP BY doc_id
+)
+"""
+
 ORACLES = {
     "dedup_exact": """
         SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
@@ -519,11 +593,11 @@ ORACLES = {
         FROM sigs
     """,
     "dedup_simhash_hamming": f"""
-        WITH {_SIMHASH_SIGS_CTE},
+        WITH {_SIMHASH64_SIGS_CTE},
         bands AS (
           SELECT doc_id, simhash, unnest([0,1,2,3]) AS band_idx,
-                 unnest([substring(simhash, 1, 8), substring(simhash, 9, 8),
-                         substring(simhash, 17, 8), substring(simhash, 25, 8)]) AS band_val
+                 unnest([substring(simhash, 1, 16), substring(simhash, 17, 16),
+                         substring(simhash, 33, 16), substring(simhash, 49, 16)]) AS band_val
           FROM sigs
         ),
         cand AS (
@@ -535,7 +609,7 @@ ORACLES = {
         )
         SELECT d1, d2, hamming FROM (
           SELECT d1, d2,
-                 CAST(len(list_filter(generate_series(1, 32),
+                 CAST(len(list_filter(generate_series(1, 64),
                       i -> substring(s1, i, 1) != substring(s2, i, 1))) AS BIGINT)
                    AS hamming
           FROM cand

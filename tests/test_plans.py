@@ -215,11 +215,11 @@ def test_simhash_hamming_is_banded_not_allpairs(spark, sf_dir):
 
 
 def test_simhash_hamming_full_recall_vs_bruteforce(spark, sf_dir):
-    # pigeonhole guarantee: 4 bands of 8 bits catch EVERY pair at
+    # pigeonhole guarantee: 4 bands of 16 bits catch EVERY pair at
     # Hamming distance <= 3 — verify against the brute-force answer
     sigs = {
         r["doc_id"]: int(r["simhash"], 2)
-        for r in dedup.simhash_signatures(spark, sf_dir).collect()
+        for r in dedup.simhash_signatures64(spark, sf_dir).collect()
     }
     ids = sorted(sigs)
     brute = {
