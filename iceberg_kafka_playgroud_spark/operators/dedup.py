@@ -453,6 +453,16 @@ def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    else:
+        # min-label propagation needs O(component diameter) rounds; a
+        # silent cap-out would return WRONG cluster labels on a corpus
+        # with a longer chain than the fixture's — fail loudly instead
+        # (same convention as bench.py's unknown-query handling)
+        raise RuntimeError(
+            f"dedup_connected_components did not converge in "
+            f"{MAX_CC_ITERS} rounds ({changed} labels still changing); "
+            f"raise MAX_CC_ITERS for this corpus"
+        )
     from pyspark.sql import Window as W
 
     out = labels.select("node", F.col("label").alias("component"))

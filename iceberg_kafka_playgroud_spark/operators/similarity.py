@@ -193,20 +193,31 @@ def embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
         out_d1, out_d2, out_sim = [], [], []
 
         def emit(ids_a, mat_a, ids_b, mat_b, triangular: bool) -> None:
+            # BLAS matmul is only a PRE-filter (pairwise summation can
+            # differ from the engines' sequential fold in the last ulp,
+            # which np.round could flip at a 6-decimal boundary); the
+            # slack margin keeps every possible boundary pair, then the
+            # survivors are recomputed with the bit-exact Catalyst-fold
+            # kernel and half-up rounding shared with the LSH/IVF paths.
             na = np.linalg.norm(mat_a, axis=1)
             nb = np.linalg.norm(mat_b, axis=1)
-            sims = np.round((mat_a @ mat_b.T) / (na[:, None] * nb[None, :]), 6)
+            approx = (mat_a @ mat_b.T) / (na[:, None] * nb[None, :])
             if triangular:
                 ii, jj = np.triu_indices(len(ids_a), k=1)
             else:
-                ii, jj = np.indices(sims.shape).reshape(2, -1)
-            keep = sims[ii, jj] >= NEAR_DUP_THRESHOLD
-            ii, jj = ii[keep], jj[keep]
+                ii, jj = np.indices(approx.shape).reshape(2, -1)
+            near = approx[ii, jj] >= NEAR_DUP_THRESHOLD - 1e-6
+            ii, jj = ii[near], jj[near]
+            if not len(ii):
+                return
+            sims = _round_half_up(_fold_cosine(mat_a[ii], mat_b[jj]))
+            keep = sims >= NEAR_DUP_THRESHOLD
+            ii, jj, sims = ii[keep], jj[keep], sims[keep]
             d1 = np.minimum(ids_a[ii], ids_b[jj])
             d2 = np.maximum(ids_a[ii], ids_b[jj])
             out_d1.append(d1)
             out_d2.append(d2)
-            out_sim.append(sims[ii, jj])
+            out_sim.append(sims)
 
         if bi == bj:
             sub = pdf

@@ -330,6 +330,27 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
 N_RATE_FILES = 4  # fixture split for the rate-limit demo
 
 
+def _stage_even_split(events: DataFrame, prefix: str) -> str:
+    """Stage the events fixture as exactly N_RATE_FILES parquet files
+    whose sizes are ROW-DETERMINISTIC: file i holds the rows with
+    event_id % N_RATE_FILES == i (event_ids are consecutive 0..n-1 in
+    every fixture, so the split is exactly even whenever n divides).
+
+    ``repartition(n)`` round-robins and is only even to ±1 per INPUT
+    partition — a multi-partition read of events (e.g. sf0.1 under a
+    32-way layout) would yield batches differing by several rows and
+    break the exact per-batch oracles that pin max=min=total/4."""
+    stage = tempfile.mkdtemp(prefix=prefix)
+    for i in range(N_RATE_FILES):
+        (
+            events.filter(F.pmod(F.col("event_id"), F.lit(N_RATE_FILES)) == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stage)
+        )
+    return stage
+
+
 def stream_rate_limited_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """Source rate limiting / backpressure (the ``maxFilesPerTrigger``
     / ``maxOffsetsPerTrigger`` knob family): split the fixture into 4
@@ -341,8 +362,7 @@ def stream_rate_limited_ingest(spark: SparkSession, sf: str) -> DataFrame:
     from ..schema import load_table
 
     events = load_table(spark, sf, "events")
-    stage = tempfile.mkdtemp(prefix="rate_src_")
-    events.repartition(N_RATE_FILES).write.mode("overwrite").parquet(stage)
+    stage = _stage_even_split(events, "rate_src_")
 
     batch_rows: list[int] = []
 
@@ -392,8 +412,7 @@ def stream_upsert_latest(spark: SparkSession, sf: str) -> DataFrame:
     from ..schema import load_table
 
     events = load_table(spark, sf, "events")
-    stage = tempfile.mkdtemp(prefix="upsert_src_")
-    events.repartition(N_RATE_FILES).write.mode("overwrite").parquet(stage)
+    stage = _stage_even_split(events, "upsert_src_")
     state_root = tempfile.mkdtemp(prefix="upsert_state_")
     state: dict[str, str | None] = {"dir": None}
 
@@ -456,8 +475,7 @@ def stream_snapshot_ingest(spark: SparkSession, sf: str) -> DataFrame:
     from ..schema import load_table
 
     events = load_table(spark, sf, "events")
-    stage = tempfile.mkdtemp(prefix="snap_ingest_src_")
-    events.repartition(N_RATE_FILES).write.mode("overwrite").parquet(stage)
+    stage = _stage_even_split(events, "snap_ingest_src_")
     table_dir = tempfile.mkdtemp(prefix="snap_ingest_tbl_")
 
     def commit_batch(bdf: DataFrame, _bid: int) -> None:
