@@ -588,8 +588,8 @@ ORACLES = {
                MIN(ts) AS first_seen, MAX(ts) AS last_seen,
                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
                  / 100.0 AS total_value,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                 AS n_purchases
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_purchases
         FROM events GROUP BY user_id ORDER BY user_id
     """,
     "agg_stats_moments": """

@@ -377,13 +377,13 @@ ORACLES = {
         "    AND lang = 'en'), "
         "survivors AS (SELECT * FROM gated WHERE dup_rk = 1) "
         f"SELECT {_SPLIT_SQL} AS split, source, COUNT(*) AS n_docs, "
-        "SUM(CAST(len(list_filter(string_split(text, ' '), x -> x != '')) "
-        "AS BIGINT)) AS total_tokens "
+        "CAST(SUM(CAST(len(list_filter(string_split(text, ' '), x -> x != '')) "
+        "AS BIGINT)) AS BIGINT) AS total_tokens "
         "FROM survivors GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     "split_train_val_test": (
         f"SELECT {_SPLIT_SQL} AS split, COUNT(*) AS n_docs, "
-        "SUM(n_chars) AS total_chars "
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
         "FROM documents GROUP BY 1 ORDER BY 1"
     ),
     "stratified_sample_per_source": (
@@ -402,7 +402,8 @@ ORACLES = {
         "CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
         f"/ {PACK_BUDGET}) AS BIGINT) AS bin, n_tokens FROM sized) "
-        "SELECT source, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens "
+        "SELECT source, bin, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens "
         "FROM packed GROUP BY source, bin ORDER BY source, bin"
     ),
     "vocab_top_terms": (
@@ -426,12 +427,13 @@ ORACLES = {
         f"ROW_NUMBER() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) "
         "AS dup_rk FROM documents), "
         "agg AS (SELECT COUNT(*) AS raw, "
-        f"SUM(CASE WHEN n_chars BETWEEN {MIN_CHARS} AND {MAX_CHARS} "
-        "    THEN 1 ELSE 0 END) AS after_length, "
-        f"SUM(CASE WHEN n_chars BETWEEN {MIN_CHARS} AND {MAX_CHARS} "
-        "    AND lang = 'en' THEN 1 ELSE 0 END) AS after_lang, "
-        f"SUM(CASE WHEN n_chars BETWEEN {MIN_CHARS} AND {MAX_CHARS} "
-        "    AND lang = 'en' AND dup_rk = 1 THEN 1 ELSE 0 END) AS after_dedup "
+        f"CAST(SUM(CASE WHEN n_chars BETWEEN {MIN_CHARS} AND {MAX_CHARS} "
+        "    THEN 1 ELSE 0 END) AS BIGINT) AS after_length, "
+        f"CAST(SUM(CASE WHEN n_chars BETWEEN {MIN_CHARS} AND {MAX_CHARS} "
+        "    AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS after_lang, "
+        f"CAST(SUM(CASE WHEN n_chars BETWEEN {MIN_CHARS} AND {MAX_CHARS} "
+        "    AND lang = 'en' AND dup_rk = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS after_dedup "
         "FROM flagged) "
         "SELECT '0_raw' AS stage, raw AS n_docs FROM agg "
         "UNION ALL SELECT '1_length', after_length FROM agg "
@@ -444,7 +446,8 @@ ORACLES = {
         f"ROW_NUMBER() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) "
         "AS rk FROM documents) "
         "SELECT source, COUNT(*) AS n_docs, "
-        "SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS n_canonical "
+        "CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_canonical "
         "FROM ranked GROUP BY source ORDER BY source"
     ),
 }

@@ -1816,10 +1816,10 @@ ORACLES = {
     "q12_ship_priority_class": (
         "SELECT CASE WHEN l_quantity > 25 THEN 'BULK' ELSE 'SMALL' END "
         "AS ship_class, "
-        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
-        "    THEN 1 ELSE 0 END) AS high_line_count, "
-        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
-        "    THEN 0 ELSE 1 END) AS low_line_count "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "

@@ -295,7 +295,10 @@ def array_set_functions(spark: SparkSession, sf: str) -> DataFrame:
     windows, normalized through array_sort so the comparison is
     order-insensitive (Spark's set functions keep first-occurrence
     order; the oracle's list ops keep theirs — sorting makes both
-    canonical). Narrow per-row expressions, zero shuffle."""
+    canonical). Result arrays are serialized to '|'-joined strings on
+    both engines: the driver's pandas canonicalizer cannot hash raw
+    list cells (same treatment as ``array_hof``'s sorted4).
+    Narrow per-row expressions, zero shuffle."""
     from .text import tokens
 
     d = load_table(spark, sf, "documents")
@@ -304,9 +307,9 @@ def array_set_functions(spark: SparkSession, sf: str) -> DataFrame:
     b = F.slice("toks", 3, 5)
     return with_toks.select(
         "doc_id",
-        F.array_sort(F.array_union(a, b)).alias("u"),
-        F.array_sort(F.array_intersect(a, b)).alias("i"),
-        F.array_sort(F.array_except(a, b)).alias("e"),
+        F.concat_ws("|", F.array_sort(F.array_union(a, b))).alias("u"),
+        F.concat_ws("|", F.array_sort(F.array_intersect(a, b))).alias("i"),
+        F.concat_ws("|", F.array_sort(F.array_except(a, b))).alias("e"),
         F.array_contains("toks", "spark").alias("has_spark"),
     )
 
@@ -343,15 +346,23 @@ def sort_nulls_ordering(spark: SparkSession, sf: str) -> DataFrame:
 def agg_collect_list_set(spark: SparkSession, sf: str) -> DataFrame:
     """Array aggregation (collect_list / collect_set), canonicalized
     with sort_array so the nondeterministic accumulation order never
-    reaches the output — the rule for ANY engine-portable array agg."""
+    reaches the output — the rule for ANY engine-portable array agg.
+    Arrays are serialized to '|'-joined strings for the driver's
+    pandas canonicalizer (raw list cells are unhashable)."""
     n = load_table(spark, sf, "nation")
     return (
         n.groupBy("n_regionkey")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("names"),
-            F.sort_array(F.collect_set(F.col("n_nationkey") % 5)).alias(
-                "key_mods"
+            F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias(
+                "names"
             ),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_set(F.col("n_nationkey") % 5)),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("key_mods"),
             F.count("*").alias("n"),
         )
         .orderBy("n_regionkey")
@@ -478,8 +489,12 @@ ORACLES = {
     """,
     "agg_collect_list_set": """
         SELECT n_regionkey,
-               list_sort(list(n_name)) AS names,
-               list_sort(list_distinct(list(n_nationkey % 5))) AS key_mods,
+               array_to_string(list_sort(list(n_name)), '|') AS names,
+               array_to_string(
+                 list_transform(
+                   list_sort(list_distinct(list(n_nationkey % 5))),
+                   x -> CAST(x AS VARCHAR)),
+                 '|') AS key_mods,
                COUNT(*) AS n
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
@@ -517,12 +532,15 @@ ORACLES = {
                             AS toks
                    FROM documents)
         SELECT doc_id,
-               list_sort(list_distinct(list_concat(toks[1:5], toks[3:7])))
-                 AS u,
-               list_sort(list_distinct(list_filter(toks[1:5],
-                   x -> list_contains(toks[3:7], x)))) AS i,
-               list_sort(list_distinct(list_filter(toks[1:5],
-                   x -> NOT list_contains(toks[3:7], x)))) AS e,
+               coalesce(array_to_string(
+                 list_sort(list_distinct(list_concat(toks[1:5], toks[3:7]))),
+                 '|'), '') AS u,
+               coalesce(array_to_string(
+                 list_sort(list_distinct(list_filter(toks[1:5],
+                   x -> list_contains(toks[3:7], x)))), '|'), '') AS i,
+               coalesce(array_to_string(
+                 list_sort(list_distinct(list_filter(toks[1:5],
+                   x -> NOT list_contains(toks[3:7], x)))), '|'), '') AS e,
                list_contains(toks, 'spark') AS has_spark
         FROM t
     """,

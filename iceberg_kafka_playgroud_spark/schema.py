@@ -151,6 +151,30 @@ def _compacted_source(sf_dir: str, name: str) -> str:
 _TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events fixture's ``ts`` to TimestampType (UTC).
+
+    The fixture has shipped in two layouts across driver rounds:
+    TIMESTAMP(NANOS) (surfaced as nanos-long under
+    spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (surfaced as TIMESTAMP_NTZ). Handle both —
+    plus already-normalized TimestampType — so neither layout can
+    silently break event-time operators again. Values are naive UTC
+    wall-clock (s3-connector-config.json:21-25), so under a UTC session
+    time zone both conversions are lossless instant-preserving.
+    """
+    t = df.schema[col].dataType
+    if isinstance(t, T.LongType):
+        # nanos-long: truncate ns → µs exactly like DuckDB's
+        # TIMESTAMP_NS → datetime conversion does.
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(t, T.TimestampNTZType):
+        # naive-UTC µs: reinterpret as an instant under the UTC session
+        # time zone (set by the caller) — a metadata-only cast.
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan of one fixture table (SURVEY §2.1 S2).
 
@@ -168,17 +192,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {FIXTURE_TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-        # rejects by default. Set at runtime (not only in our session
-        # factory) so the engine also works under a caller-owned
-        # SparkSession, e.g. the correctness driver's.
+        # Set at runtime (not only in our session factory) so the
+        # engine also works under a caller-owned SparkSession, e.g.
+        # the correctness driver's. nanosAsLong: the NANOS layout is
+        # rejected by Spark's reader otherwise. UTC: event time is UTC
+        # by contract; the NTZ→timestamp cast in normalize_event_ts
+        # depends on it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(_compacted_source(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # parquet TIMESTAMP(NANOS) surfaced as long via
-        # spark.sql.legacy.parquet.nanosAsLong; truncate ns → µs exactly
-        # like DuckDB's TIMESTAMP_NS → datetime conversion does.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     _TABLE_MEMO[key] = df
     return df
 

@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..schema import normalize_event_ts
+
 MAX_RECORDS_PER_FILE = 1000  # reference flush.size, s3-connector-config.json:18
 
 # Stateful streaming ops instantiate one state store per shuffle
@@ -80,25 +82,27 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-RAW_EVENTS_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
-    "event_type STRING, value DOUBLE, props STRING"
-)
-
-
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events fixture through the parquet file source
-    (deterministic stand-in for the Kafka topic). The file stores
-    TIMESTAMP(NANOS), so read ts as long (nanosAsLong) and convert —
-    same contract as ``schema.load_table``."""
+    (deterministic stand-in for the Kafka topic).
+
+    The file source requires an explicit schema, so take it from a
+    batch read of the same file (one footer read) rather than
+    hardcoding a layout — the fixture has shipped both TIMESTAMP(NANOS)
+    and TIMESTAMP_NTZ-micros ``ts`` across rounds, and a forced
+    ``ts BIGINT`` + blind ``div 1000`` silently collapses µs data into
+    1970. ``normalize_event_ts`` then applies the same layout-aware
+    conversion as ``schema.load_table`` (batch/stream parity)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = os.path.abspath(f"{sf_dir.rstrip('/')}/events.parquet")
+    file_schema = spark.read.parquet(src).schema
     # the file source wants a directory; expose the single fixture file
     # through a temp dir of symlinks
-    src = os.path.abspath(f"{sf_dir.rstrip('/')}/events.parquet")
     stage = tempfile.mkdtemp(prefix="events_stream_src_")
     os.symlink(src, os.path.join(stage, "events.parquet"))
-    stream = spark.readStream.schema(RAW_EVENTS_SCHEMA).parquet(stage)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = spark.readStream.schema(file_schema).parquet(stage)
+    return normalize_event_ts(stream)
 
 
 def with_time_partitions(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -575,13 +579,17 @@ ORACLES = {
         FROM events JOIN customer ON user_id = c_custkey
     """,
     # every event belongs to the two 1-hour windows whose starts are
-    # the two preceding 30-minute boundaries
+    # the two preceding 30-minute boundaries. make_timestamp (not
+    # to_timestamp) so the oracle emits a NAIVE timestamp — DuckDB's
+    # to_timestamp returns TIMESTAMPTZ, which the driver's schema
+    # compare rejects against Spark's (UTC-naive-collected) TimestampType.
     "stream_sliding_counts": """
         WITH expanded AS (
           SELECT event_type,
-                 to_timestamp(epoch_us(ts) // 1800000000 * 1800
-                              - unnest([CAST(0 AS BIGINT),
-                                        CAST(1800 AS BIGINT)])) AS win_start
+                 make_timestamp((epoch_us(ts) // 1800000000 * 1800
+                                 - unnest([CAST(0 AS BIGINT),
+                                           CAST(1800 AS BIGINT)]))
+                                * 1000000) AS win_start
           FROM events
         )
         SELECT win_start, event_type, COUNT(*) AS n
