@@ -58,7 +58,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..schema import load_table
+from ..schema import load_table, table_row_count
 
 TOP_K = 5
 N_QUERIES = 5  # query set = vec_id < 5
@@ -378,7 +378,10 @@ def embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
         .distinct()
     )
-    if em.count() <= VERIFY_BROADCAST_MAX:
+    # footer-metadata row count (no data scan) picks the verify path —
+    # a df.count() here would burn one full extra pass over the corpus
+    # on every call just to choose a strategy
+    if table_row_count(sf, "embeddings") <= VERIFY_BROADCAST_MAX:
         rows = em.select("vec_id", "embedding").collect()
         ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
         mat = np.array([r["embedding"] for r in rows], dtype=np.float64)

@@ -175,6 +175,22 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet footer — the catalog-stats path.
+
+    Reads O(row-groups) of metadata, no data scan: the right way to
+    drive size-based plan choices (broadcast-vs-join thresholds) at any
+    corpus size, where a ``df.count()`` would be a full extra pass.
+    """
+    import pyarrow.parquet as pq
+
+    if name not in FIXTURE_TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; have {FIXTURE_TABLES}")
+    return pq.ParquetFile(
+        f"{sf_dir.rstrip('/')}/{name}.parquet"
+    ).metadata.num_rows
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan of one fixture table (SURVEY §2.1 S2).
 
