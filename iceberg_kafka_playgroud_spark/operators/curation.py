@@ -287,6 +287,70 @@ def dedup_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+EVAL_MOD = 97  # deterministic pseudo-eval set: doc_id % 97 == 0
+
+
+def decontaminate_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-hash benchmark decontamination: flag training docs whose
+    normalized text hash collides with any held-out eval doc — the
+    cheap first pass every pipeline runs before the n-gram overlap
+    check (``contamination_ngram_overlap`` is the fuzzy second pass).
+
+    The eval hash set is corpus-independent-small, so the probe is a
+    broadcast left join against distinct eval hashes — scan-shaped on
+    the training side, no shuffle of the corpus at any scale.
+    """
+    from .text import normalized
+
+    d = load_table(spark, sf, "documents")
+    h = F.md5(normalized(F.col("text")))
+    ev = (
+        d.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(h.alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = d.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        "source", h.alias("h")
+    )
+    return (
+        train.join(F.broadcast(ev), "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+def token_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Power-of-two token-length histogram per source — the
+    length-distribution profile that drives packing budgets and
+    curriculum buckets. The bucket is floor(log2(n_tokens)) computed
+    EXACTLY as length(bin(n)) - 1 (integer bit-length, no float log
+    that misrounds at powers of two); one map-side-combined groupBy.
+    """
+    d = load_table(spark, sf, "documents")
+    sized = d.select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    bucket = (F.length(F.expr("bin(n_tokens)")) - 1).cast("long")
+    return (
+        sized.withColumn("bucket", bucket)
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
 def curation_pipeline_end_to_end(spark: SparkSession, sf: str) -> DataFrame:
     """The whole corpus-build pipeline as ONE composed plan: length
     gate → English gate → canonical dedup (keep first) → deterministic
@@ -342,6 +406,8 @@ QUERIES = {
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "quality_filter_funnel": quality_filter_funnel,
     "dedup_keep_canonical": dedup_keep_canonical,
+    "decontaminate_exact": decontaminate_exact,
+    "token_length_histogram": token_length_histogram,
 }
 
 _TOKS_LOWER = "list_filter(string_split(lower(text), ' '), x -> x != '')"
@@ -449,5 +515,27 @@ ORACLES = {
         "CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) "
         "AS n_canonical "
         "FROM ranked GROUP BY source ORDER BY source"
+    ),
+    "decontaminate_exact": (
+        f"WITH ev AS (SELECT DISTINCT md5({_NORM}) AS h FROM documents "
+        f"            WHERE doc_id % {EVAL_MOD} = 0), "
+        f"tr AS (SELECT source, md5({_NORM}) AS h FROM documents "
+        f"       WHERE doc_id % {EVAL_MOD} != 0) "
+        "SELECT source, COUNT(*) AS n_train, "
+        "CAST(SUM(CASE WHEN h IN (SELECT h FROM ev) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_contaminated "
+        "FROM tr GROUP BY source ORDER BY source"
+    ),
+    "token_length_histogram": (
+        "WITH sized AS (SELECT source, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x != '')) "
+        "AS BIGINT) AS n_tokens FROM documents), "
+        "bucketed AS (SELECT source, n_tokens, "
+        "CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket "
+        "FROM sized WHERE n_tokens > 0) "
+        "SELECT source, bucket, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
+        "MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens "
+        "FROM bucketed GROUP BY source, bucket ORDER BY source, bucket"
     ),
 }

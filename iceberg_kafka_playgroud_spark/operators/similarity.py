@@ -562,6 +562,53 @@ def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 vector quantization (max-abs scaling) with a
+    per-vector reconstruction-error report — the compression audit a
+    100 TB embedding store runs before switching retrieval to int8.
+
+    scale = max|x|/127, q_j = floor(x_j/scale + 0.5); since
+    |x_j| ≤ 127·scale, q_j lands in [-127, 127] with no clamp. Every
+    output is either a single IEEE expression evaluated identically by
+    both engines (scale, per-element error, MAX — order-insensitive and
+    exact) or integer-exact (Σq_j), so parity needs no rounding. The
+    scale column is materialized in its own projection first — lambdas
+    inline their argument, so referencing max-abs inside the per-element
+    transform would recompute it per element, O(d²) per vector.
+    Narrow per-row expressions, zero shuffle at any corpus size.
+    """
+    base = load_table(spark, sf, "embeddings").select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    )
+    with_scale = base.select(
+        "vec_id",
+        "v",
+        (F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)).alias(
+            "scale"
+        ),
+    )
+    s = F.col("scale")
+    errs = F.transform(
+        F.col("v"), lambda x: F.abs(x - F.floor(x / s + F.lit(0.5)) * s)
+    )
+    qsum = F.aggregate(
+        F.transform(F.col("v"), lambda x: F.floor(x / s + F.lit(0.5))),
+        F.lit(0).cast("long"),
+        lambda acc, q: acc + q,
+    )
+    return with_scale.select(
+        "vec_id",
+        "scale",
+        F.when(s == 0, F.lit(0.0)).otherwise(F.array_max(errs)).alias(
+            "max_abs_err"
+        ),
+        F.when(s == 0, F.lit(0))
+        .otherwise(qsum)
+        .cast("long")
+        .alias("q_checksum"),
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_blocked": ann_topk_blocked,
@@ -569,6 +616,7 @@ QUERIES = {
     "embedding_centroids": embedding_centroids,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 _DOT = (
@@ -679,8 +727,29 @@ SELECT query_id, neighbor_id, sim, rank FROM (
 ) WHERE rank <= {TOP_K}
 """
 
+_QUANT_ORACLE = """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM v)
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0 THEN 0.0
+                ELSE list_max(list_transform(v,
+                       x -> abs(x - floor(x / scale + 0.5) * scale)))
+           END AS max_abs_err,
+           CASE WHEN scale = 0 THEN 0
+                ELSE CAST(list_sum(list_transform(v,
+                       x -> CAST(floor(x / scale + 0.5) AS BIGINT)))
+                     AS BIGINT)
+           END AS q_checksum
+    FROM s
+"""
+
 ORACLES = {
     "ann_topk_bruteforce": _TOPK_ORACLE,
+    "embedding_quantize_int8": _QUANT_ORACLE,
     "ann_topk_blocked": _TOPK_ORACLE,
     "ann_topk_ivf": _IVF_ORACLE,
     "embedding_centroids": f"""

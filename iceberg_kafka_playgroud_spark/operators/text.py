@@ -154,6 +154,90 @@ def text_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def text_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/C4 family of rules):
+    per-document distinct-token ratio and most-frequent-token share,
+    plus the resulting keep/drop flag.
+
+    Two-level aggregation — (doc, token) counts, then per-doc moments —
+    so both shuffles are map-side combinable and the plan carries one
+    row per distinct token, never the raw token stream, to the second
+    stage. Ratios are emitted as RAW double divisions (no rounding):
+    the quotient is one IEEE op, bit-identical across engines, whereas
+    round() half-mode differs between engines at exact .5 ulps.
+    """
+    d = load_table(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    per_tok = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    dr = F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    tf = F.col("top_count").cast("double") / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        dr.alias("distinct_ratio"),
+        tf.alias("top_token_frac"),
+        ((tf > 0.2) | (dr < 0.3)).alias("is_repetitive"),
+    )
+
+
+# deterministic synthetic PII: the fixture corpus is clean word-soup,
+# so emails/phones are injected keyed off doc_id — the scrub operator
+# (regex find/replace/count) is the real thing, the data is the fake
+PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+PII_PHONE_RE = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+
+def _with_synthetic_pii(d: DataFrame) -> Column:
+    did = F.col("doc_id")
+    email = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" user"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 11 == 0,
+        F.concat(
+            F.lit(" +10-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone)
+
+
+def pii_scrub_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction pass: count and scrub email/phone patterns,
+    reporting per-doc match counts and the scrubbed length — the
+    audit output a compliance-gated training pipeline must produce.
+    Pure regexp_count/regexp_replace column expressions (scan-local,
+    zero shuffle at any scale); patterns stay in the POSIX subset that
+    Java regex and RE2-style engines read identically.
+    """
+    d = load_table(spark, sf, "documents")
+    with_pii = d.select("doc_id", _with_synthetic_pii(d).alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<email>"),
+        PII_PHONE_RE,
+        "<phone>",
+    )
+    return with_pii.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL_RE)).cast("long").alias(
+            "n_emails"
+        ),
+        F.regexp_count(F.col("t"), F.lit(PII_PHONE_RE)).cast("long").alias(
+            "n_phones"
+        ),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_bpe_token_count": text_bpe_token_count,
@@ -161,6 +245,8 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "doc_stats_by_source": doc_stats_by_source,
+    "text_repetition_filter": text_repetition_filter,
+    "pii_scrub_stats": pii_scrub_stats,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -233,5 +319,54 @@ ORACLES = {
                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
         FROM documents GROUP BY source, lang
+    """,
+    "text_repetition_filter": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+        cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+        agg AS (SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                       CAST(MAX(c) AS BIGINT) AS top_count
+                FROM cnt GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 AS distinct_ratio,
+               CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 AS top_token_frac,
+               (CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.2
+                OR CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.3)
+                 AS is_repetitive
+        FROM agg
+    """,
+    "pii_scrub_stats": """
+        WITH p AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' user' || CAST(doc_id AS VARCHAR)
+                              || '@example.com'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' +10-' || lpad(CAST(doc_id % 1000 AS VARCHAR),
+                                              3, '0')
+                              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                             4, '0')
+                         ELSE '' END AS t
+          FROM documents),
+        s AS (
+          SELECT doc_id, t,
+                 regexp_replace(
+                   regexp_replace(t, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+',
+                                  '<email>', 'g'),
+                   '\\+[0-9]{2}-[0-9]{3}-[0-9]{4}', '<phone>', 'g') AS clean
+          FROM p)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t,
+                 '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t,
+                 '\\+[0-9]{2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+               CAST(length(clean) AS BIGINT) AS scrubbed_len,
+               md5(clean) AS scrubbed_md5
+        FROM s
     """,
 }
