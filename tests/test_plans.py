@@ -340,3 +340,47 @@ def test_salted_join_is_shuffled_not_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     assert "salt" in plan
+
+
+def test_quantize_int8_is_narrow(spark, sf_dir):
+    # per-vector quantization audit is pure projection — zero shuffle
+    plan = physical_plan(similarity.embedding_quantize_int8(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_pii_scrub_is_narrow(spark, sf_dir):
+    # regex count/replace are scan-local column expressions
+    from iceberg_kafka_playgroud_spark.operators import text
+
+    plan = physical_plan(text.pii_scrub_stats(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_repetition_filter_partial_aggregation(spark, sf_dir):
+    # both aggregation levels must combine map-side so the shuffles
+    # carry (doc, token) counts / per-doc moments, not raw tokens
+    from iceberg_kafka_playgroud_spark.operators import text
+
+    plan = physical_plan(text.text_repetition_filter(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_hashes(spark, sf_dir):
+    # the eval hash set must broadcast; the training side stays
+    # scan-shaped (no shuffle of the corpus for the probe)
+    from iceberg_kafka_playgroud_spark.operators import curation
+
+    plan = physical_plan(curation.decontaminate_exact(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_histogram_partial_aggregation(spark, sf_dir):
+    # one combinable groupBy; bucket derivation adds no shuffle
+    from iceberg_kafka_playgroud_spark.operators import curation
+
+    plan = physical_plan(curation.token_length_histogram(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan
+    # agg exchange + output sort only (formatted plans print twice)
+    assert plan.count("Exchange") <= 4
