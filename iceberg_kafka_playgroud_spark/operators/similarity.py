@@ -740,8 +740,11 @@ _QUANT_ORACLE = """
                        x -> abs(x - floor(x / scale + 0.5) * scale)))
            END AS max_abs_err,
            CASE WHEN scale = 0 THEN 0
-                ELSE CAST(list_sum(list_transform(v,
-                       x -> CAST(floor(x / scale + 0.5) AS BIGINT)))
+                -- coalesce: list_sum([]) is NULL in DuckDB while
+                -- Spark's aggregate fold returns its 0 init — align
+                -- the empty-vector edge on 0
+                ELSE CAST(coalesce(list_sum(list_transform(v,
+                       x -> CAST(floor(x / scale + 0.5) AS BIGINT))), 0)
                      AS BIGINT)
            END AS q_checksum
     FROM s

@@ -176,19 +176,24 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
 
 def table_row_count(sf_dir: str, name: str) -> int:
-    """Exact row count from the parquet footer — the catalog-stats path.
+    """Exact row count from parquet footers — the catalog-stats path.
 
     Reads O(row-groups) of metadata, no data scan: the right way to
     drive size-based plan choices (broadcast-vs-join thresholds) at any
     corpus size, where a ``df.count()`` would be a full extra pass.
+    Handles both a single ``{name}.parquet`` file and a directory of
+    part files (``pyarrow.dataset`` counts from footers either way).
     """
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {FIXTURE_TABLES}")
-    return pq.ParquetFile(
-        f"{sf_dir.rstrip('/')}/{name}.parquet"
-    ).metadata.num_rows
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    try:
+        return pq.ParquetFile(path).metadata.num_rows
+    except OSError:
+        return pads.dataset(path, format="parquet").count_rows()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -207,15 +212,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return memo
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {FIXTURE_TABLES}")
+    # Engine contract: all event/order time is UTC (the reference's
+    # s3-connector-config.json:21-25). Set on EVERY load — not just for
+    # events — so timestamp rendering is identical no matter which
+    # table a caller-owned session touches first (a per-table set would
+    # make results order-dependent under a non-UTC caller session).
+    # Runtime (not only our session factory) so the engine also works
+    # under the correctness driver's own SparkSession.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Set at runtime (not only in our session factory) so the
-        # engine also works under a caller-owned SparkSession, e.g.
-        # the correctness driver's. nanosAsLong: the NANOS layout is
-        # rejected by Spark's reader otherwise. UTC: event time is UTC
-        # by contract; the NTZ→timestamp cast in normalize_event_ts
-        # depends on it.
+        # the TIMESTAMP(NANOS) fixture layout is rejected by Spark's
+        # reader without this; harmless for the NTZ-micros layout
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(_compacted_source(sf_dir, name))
     if name == "events":
         df = normalize_event_ts(df)
