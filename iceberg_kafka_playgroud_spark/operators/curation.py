@@ -162,6 +162,54 @@ def vocab_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+OOV_VOCAB_K = 100  # tokenizer-coverage vocab size for vocab_oov_rate
+
+
+def vocab_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-coverage evaluation: per-source out-of-vocabulary
+    token fraction against the corpus-global top-K vocabulary — the
+    check that decides whether a tokenizer/vocab is usable on a new
+    source before training on it.
+
+    The vocabulary derives from the vocabulary-sized count table via
+    ``orderBy().limit()`` (TakeOrderedAndProject — distributed partial
+    top-k, NOT a single-partition window), with (freq DESC, term ASC)
+    as a total order so the K-boundary tie-break is deterministic in
+    both engines. The OOV probe is a broadcast anti-join: the token
+    stream is never shuffled.
+    """
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(OOV_VOCAB_K)
+        .select("term")
+    )
+    per_src = tok.groupBy("source").agg(F.count("*").alias("n_tokens"))
+    oov = (
+        tok.join(F.broadcast(vocab), "term", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_oov"))
+    )
+    n_oov = F.coalesce(F.col("n_oov"), F.lit(0)).cast("long")
+    return (
+        per_src.join(oov, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            n_oov.alias("n_oov"),
+            (n_oov.cast("double") / F.col("n_tokens").cast("double")).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 EVAL_MOD = 10  # doc_id % 10 == 7 → held-out "benchmark" set
 
 
@@ -287,7 +335,7 @@ def dedup_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-EVAL_MOD = 97  # deterministic pseudo-eval set: doc_id % 97 == 0
+DECON_MOD = 97  # deterministic pseudo-eval set: doc_id % 97 == 0
 
 
 def decontaminate_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -305,12 +353,12 @@ def decontaminate_exact(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     h = F.md5(normalized(F.col("text")))
     ev = (
-        d.filter(F.col("doc_id") % EVAL_MOD == 0)
+        d.filter(F.col("doc_id") % DECON_MOD == 0)
         .select(h.alias("h"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    train = d.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+    train = d.filter(F.col("doc_id") % DECON_MOD != 0).select(
         "source", h.alias("h")
     )
     return (
@@ -408,6 +456,7 @@ QUERIES = {
     "dedup_keep_canonical": dedup_keep_canonical,
     "decontaminate_exact": decontaminate_exact,
     "token_length_histogram": token_length_histogram,
+    "vocab_oov_rate": vocab_oov_rate,
 }
 
 _TOKS_LOWER = "list_filter(string_split(lower(text), ' '), x -> x != '')"
@@ -518,13 +567,30 @@ ORACLES = {
     ),
     "decontaminate_exact": (
         f"WITH ev AS (SELECT DISTINCT md5({_NORM}) AS h FROM documents "
-        f"            WHERE doc_id % {EVAL_MOD} = 0), "
+        f"            WHERE doc_id % {DECON_MOD} = 0), "
         f"tr AS (SELECT source, md5({_NORM}) AS h FROM documents "
-        f"       WHERE doc_id % {EVAL_MOD} != 0) "
+        f"       WHERE doc_id % {DECON_MOD} != 0) "
         "SELECT source, COUNT(*) AS n_train, "
         "CAST(SUM(CASE WHEN h IN (SELECT h FROM ev) THEN 1 ELSE 0 END) "
         "AS BIGINT) AS n_contaminated "
         "FROM tr GROUP BY source ORDER BY source"
+    ),
+    "vocab_oov_rate": (
+        f"WITH tok AS (SELECT source, unnest({_TOKS_LOWER}) AS term "
+        "             FROM documents), "
+        "vocab AS (SELECT term FROM (SELECT term, COUNT(*) AS freq "
+        "          FROM tok GROUP BY term) "
+        f"         ORDER BY freq DESC, term ASC LIMIT {OOV_VOCAB_K}), "
+        "per_src AS (SELECT source, COUNT(*) AS n_tokens FROM tok "
+        "            GROUP BY source), "
+        "oov AS (SELECT source, COUNT(*) AS n_oov FROM tok "
+        "        WHERE term NOT IN (SELECT term FROM vocab) "
+        "        GROUP BY source) "
+        "SELECT source, n_tokens, "
+        "CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov, "
+        "CAST(coalesce(n_oov, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE) "
+        "AS oov_rate "
+        "FROM per_src LEFT JOIN oov USING (source) ORDER BY source"
     ),
     "token_length_histogram": (
         "WITH sized AS (SELECT source, "

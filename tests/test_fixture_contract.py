@@ -65,6 +65,40 @@ def test_stream_ts_matches_batch_exactly(spark, sf_dir):
     assert streamed.exceptAll(batch).isEmpty()
 
 
+# column-name contract per fixture table — the early alarm for the
+# next silent fixture change (the ts-layout shift arrived unannounced;
+# a renamed/dropped column would strand dozens of oracle pairs the
+# same way). Types are left to the per-table loaders: only events has
+# layout normalization, everything else passes through.
+EXPECTED_COLUMNS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_COLUMNS))
+def test_fixture_table_columns_stable(spark, sf_dir, name):
+    cols = load_table(spark, sf_dir, name).columns
+    assert cols == EXPECTED_COLUMNS[name], (
+        f"{name} fixture columns changed: {cols}; audit every oracle "
+        "touching this table before trusting driver greens"
+    )
+    assert table_row_count(sf_dir, name) > 0
+
+
 @pytest.mark.parametrize("layout", ["ntz_us", "nanos_long", "timestamp"])
 def test_normalize_event_ts_handles_every_shipped_layout(spark, layout):
     base = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)

@@ -384,3 +384,14 @@ def test_token_histogram_partial_aggregation(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan
     # agg exchange + output sort only (formatted plans print twice)
     assert plan.count("Exchange") <= 4
+
+
+def test_oov_vocab_topk_and_broadcast_anti(spark, sf_dir):
+    # vocab top-K must be the distributed TakeOrderedAndProject (never
+    # a single-partition window) and the OOV probe a broadcast anti-join
+    from iceberg_kafka_playgroud_spark.operators import curation
+
+    plan = physical_plan(curation.vocab_oov_rate(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
