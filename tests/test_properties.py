@@ -202,3 +202,80 @@ def test_upsert_result_independent_of_batch_boundaries(spark, monkeypatch):
         return sorted(tuple(r) for r in df.collect())
 
     assert run(2) == run(4)
+
+
+# --- round-5 operator invariants ------------------------------------------
+
+
+def test_quantize_int8_error_bound(spark, sf_dir):
+    """Symmetric rounding quantization guarantees |x - q·s| ≤ s/2 per
+    element, so max_abs_err ≤ scale/2 for every vector; checksum stays
+    inside d·127."""
+    from iceberg_kafka_playgroud_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+
+    bad = (
+        embedding_quantize_int8(spark, sf_dir)
+        .filter(
+            (F.col("max_abs_err") > F.col("scale") / 2 + 1e-12)
+            | (F.abs(F.col("q_checksum")) > 64 * 127)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_oov_rate_bounds_and_consistency(spark, sf_dir):
+    """OOV fraction lies in [0,1] per source; summed token counts
+    equal the corpus-wide token count."""
+    from iceberg_kafka_playgroud_spark.operators.curation import vocab_oov_rate
+    from iceberg_kafka_playgroud_spark.operators.text import (
+        text_token_count,
+    )
+
+    oov = vocab_oov_rate(spark, sf_dir)
+    assert oov.filter(
+        (F.col("oov_rate") < 0) | (F.col("oov_rate") > 1)
+        | (F.col("n_oov") > F.col("n_tokens"))
+    ).count() == 0
+    total_by_oov = oov.agg(F.sum("n_tokens")).first()[0]
+    total_by_docs = (
+        text_token_count(spark, sf_dir).agg(F.sum("n_tokens")).first()[0]
+    )
+    assert total_by_oov == total_by_docs
+
+
+def test_decontaminate_counts_consistent(spark, sf_dir):
+    """Contaminated docs never exceed training docs; the per-source
+    training counts partition the non-eval corpus exactly."""
+    from iceberg_kafka_playgroud_spark.operators.curation import (
+        DECON_MOD,
+        decontaminate_exact,
+    )
+    from iceberg_kafka_playgroud_spark.schema import load_table
+
+    res = decontaminate_exact(spark, sf_dir)
+    assert res.filter(F.col("n_contaminated") > F.col("n_train")).count() == 0
+    n_train_total = res.agg(F.sum("n_train")).first()[0]
+    expected = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % DECON_MOD != 0)
+        .count()
+    )
+    assert n_train_total == expected
+
+
+def test_repetition_filter_ratio_bounds(spark, sf_dir):
+    """distinct_ratio and top_token_frac are (0,1]-bounded and jointly
+    consistent: top token count can't exceed tokens minus the other
+    distinct tokens."""
+    from iceberg_kafka_playgroud_spark.operators.text import (
+        text_repetition_filter,
+    )
+
+    rep = text_repetition_filter(spark, sf_dir)
+    assert rep.filter(
+        (F.col("distinct_ratio") <= 0) | (F.col("distinct_ratio") > 1)
+        | (F.col("top_token_frac") <= 0) | (F.col("top_token_frac") > 1)
+    ).count() == 0
