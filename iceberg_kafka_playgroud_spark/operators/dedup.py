@@ -171,6 +171,98 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+NEW_BATCH_MOD, NEW_BATCH_RESIDUE = 10, 3  # doc_id % 10 == 3 → "today's batch"
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (ingest-time) near-dup check: probe a NEW batch of
+    documents against the EXISTING corpus without ever comparing
+    old×old — the shape a daily 100 TB ingest actually runs, where the
+    corpus-wide pair join (``dedup_minhash_lsh``) would redo quadratic
+    work that was already done on previous days.
+
+    The band split happens BEFORE the join (old side = build, new side
+    = probe), so candidate generation is an old×new equi-join on
+    (band_idx, band_val) only. Verification and scoring touch candidate
+    docs only; the best-match tie-break (min old doc id among argmax
+    jaccard) is deterministic in both engines. One row per new doc,
+    matched or not.
+    """
+    d = load_table(spark, sf, "documents")
+    sh = shingle_set(d).cache()
+    bands = lsh_bands(minhash_signatures(sh))
+    is_new = (F.col("doc_id") % NEW_BATCH_MOD) == NEW_BATCH_RESIDUE
+    nb = bands.filter(is_new).select(
+        F.col("doc_id").alias("d_new"), "band_idx", "band_val"
+    )
+    ob = bands.filter(~is_new).select(
+        F.col("doc_id").alias("d_old"), "band_idx", "band_val"
+    )
+    cand = (
+        ob.join(nb, ["band_idx", "band_val"])
+        .select("d_old", "d_new")
+        .distinct()
+        .cache()
+    )
+    cand_docs = (
+        cand.select(F.explode(F.array("d_old", "d_new")).alias("doc_id"))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_docs), "doc_id")
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = shc.alias("s1")
+    s2 = shc.alias("s2")
+    inter = (
+        F.broadcast(cand)
+        .join(s1, F.col("s1.doc_id") == F.col("d_old"))
+        .join(
+            s2,
+            (F.col("s2.doc_id") == F.col("d_new"))
+            & (F.col("s2.shingle") == F.col("s1.shingle")),
+        )
+        .groupBy("d_old", "d_new")
+        .agg(F.count("*").alias("i"))
+    )
+    n1 = sizes.alias("n1")
+    n2 = sizes.alias("n2")
+    jac = F.round(
+        F.col("i").cast("double")
+        / (F.col("n1.n") + F.col("n2.n") - F.col("i")).cast("double"),
+        6,
+    )
+    scored = (
+        inter.join(F.broadcast(n1), F.col("n1.doc_id") == F.col("d_old"))
+        .join(F.broadcast(n2), F.col("n2.doc_id") == F.col("d_new"))
+        .select("d_old", "d_new", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    from pyspark.sql import Window as W
+
+    best_j = F.max("jaccard").over(W.partitionBy("d_new"))
+    agg = (
+        scored.withColumn("best_j", best_j)
+        .groupBy("d_new")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+            F.min(
+                F.when(F.col("jaccard") == F.col("best_j"), F.col("d_old"))
+            ).alias("best_old_id"),
+        )
+    )
+    return (
+        d.filter(is_new)
+        .select(F.col("doc_id").alias("d_new"))
+        .join(agg, "d_new", "left")
+        .select(
+            F.col("d_new").alias("new_doc_id"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            "best_jaccard",
+            "best_old_id",
+        )
+    )
+
+
 NGRAM_DF_CUTOFF = 50
 
 
@@ -493,6 +585,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_hamming": dedup_simhash_hamming,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -590,6 +683,63 @@ ORACLES = {
                round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6) AS jaccard
         FROM inter JOIN sizes n1 ON n1.doc_id=d1 JOIN sizes n2 ON n2.doc_id=d2
         WHERE round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6) >= 0.5
+    """,
+    "dedup_incremental_minhash": f"""
+        WITH {_SHINGLES_CTE},
+        hashes AS (
+          SELECT doc_id, md5(shingle) AS m0, md5('x:' || shingle) AS m1 FROM sh
+        ),
+        sig AS (
+          SELECT doc_id,
+                 min(substring(m0,  1, 8)) AS h0, min(substring(m0,  9, 8)) AS h1,
+                 min(substring(m0, 17, 8)) AS h2, min(substring(m0, 25, 8)) AS h3,
+                 min(substring(m1,  1, 8)) AS h4, min(substring(m1,  9, 8)) AS h5,
+                 min(substring(m1, 17, 8)) AS h6, min(substring(m1, 25, 8)) AS h7
+          FROM hashes GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, unnest([0,1,2,3]) AS band_idx,
+                 unnest([md5(h0||h1), md5(h2||h3), md5(h4||h5), md5(h6||h7)]) AS band_val
+          FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d_old, b.doc_id AS d_new
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          WHERE a.doc_id % {NEW_BATCH_MOD} != {NEW_BATCH_RESIDUE}
+            AND b.doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_RESIDUE}
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.d_old, c.d_new, COUNT(*) AS i
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.d_old
+          JOIN sh s2 ON s2.doc_id = c.d_new AND s2.shingle = s1.shingle
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT d_old, d_new,
+                 round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6)
+                   AS jaccard
+          FROM inter JOIN sizes n1 ON n1.doc_id = d_old
+                     JOIN sizes n2 ON n2.doc_id = d_new
+          WHERE round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6)
+                >= 0.5
+        ),
+        ranked AS (
+          SELECT *, MAX(jaccard) OVER (PARTITION BY d_new) AS best_j
+          FROM scored
+        ),
+        agg AS (
+          SELECT d_new, COUNT(*) AS n_matches, MAX(jaccard) AS best_jaccard,
+                 MIN(CASE WHEN jaccard = best_j THEN d_old END) AS best_old_id
+          FROM ranked GROUP BY d_new
+        )
+        SELECT doc_id AS new_doc_id,
+               CAST(coalesce(n_matches, 0) AS BIGINT) AS n_matches,
+               best_jaccard, best_old_id
+        FROM documents LEFT JOIN agg ON d_new = doc_id
+        WHERE doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_RESIDUE}
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},

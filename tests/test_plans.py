@@ -395,3 +395,13 @@ def test_oov_vocab_topk_and_broadcast_anti(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_minhash_splits_before_join(spark, sf_dir):
+    # the old/new split must reach both band-join inputs as filters
+    # (old x new only — never the corpus-wide self-join), and the
+    # verify stage must broadcast candidates, not shuffle shingles
+    plan = physical_plan(dedup.dedup_incremental_minhash(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("% 10)") >= 2  # both sides filtered pre-join
