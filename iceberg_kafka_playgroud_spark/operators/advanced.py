@@ -301,28 +301,22 @@ def interval_join_events(spark: SparkSession, sf: str) -> DataFrame:
 SESSION_GAP_MIN = 30
 
 
-def event_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
-    """Batch gap-based sessionization — the lag/cumsum idiom: a session
-    break is a gap > 30 min, session ids are the running sum of breaks,
-    then one aggregation per (user, session).
-
-    This is the first-class batch twin of ``stream_sessionize`` (same
-    boundaries, same 30-min gap). Both windows and the final groupBy
-    share ONE hash partitioning on user_id, so the whole operator costs
-    a single shuffle; per-user state is a sort within the partition —
-    at 100 TB sessionization parallelizes by user with no global sort.
-    """
-    e = load_table(spark, sf, "events")
+def _with_session_ids(e: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """Gap-based session assignment — the lag/cumsum idiom: a break is
+    a gap > 30 min, session ids are the running sum of breaks. Exact
+    microsecond arithmetic (fixture timestamps carry sub-second
+    precision, so second-truncated casts would misplace boundaries);
+    equal-timestamp ties are order-safe because a zero gap can never
+    break a session. Both windows and any downstream per-session
+    groupBy share ONE hash partitioning on user_id."""
     wu = W.partitionBy("user_id").orderBy("ts")
-    # exact microsecond arithmetic — fixture timestamps carry sub-second
-    # precision, so second-truncated casts would misplace gap boundaries
     gap_break = (
         F.unix_micros(F.col("ts"))
         - F.lag(F.unix_micros(F.col("ts"))).over(wu)
         > SESSION_GAP_MIN * 60 * 1_000_000
     )
-    sess = (
-        e.select("user_id", "ts")
+    return (
+        e.select("user_id", "ts", *extra_cols)
         .withColumn(
             "new_session",
             F.when(gap_break | F.lag("ts").over(wu).isNull(), 1).otherwise(0),
@@ -334,6 +328,15 @@ def event_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+def event_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch gap-based sessionization, the first-class batch twin of
+    ``stream_sessionize`` (same boundaries, same 30-min gap). At 100 TB
+    sessionization parallelizes by user with no global sort — one
+    shuffle total (see ``_with_session_ids``)."""
+    e = load_table(spark, sf, "events")
+    sess = _with_session_ids(e)
     return (
         sess.groupBy("user_id", "session_id")
         .agg(
@@ -342,6 +345,59 @@ def event_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
         .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+def session_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel over sessions: view → click →
+    purchase, where a stage counts only if its FIRST occurrence is at
+    or after the previous stage's first occurrence — the product-
+    analytics query every event pipeline ships.
+
+    Shares the single user_id-partitioned shuffle with sessionization;
+    stage times are per-session MINs (tie- and order-insensitive), so
+    the result is deterministic under equal timestamps.
+    """
+    e = load_table(spark, sf, "events")
+    sess = _with_session_ids(e, ("event_type",))
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") >= F.col("t_view"))
+    reached_purchase = reached_click & (
+        F.col("t_purchase") >= F.col("t_click")
+    )
+    agg = per.agg(
+        F.count("*").alias("sessions"),
+        F.sum(reached_view.cast("long")).alias("s_view"),
+        F.sum(reached_click.cast("long")).alias("s_click"),
+        F.sum(reached_purchase.cast("long")).alias("s_purchase"),
+    )
+    stages = F.array(
+        F.struct(
+            F.lit("0_sessions").alias("stage"),
+            F.col("sessions").alias("n_sessions"),
+        ),
+        F.struct(
+            F.lit("1_view").alias("stage"), F.col("s_view").alias("n_sessions")
+        ),
+        F.struct(
+            F.lit("2_click").alias("stage"),
+            F.col("s_click").alias("n_sessions"),
+        ),
+        F.struct(
+            F.lit("3_purchase").alias("stage"),
+            F.col("s_purchase").alias("n_sessions"),
+        ),
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.n_sessions"
     )
 
 
@@ -522,6 +578,7 @@ def user_behavior_features(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
     "event_sessionize_batch": event_sessionize_batch,
+    "session_funnel": session_funnel,
     "agg_stats_moments": agg_stats_moments,
     "window_cume_dist": window_cume_dist,
     "events_zscore_normalize": events_zscore_normalize,
@@ -652,6 +709,48 @@ ORACLES = {
         SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
                COUNT(*) AS n_events
         FROM sessions GROUP BY user_id, session_id
+    """,
+    "session_funnel": """
+        WITH gaps AS (
+          SELECT user_id, ts, event_type,
+                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                           (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sessions AS (
+          SELECT user_id, ts, event_type,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+          FROM gaps
+        ),
+        per AS (
+          SELECT user_id, session_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+          FROM sessions GROUP BY user_id, session_id
+        ),
+        agg AS (
+          SELECT COUNT(*) AS sessions,
+                 CAST(SUM(CASE WHEN t_view IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS s_view,
+                 CAST(SUM(CASE WHEN t_view IS NOT NULL
+                          AND t_click >= t_view
+                          THEN 1 ELSE 0 END) AS BIGINT) AS s_click,
+                 CAST(SUM(CASE WHEN t_view IS NOT NULL
+                          AND t_click >= t_view AND t_purchase >= t_click
+                          THEN 1 ELSE 0 END) AS BIGINT) AS s_purchase
+          FROM per
+        )
+        SELECT '0_sessions' AS stage, sessions AS n_sessions FROM agg
+        UNION ALL SELECT '1_view', s_view FROM agg
+        UNION ALL SELECT '2_click', s_click FROM agg
+        UNION ALL SELECT '3_purchase', s_purchase FROM agg
     """,
     "interval_join_events": """
         SELECT a.event_id,

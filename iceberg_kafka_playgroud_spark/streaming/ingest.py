@@ -536,6 +536,31 @@ def stream_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stream_windowed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 event types per 1-hour event-time window: the live
+    "trending" query — a watermarked streaming aggregation whose
+    per-window ranking runs over the (window-count-sized) sink, never
+    the event stream. Tie-break (n DESC, event_type ASC) is a total
+    order, so the cut is deterministic in both engines."""
+    stream = events_file_stream(spark, sf)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_memory(agg, "complete")
+    counts = out.select(
+        F.col("window.start").alias("hour_start"), "event_type", "n"
+    )
+    w = W.partitionBy("hour_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
 def stream_dim_enrichment(spark: SparkSession, sf: str) -> DataFrame:
     """Stream–static join: the replayed event stream enriched with the
     customer dimension (Spark joins a static DataFrame into a stream
@@ -571,6 +596,7 @@ QUERIES = {
     "stream_sessionize": stream_sessionize,
     "stream_dual_sink": stream_dual_sink,
     "stream_stateful_user_totals": stream_stateful_user_totals,
+    "stream_windowed_topk": stream_windowed_topk,
 }
 
 ORACLES = {
@@ -633,6 +659,20 @@ ORACLES = {
     "stream_tumbling_counts": """
         SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
         FROM events GROUP BY 1, 2
+    """,
+    "stream_windowed_topk": """
+        WITH counts AS (
+          SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_start
+                      ORDER BY n DESC, event_type ASC) AS rk
+          FROM counts
+        )
+        SELECT hour_start, event_type, n, CAST(rk AS INTEGER) AS rk
+        FROM ranked WHERE rk <= 3
     """,
     "stream_exact_dedup": """
         SELECT event_type, COUNT(*) AS n_unique
