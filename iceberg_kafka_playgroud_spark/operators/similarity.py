@@ -609,6 +609,79 @@ def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+PI_ITERS = 3  # power-iteration rounds (fixture spectrum converges fast)
+PI_XSCALE = 1000  # embedding fixed-point scale
+PI_VSCALE = 1_000_000  # iterate fixed-point scale
+
+
+def embedding_top_component(spark: SparkSession, sf: str) -> DataFrame:
+    """Dominant principal direction of the (uncentered) embedding Gram
+    matrix via power iteration — the iterative-linear-algebra shape
+    (matrix-free X^T(Xv)) that PCA/spectral pipelines run at 100 TB.
+
+    Exactness across engines is the point: every cross-row and
+    cross-dimension reduction is INTEGER (embeddings quantized to
+    fixed-point, the iterate re-quantized each round), so accumulation
+    order cannot perturb results; the only float ops are divisions and
+    one sqrt per round over identical inputs. Per round: one Spark job
+    (map-side-combined posexplode sum, the ``embedding_centroids``
+    pattern) and an O(d) driver collect — the classic iterative-driver
+    loop, never an O(n) materialization. int64 bounds: |qx| ≤ 4·10³,
+    |c| ≤ 2.6·10¹¹, per-dim sums ≤ n·10¹⁵ — guarded below; corpora
+    beyond ~2³⁰ rows re-scale PI_XSCALE or switch the sum to
+    decimal(38,0).
+    """
+    import math
+
+    d_dim = EMB_DIM
+    base = load_table(spark, sf, "embeddings").select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * PI_XSCALE + F.lit(0.5)
+            ).cast("long"),
+        ).alias("qx")
+    )
+    v = [1.0 / math.sqrt(d_dim)] * d_dim
+    for _ in range(PI_ITERS):
+        qv = F.array(
+            *[
+                F.lit(math.floor(x * PI_VSCALE + 0.5)).cast("long")
+                for x in v
+            ]
+        )
+        c = F.aggregate(
+            F.zip_with(F.col("qx"), qv, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        rows = (
+            base.select("qx", c.alias("c"))
+            .select(
+                F.posexplode(
+                    F.transform(F.col("qx"), lambda q: q * F.col("c"))
+                ).alias("pos", "t")
+            )
+            .groupBy("pos")
+            .agg(F.sum("t").alias("s"))
+            .collect()
+        )
+        sums = [0] * d_dim
+        for r in rows:
+            sums[r["pos"]] = int(r["s"])
+        assert max(abs(s) for s in sums) < 2**62, (
+            "power-iteration int64 accumulator near overflow; "
+            "re-scale PI_XSCALE for this corpus size"
+        )
+        # exact integer norm²; float conversion + sqrt round identically
+        # in every IEEE engine
+        nrm = math.sqrt(sum(s * s for s in sums))
+        v = [float(s) / nrm for s in sums]
+    return spark.createDataFrame(
+        [(j, v[j]) for j in range(d_dim)], "pos int, loading double"
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_blocked": ann_topk_blocked,
@@ -617,7 +690,56 @@ QUERIES = {
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "embedding_top_component": embedding_top_component,
 }
+
+
+def _pi_iter_cte(k: int, qv_src: str) -> str:
+    """One unrolled power-iteration round of the DuckDB oracle —
+    integer-exact mirror of the Spark/driver loop in
+    ``embedding_top_component``."""
+    return f"""
+    c{k} AS (
+      SELECT b.qx,
+             list_sum(list_transform(list_zip(b.qx, q.qv),
+                      p -> p[1] * p[2])) AS c
+      FROM pibase b, ({qv_src}) q
+    ),
+    s{k} AS (
+      SELECT u.pos AS pos, SUM(r.qx[u.pos + 1] * r.c) AS s
+      FROM c{k} r, (SELECT unnest(range({EMB_DIM})) AS pos) u
+      GROUP BY u.pos
+    ),
+    n{k} AS (SELECT sqrt(CAST(SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+                          AS DOUBLE)) AS nrm FROM s{k}),
+    v{k} AS (SELECT list(CAST(s AS DOUBLE) / (SELECT nrm FROM n{k})
+                         ORDER BY pos) AS v FROM s{k})"""
+
+
+_PI_QV0 = (
+    f"SELECT list_transform(range({EMB_DIM}), "
+    f"i -> CAST({PI_VSCALE // 8} AS BIGINT)) AS qv"
+)  # floor(1/sqrt(64)·1e6 + 0.5) = 125000 per dim
+
+
+def _pi_qv(k: int) -> str:
+    return (
+        f"SELECT list_transform(v, x -> CAST(floor(x * {PI_VSCALE} + 0.5) "
+        f"AS BIGINT)) AS qv FROM v{k}"
+    )
+
+
+_TOP_COMPONENT_ORACLE = f"""
+    WITH pibase AS (
+      SELECT list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {PI_XSCALE} + 0.5)
+                  AS BIGINT)) AS qx
+      FROM embeddings
+    ),{_pi_iter_cte(1, _PI_QV0)},{_pi_iter_cte(2, _pi_qv(1))},{
+        _pi_iter_cte(3, _pi_qv(2))}
+    SELECT CAST(u.pos AS INTEGER) AS pos, v.v[u.pos + 1] AS loading
+    FROM v3 v, (SELECT unnest(range({EMB_DIM})) AS pos) u
+"""
 
 _DOT = (
     "list_sum(list_transform(list_zip({a}, {b}), "
@@ -753,6 +875,7 @@ _QUANT_ORACLE = """
 ORACLES = {
     "ann_topk_bruteforce": _TOPK_ORACLE,
     "embedding_quantize_int8": _QUANT_ORACLE,
+    "embedding_top_component": _TOP_COMPONENT_ORACLE,
     "ann_topk_blocked": _TOPK_ORACLE,
     "ann_topk_ivf": _IVF_ORACLE,
     "embedding_centroids": f"""
