@@ -196,6 +196,40 @@ def ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
 
 
+def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of the LSH ANN against the exact brute-force top-k —
+    the evaluation harness an ANN deployment runs before trading exact
+    search for buckets. Both sides are existing oracle-exact operators;
+    recall is a per-query left join + count over two k-row-per-query
+    frames, so the eval itself adds only query-set-sized work.
+    """
+    from .similarity import ann_topk_bruteforce
+
+    bf = ann_topk_bruteforce(spark, sf).select(
+        F.col("query_id").alias("q"), F.col("neighbor_id").alias("exact_id")
+    )
+    ap = ann_topk_lsh(spark, sf).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("approx_id")
+    )
+    joined = bf.join(
+        ap,
+        (F.col("q") == F.col("aq")) & (F.col("exact_id") == F.col("approx_id")),
+        "left",
+    )
+    per_q = joined.groupBy("q").agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.col("approx_id").isNotNull().cast("long")).alias("n_hits"),
+    )
+    return per_q.select(
+        F.col("q").alias("query_id"),
+        "n_exact",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_exact").cast("double")).alias(
+            "recall"
+        ),
+    ).orderBy("query_id")
+
+
 def sample_hash_bucket(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic hash-bucket sampling (~1/16 of rows).
 
@@ -595,6 +629,7 @@ QUERIES = {
     "pandas_udf_grouped_agg": pandas_udf_grouped_agg,
     "applyinpandas_rank": applyinpandas_rank,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_recall_eval": ann_recall_eval,
 }
 
 _DOT = (
@@ -606,6 +641,25 @@ _BUCKET = (
     "list_aggregate(list_transform(embedding[1:8], "
     "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
 )
+
+_ANN_LSH_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qbucket
+          FROM v WHERE vec_id < 5),
+    sims AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round({_DOT.format(a='q.qe', b='v.embedding')}
+                   / ({_NORM.format(a='q.qe')} * {_NORM.format(a='v.embedding')}),
+                   6) AS sim
+      FROM q JOIN v ON v.bucket = q.qbucket AND v.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+"""
 
 ORACLES = {
     "join_salted_skew": """
@@ -825,22 +879,23 @@ ORACLES = {
                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
         FROM events
     """,
-    "ann_topk_lsh": f"""
-        WITH v AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
-        q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qbucket
-              FROM v WHERE vec_id < 5),
-        sims AS (
-          SELECT q.query_id, v.vec_id AS neighbor_id,
-                 round({_DOT.format(a='q.qe', b='v.embedding')}
-                       / ({_NORM.format(a='q.qe')} * {_NORM.format(a='v.embedding')}),
-                       6) AS sim
-          FROM q JOIN v ON v.bucket = q.qbucket AND v.vec_id != q.query_id
-        )
-        SELECT query_id, neighbor_id, sim, rank FROM (
-          SELECT query_id, neighbor_id, sim,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY sim DESC, neighbor_id) AS rank
-          FROM sims
-        ) WHERE rank <= 5
-    """,
+    "ann_topk_lsh": _ANN_LSH_ORACLE,
 }
+
+# composes the two full pipeline oracles: recall is exact by
+# construction because both sides are exact replicas of their Spark
+# twins (a WITH inside a parenthesized subquery is valid DuckDB)
+from .similarity import _TOPK_ORACLE as _BF_ORACLE  # noqa: E402
+
+ORACLES["ann_recall_eval"] = f"""
+    WITH bf AS ({_BF_ORACLE}), ap AS ({_ANN_LSH_ORACLE})
+    SELECT bf.query_id, COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM bf LEFT JOIN ap
+      ON ap.query_id = bf.query_id AND ap.neighbor_id = bf.neighbor_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+"""

@@ -171,12 +171,14 @@ def vocab_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
     check that decides whether a tokenizer/vocab is usable on a new
     source before training on it.
 
-    The vocabulary derives from the vocabulary-sized count table via
-    ``orderBy().limit()`` (TakeOrderedAndProject — distributed partial
-    top-k, NOT a single-partition window), with (freq DESC, term ASC)
-    as a total order so the K-boundary tie-break is deterministic in
-    both engines. The OOV probe is a broadcast anti-join: the token
-    stream is never shuffled.
+    Two token passes total — the index-then-probe minimum: pass 1
+    builds the vocabulary (vocabulary-sized shuffle, then
+    ``orderBy().limit()`` = TakeOrderedAndProject, a distributed
+    partial top-k, NOT a single-partition window; (freq DESC, term
+    ASC) is a total order so the K-boundary tie-break is deterministic
+    in both engines). Pass 2 probes every token against the broadcast
+    vocabulary and folds the total and OOV counts into ONE map-side-
+    combined aggregation — the token stream itself is never shuffled.
     """
     d = load_table(spark, sf, "documents")
     tok = d.select(
@@ -187,24 +189,19 @@ def vocab_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("term").asc())
         .limit(OOV_VOCAB_K)
-        .select("term")
+        .select("term", F.lit(1).alias("hit"))
     )
-    per_src = tok.groupBy("source").agg(F.count("*").alias("n_tokens"))
-    oov = (
-        tok.join(F.broadcast(vocab), "term", "left_anti")
-        .groupBy("source")
-        .agg(F.count("*").alias("n_oov"))
-    )
-    n_oov = F.coalesce(F.col("n_oov"), F.lit(0)).cast("long")
+    probed = tok.join(F.broadcast(vocab), "term", "left")
+    n_oov = F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).cast("long")
     return (
-        per_src.join(oov, "source", "left")
+        probed.groupBy("source")
+        .agg(F.count("*").alias("n_tokens"), n_oov.alias("n_oov"))
         .select(
             "source",
             "n_tokens",
-            n_oov.alias("n_oov"),
-            (n_oov.cast("double") / F.col("n_tokens").cast("double")).alias(
-                "oov_rate"
-            ),
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("oov_rate"),
         )
         .orderBy("source")
     )

@@ -238,6 +238,20 @@ def pii_scrub_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def text_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID evaluation: confusion counts of the stopword
+    heuristic's prediction against the fixture's labeled ``lang`` —
+    the quality report a pipeline produces before trusting a
+    classifier as a corpus filter. One types-sized aggregation over
+    the existing predictor."""
+    pred = text_lang_id(spark, sf)
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_bpe_token_count": text_bpe_token_count,
@@ -247,6 +261,7 @@ QUERIES = {
     "doc_stats_by_source": doc_stats_by_source,
     "text_repetition_filter": text_repetition_filter,
     "pii_scrub_stats": pii_scrub_stats,
+    "text_langid_confusion": text_langid_confusion,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -337,6 +352,17 @@ ORACLES = {
                 OR CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.3)
                  AS is_repetitive
         FROM agg
+    """,
+    "text_langid_confusion": f"""
+        WITH p AS (
+          SELECT lang,
+                 CASE WHEN CAST({_NSTOP} AS DOUBLE)
+                           / CAST(len({_TOKS}) AS DOUBLE) >= 0.05
+                      THEN 'en' ELSE 'other' END AS lang_pred
+          FROM documents
+        )
+        SELECT lang, lang_pred, COUNT(*) AS n
+        FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
     """,
     "pii_scrub_stats": """
         WITH p AS (

@@ -536,6 +536,48 @@ def stream_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+ANOMALY_Z = 2.0  # |z| threshold for the streaming anomaly gate
+
+
+def stream_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming anomaly gate: per-event z-score against BATCH-computed
+    per-type moments (the reference-profile pattern — train the profile
+    offline, score the live stream). The moments table is types-sized
+    and broadcasts into every micro-batch; the row-level |z| filter is
+    batch-boundary-independent, so the per-type anomaly counts equal
+    the batch equivalent, which is the oracle. Moment math is the exact
+    int64-cents formulation shared with ``events_zscore_normalize``.
+    """
+    from ..schema import load_table
+
+    e = load_table(spark, sf, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    moments = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vc).alias("sv"),
+        F.sum(vc * vc).alias("svv"),
+    )
+    nd = F.col("n").cast("double")
+    sv, svv = F.col("sv").cast("double"), F.col("svv").cast("double")
+    stats = moments.select(
+        "event_type",
+        (sv / F.lit(100.0) / nd).alias("mean_v"),
+        (F.sqrt((nd * svv - sv * sv) / (nd * nd)) / F.lit(100.0)).alias(
+            "std_v"
+        ),
+    )
+    stream = events_file_stream(spark, sf)
+    flagged = (
+        stream.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "z", (F.col("value") - F.col("mean_v")) / F.col("std_v")
+        )
+        .filter(F.abs(F.col("z")) >= ANOMALY_Z)
+    )
+    out = _run_to_memory(flagged, "append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n_anomalies"))
+
+
 def stream_windowed_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 event types per 1-hour event-time window: the live
     "trending" query — a watermarked streaming aggregation whose
@@ -597,6 +639,7 @@ QUERIES = {
     "stream_dual_sink": stream_dual_sink,
     "stream_stateful_user_totals": stream_stateful_user_totals,
     "stream_windowed_topk": stream_windowed_topk,
+    "stream_anomaly_zscore": stream_anomaly_zscore,
 }
 
 ORACLES = {
@@ -659,6 +702,28 @@ ORACLES = {
     "stream_tumbling_counts": """
         SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
         FROM events GROUP BY 1, 2
+    """,
+    "stream_anomaly_zscore": """
+        WITH m AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(CAST(round(value * 100) AS BIGINT)) AS sv,
+                 SUM(CAST(round(value * 100) AS BIGINT)
+                     * CAST(round(value * 100) AS BIGINT)) AS svv
+          FROM events GROUP BY event_type
+        ),
+        s AS (
+          SELECT event_type,
+                 CAST(sv AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mean_v,
+                 SQRT((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                       - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 100.0
+                   AS std_v
+          FROM m
+        )
+        SELECT e.event_type, COUNT(*) AS n_anomalies
+        FROM events e JOIN s ON e.event_type = s.event_type
+        WHERE abs((value - mean_v) / std_v) >= 2.0
+        GROUP BY e.event_type
     """,
     "stream_windowed_topk": """
         WITH counts AS (

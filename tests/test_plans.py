@@ -386,15 +386,18 @@ def test_token_histogram_partial_aggregation(spark, sf_dir):
     assert plan.count("Exchange") <= 4
 
 
-def test_oov_vocab_topk_and_broadcast_anti(spark, sf_dir):
+def test_oov_vocab_topk_and_broadcast_probe(spark, sf_dir):
     # vocab top-K must be the distributed TakeOrderedAndProject (never
-    # a single-partition window) and the OOV probe a broadcast anti-join
+    # a single-partition window); the probe joins the broadcast vocab
+    # and folds total+OOV counts map-side — the token stream itself is
+    # never shuffled or sort-merge-joined
     from iceberg_kafka_playgroud_spark.operators import curation
 
     plan = physical_plan(curation.vocab_oov_rate(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
-    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
 
 
 def test_incremental_minhash_splits_before_join(spark, sf_dir):
