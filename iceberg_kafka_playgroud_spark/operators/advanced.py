@@ -154,6 +154,74 @@ def applyinpandas_rank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def udtf_char_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (table-generating function) — the T in the X5
+    UDF/UDAF/UDTF surface: one input row fans out to N output rows
+    from imperative Python. Emits distinct character trigrams of each
+    nation name. UDTFs are the slow path (per-partition Python
+    processes), right only when the fan-out logic genuinely can't be a
+    column expression; the oracle replicates it relationally to prove
+    the semantics are still exact.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="n_nationkey int, gram string")
+    class CharNgrams:
+        def eval(self, n_nationkey: int, name: str):
+            seen = set()
+            low = name.lower()
+            for i in range(len(low) - 2):
+                g = low[i : i + 3]
+                if g not in seen:
+                    seen.add(g)
+                    yield n_nationkey, g
+
+    spark.udtf.register("char_ngrams", CharNgrams)
+    n = load_table(spark, sf, "nation")
+    n.createOrReplaceTempView("nation_udtf_src")
+    return spark.sql(
+        "SELECT g.n_nationkey, g.gram "
+        "FROM nation_udtf_src, "
+        "LATERAL char_ngrams(CAST(n_nationkey AS INT), n_name) g"
+    )
+
+
+def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate percentiles (quantile sketch) checked the way
+    approximate operators must be: the estimate is nondeterministic
+    across engines, so the ORACLE-CHECKED contract is an error-bound
+    boolean — each approx percentile must land within the value range
+    spanned by the exact percentile's ±1% rank neighborhood (the
+    sketch's documented accuracy), computed exactly in both engines.
+    Same pattern as ``agg_approx_distinct``."""
+    o = load_table(spark, sf, "orders")
+    n = F.count("*")
+    exact = o.groupBy("o_orderstatus").agg(
+        n.alias("n"),
+        F.expr(
+            "percentile(o_totalprice, array(0.49, 0.50, 0.51))"
+        ).alias("p_lo_mid_hi"),
+        F.expr(
+            "percentile(o_totalprice, array(0.94, 0.95, 0.96))"
+        ).alias("p95_band"),
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.50, 0.95), 10000)"
+        ).alias("ap"),
+    )
+    return exact.select(
+        "o_orderstatus",
+        "n",
+        (
+            (F.element_at("ap", 1) >= F.element_at("p_lo_mid_hi", 1))
+            & (F.element_at("ap", 1) <= F.element_at("p_lo_mid_hi", 3))
+        ).alias("p50_within_band"),
+        (
+            (F.element_at("ap", 2) >= F.element_at("p95_band", 1))
+            & (F.element_at("ap", 2) <= F.element_at("p95_band", 3))
+        ).alias("p95_within_band"),
+    ).orderBy("o_orderstatus")
+
+
 def ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate top-k via sign-bit LSH bucketing: vectors hash to an
     8-bit bucket (signs of the first 8 dims); each query only scans its
@@ -630,6 +698,8 @@ QUERIES = {
     "applyinpandas_rank": applyinpandas_rank,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_recall_eval": ann_recall_eval,
+    "udtf_char_ngrams": udtf_char_ngrams,
+    "agg_approx_percentile": agg_approx_percentile,
 }
 
 _DOT = (
@@ -880,6 +950,22 @@ ORACLES = {
         FROM events
     """,
     "ann_topk_lsh": _ANN_LSH_ORACLE,
+    "udtf_char_ngrams": """
+        SELECT DISTINCT n_nationkey,
+               substring(lower(n_name), i, 3) AS gram
+        FROM nation,
+             LATERAL (SELECT unnest(generate_series(1, length(n_name) - 2))
+                      AS i) s
+    """,
+    # approximate operator → error-bound boolean contract (the
+    # agg_approx_distinct pattern): the Spark side checks its sketch
+    # against the exact ±1%-rank band internally and exports only the
+    # verdict; the oracle pins the verdict TRUE
+    "agg_approx_percentile": """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               TRUE AS p50_within_band, TRUE AS p95_within_band
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
 }
 
 # composes the two full pipeline oracles: recall is exact by
