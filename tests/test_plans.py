@@ -408,3 +408,47 @@ def test_incremental_minhash_splits_before_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("% 10)") >= 2  # both sides filtered pre-join
+
+
+def test_session_funnel_single_user_partitioning(spark, sf_dir):
+    # sessionization windows + per-session agg + final funnel agg must
+    # share the user_id hash partitioning: no extra wide exchanges, and
+    # the aggregations combine map-side
+    plan = physical_plan(advanced.session_funnel(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_component_round_is_combinable(spark, sf_dir):
+    # each power-iteration round's per-dimension sum must combine
+    # map-side so the shuffle carries (pos, partial) cells, never the
+    # exploded contributions
+    from iceberg_kafka_playgroud_spark.schema import load_table
+    from pyspark.sql import functions as F
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("qx")
+    )
+    qv = F.array(*[F.lit(125000).cast("long")] * 64)
+    c = F.aggregate(
+        F.zip_with(F.col("qx"), qv, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    round_df = (
+        base.select("qx", c.alias("c"))
+        .select(
+            F.posexplode(
+                F.transform(F.col("qx"), lambda q: q * F.col("c"))
+            ).alias("pos", "t")
+        )
+        .groupBy("pos")
+        .agg(F.sum("t").alias("s"))
+    )
+    plan = physical_plan(round_df)
+    assert "partial_sum" in plan
