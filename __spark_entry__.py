@@ -74,7 +74,7 @@ _PRIORITY = [
     "sequence_pack_contiguous", "quality_filter_funnel",
     "dedup_keep_canonical", "curation_pipeline_end_to_end",
     "user_behavior_features", "array_set_functions", "agg_collect_list_set",
-    # -- slots 19-31: round-5 additions (no driver row yet) --
+    # -- slots 19-33: round-5 additions (no driver row yet) --
     "text_repetition_filter", "pii_scrub_stats", "decontaminate_exact",
     "token_length_histogram", "embedding_quantize_int8", "vocab_oov_rate",
     "dedup_incremental_minhash", "session_funnel", "stream_windowed_topk",
@@ -87,9 +87,9 @@ _PRIORITY = [
     "stream_dim_enrichment", "math_functions", "json_functions",
     "conditional_case", "nested_types", "explode_unnest", "table_stats",
     "text_token_count", "text_bpe_token_count", "text_quality_score",
-    "text_lang_id",
+    "text_lang_id", "text_fingerprint",
     # -- beyond the 50-slot window --
-    "text_fingerprint", "doc_stats_by_source", "dedup_exact",
+    "doc_stats_by_source", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "ann_topk_bruteforce",
     "ann_topk_blocked", "embedding_near_dup_pairs", "embedding_near_dup_lsh",

@@ -168,6 +168,10 @@ def udtf_char_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     @udtf(returnType="n_nationkey int, gram string")
     class CharNgrams:
         def eval(self, n_nationkey: int, name: str):
+            if name is None:
+                # match the relational oracle: NULL input → no rows,
+                # not a Python worker AttributeError
+                return
             seen = set()
             low = name.lower()
             for i in range(len(low) - 2):
@@ -731,6 +735,29 @@ _ANN_LSH_ORACLE = f"""
     ) WHERE rank <= 5
 """
 
+def _sessions_cte(extra: str = "") -> str:
+    """Shared gap-sessionization CTE for the session-family oracles,
+    derived from SESSION_GAP_MIN so the Spark constant and the SQL
+    threshold cannot drift apart."""
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    return f"""gaps AS (
+          SELECT user_id, ts{extra},
+                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                           (PARTITION BY user_id ORDER BY ts)) > {gap_us}
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sessions AS (
+          SELECT user_id, ts{extra},
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+          FROM gaps
+        )"""
+
+
 ORACLES = {
     "join_salted_skew": """
         WITH dim AS (SELECT * FROM (VALUES
@@ -813,44 +840,14 @@ ORACLES = {
         WINDOW w AS (PARTITION BY o_orderstatus
                      ORDER BY o_totalprice ASC, o_orderkey ASC)
     """,
-    "event_sessionize_batch": """
-        WITH gaps AS (
-          SELECT user_id, ts,
-                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
-                           (PARTITION BY user_id ORDER BY ts)) > 1800000000
-                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         IS NULL
-                      THEN 1 ELSE 0 END AS new_session
-          FROM events
-        ),
-        sessions AS (
-          SELECT user_id, ts,
-                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS session_id
-          FROM gaps
-        )
+    "event_sessionize_batch": f"""
+        WITH {_sessions_cte()}
         SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
                COUNT(*) AS n_events
         FROM sessions GROUP BY user_id, session_id
     """,
-    "session_funnel": """
-        WITH gaps AS (
-          SELECT user_id, ts, event_type,
-                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
-                           (PARTITION BY user_id ORDER BY ts)) > 1800000000
-                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         IS NULL
-                      THEN 1 ELSE 0 END AS new_session
-          FROM events
-        ),
-        sessions AS (
-          SELECT user_id, ts, event_type,
-                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS session_id
-          FROM gaps
-        ),
+    "session_funnel": f"""
+        WITH {_sessions_cte(", event_type")},
         per AS (
           SELECT user_id, session_id,
                  MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,

@@ -110,12 +110,57 @@ def lsh_bands(sig: DataFrame, k: int = N_HASHES, bands: int = N_BANDS) -> DataFr
     )
 
 
+def _jaccard_on_candidates(
+    sh: DataFrame, cand: DataFrame, left: str, right: str
+) -> DataFrame:
+    """Exact-Jaccard verification over candidate pairs ONLY — shared by
+    the corpus-wide and incremental MinHash variants so the scoring
+    dataflow (and its rounding) has exactly one definition.
+
+    Prunes the shingle table to docs appearing in some candidate pair
+    (broadcast semi-join, narrow) before any shuffle: at scale the
+    candidate set is orders of magnitude smaller than the corpus, so
+    the intersection and size aggregations run on a sliver of the data.
+    """
+    cand_docs = (
+        cand.select(F.explode(F.array(left, right)).alias("doc_id"))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_docs), "doc_id")
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = shc.alias("s1")
+    s2 = shc.alias("s2")
+    inter = (
+        F.broadcast(cand)
+        .join(s1, F.col("s1.doc_id") == F.col(left))
+        .join(
+            s2,
+            (F.col("s2.doc_id") == F.col(right))
+            & (F.col("s2.shingle") == F.col("s1.shingle")),
+        )
+        .groupBy(left, right)
+        .agg(F.count("*").alias("i"))
+    )
+    n1 = sizes.alias("n1")
+    n2 = sizes.alias("n2")
+    jac = F.col("i").cast("double") / (
+        F.col("n1.n") + F.col("n2.n") - F.col("i")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(n1), F.col("n1.doc_id") == F.col(left))
+        .join(F.broadcast(n2), F.col("n2.doc_id") == F.col(right))
+        .select(left, right, F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs via MinHash LSH + exact-Jaccard verification.
 
     Candidate generation is a self-join on (band_idx, band_val) —
     at scale this is the band-bucket shuffle, never an n² compare.
-    Verification computes true Jaccard only on candidates.
+    Verification computes true Jaccard only on candidates
+    (``_jaccard_on_candidates``).
     """
     d = load_table(spark, sf, "documents")
     sh = shingle_set(d).cache()
@@ -134,41 +179,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .cache()  # tiny; reused for the pair join AND the doc-set prune
     )
-
-    # verification touches CANDIDATE DOCS only: prune the shingle table
-    # to docs that appear in some candidate pair (broadcast semi-join,
-    # narrow) before any shuffle — at scale the candidate set is orders
-    # of magnitude smaller than the corpus, so the intersection and
-    # size aggregations run on a sliver of the data
-    cand_docs = (
-        cand.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
-    )
-    shc = sh.join(F.broadcast(cand_docs), "doc_id")
-    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
-    s1 = shc.alias("s1")
-    s2 = shc.alias("s2")
-    inter = (
-        F.broadcast(cand)
-        .join(s1, F.col("s1.doc_id") == F.col("d1"))
-        .join(
-            s2,
-            (F.col("s2.doc_id") == F.col("d2"))
-            & (F.col("s2.shingle") == F.col("s1.shingle")),
-        )
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("i"))
-    )
-    n1 = sizes.alias("n1")
-    n2 = sizes.alias("n2")
-    jac = F.col("i").cast("double") / (
-        F.col("n1.n") + F.col("n2.n") - F.col("i")
-    ).cast("double")
-    return (
-        inter.join(F.broadcast(n1), F.col("n1.doc_id") == F.col("d1"))
-        .join(F.broadcast(n2), F.col("n2.doc_id") == F.col("d2"))
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return _jaccard_on_candidates(sh, cand, "d1", "d2")
 
 
 NEW_BATCH_MOD, NEW_BATCH_RESIDUE = 10, 3  # doc_id % 10 == 3 → "today's batch"
@@ -204,38 +215,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    cand_docs = (
-        cand.select(F.explode(F.array("d_old", "d_new")).alias("doc_id"))
-        .distinct()
-    )
-    shc = sh.join(F.broadcast(cand_docs), "doc_id")
-    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
-    s1 = shc.alias("s1")
-    s2 = shc.alias("s2")
-    inter = (
-        F.broadcast(cand)
-        .join(s1, F.col("s1.doc_id") == F.col("d_old"))
-        .join(
-            s2,
-            (F.col("s2.doc_id") == F.col("d_new"))
-            & (F.col("s2.shingle") == F.col("s1.shingle")),
-        )
-        .groupBy("d_old", "d_new")
-        .agg(F.count("*").alias("i"))
-    )
-    n1 = sizes.alias("n1")
-    n2 = sizes.alias("n2")
-    jac = F.round(
-        F.col("i").cast("double")
-        / (F.col("n1.n") + F.col("n2.n") - F.col("i")).cast("double"),
-        6,
-    )
-    scored = (
-        inter.join(F.broadcast(n1), F.col("n1.doc_id") == F.col("d_old"))
-        .join(F.broadcast(n2), F.col("n2.doc_id") == F.col("d_new"))
-        .select("d_old", "d_new", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    scored = _jaccard_on_candidates(sh, cand, "d_old", "d_new")
     from pyspark.sql import Window as W
 
     best_j = F.max("jaccard").over(W.partitionBy("d_new"))
@@ -602,6 +582,28 @@ sh AS (
 )
 """
 
+# MinHash signature + banded buckets, shared by the corpus-wide and
+# incremental oracles (one definition of the hash family / banding,
+# mirroring minhash_signatures + lsh_bands)
+_MINHASH_BANDS_CTE = """
+hashes AS (
+  SELECT doc_id, md5(shingle) AS m0, md5('x:' || shingle) AS m1 FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         min(substring(m0,  1, 8)) AS h0, min(substring(m0,  9, 8)) AS h1,
+         min(substring(m0, 17, 8)) AS h2, min(substring(m0, 25, 8)) AS h3,
+         min(substring(m1,  1, 8)) AS h4, min(substring(m1,  9, 8)) AS h5,
+         min(substring(m1, 17, 8)) AS h6, min(substring(m1, 25, 8)) AS h7
+  FROM hashes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([0,1,2,3]) AS band_idx,
+         unnest([md5(h0||h1), md5(h2||h3), md5(h4||h5), md5(h6||h7)]) AS band_val
+  FROM sig
+)
+"""
+
 _SIMHASH_SIGS_CTE = f"""
 words AS (
   SELECT doc_id, md5(unnest({_TOKS})) AS hw FROM documents
@@ -650,22 +652,7 @@ ORACLES = {
     """,
     "dedup_minhash_lsh": f"""
         WITH {_SHINGLES_CTE},
-        hashes AS (
-          SELECT doc_id, md5(shingle) AS m0, md5('x:' || shingle) AS m1 FROM sh
-        ),
-        sig AS (
-          SELECT doc_id,
-                 min(substring(m0,  1, 8)) AS h0, min(substring(m0,  9, 8)) AS h1,
-                 min(substring(m0, 17, 8)) AS h2, min(substring(m0, 25, 8)) AS h3,
-                 min(substring(m1,  1, 8)) AS h4, min(substring(m1,  9, 8)) AS h5,
-                 min(substring(m1, 17, 8)) AS h6, min(substring(m1, 25, 8)) AS h7
-          FROM hashes GROUP BY doc_id
-        ),
-        bands AS (
-          SELECT doc_id, unnest([0,1,2,3]) AS band_idx,
-                 unnest([md5(h0||h1), md5(h2||h3), md5(h4||h5), md5(h6||h7)]) AS band_val
-          FROM sig
-        ),
+        {_MINHASH_BANDS_CTE},
         cand AS (
           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
           FROM bands a JOIN bands b
@@ -686,22 +673,7 @@ ORACLES = {
     """,
     "dedup_incremental_minhash": f"""
         WITH {_SHINGLES_CTE},
-        hashes AS (
-          SELECT doc_id, md5(shingle) AS m0, md5('x:' || shingle) AS m1 FROM sh
-        ),
-        sig AS (
-          SELECT doc_id,
-                 min(substring(m0,  1, 8)) AS h0, min(substring(m0,  9, 8)) AS h1,
-                 min(substring(m0, 17, 8)) AS h2, min(substring(m0, 25, 8)) AS h3,
-                 min(substring(m1,  1, 8)) AS h4, min(substring(m1,  9, 8)) AS h5,
-                 min(substring(m1, 17, 8)) AS h6, min(substring(m1, 25, 8)) AS h7
-          FROM hashes GROUP BY doc_id
-        ),
-        bands AS (
-          SELECT doc_id, unnest([0,1,2,3]) AS band_idx,
-                 unnest([md5(h0||h1), md5(h2||h3), md5(h4||h5), md5(h6||h7)]) AS band_val
-          FROM sig
-        ),
+        {_MINHASH_BANDS_CTE},
         cand AS (
           SELECT DISTINCT a.doc_id AS d_old, b.doc_id AS d_new
           FROM bands a JOIN bands b

@@ -50,6 +50,7 @@ across Spark, NumPy, and DuckDB regardless of summation order.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -626,14 +627,16 @@ def embedding_top_component(spark: SparkSession, sf: str) -> DataFrame:
     one sqrt per round over identical inputs. Per round: one Spark job
     (map-side-combined posexplode sum, the ``embedding_centroids``
     pattern) and an O(d) driver collect — the classic iterative-driver
-    loop, never an O(n) materialization. int64 bounds: |qx| ≤ 4·10³,
-    |c| ≤ 2.6·10¹¹, per-dim sums ≤ n·10¹⁵ — guarded below; corpora
-    beyond ~2³⁰ rows re-scale PI_XSCALE or switch the sum to
+    loop, never an O(n) materialization. int64 bound: per-dim sums are
+    ≤ n·max|qx|·max|c| ≈ n·4·10³·2.6·10¹¹ worst-case, i.e. exhausted
+    near n ≈ 10⁴ adversarial max-magnitude rows — but real embeddings
+    are zero-mean, so sums grow ~√n and the 2⁶² assert below is the
+    honest guard; on trips, re-scale PI_XSCALE or switch the sum to
     decimal(38,0).
     """
-    import math
-
     d_dim = EMB_DIM
+    # cache: the loop re-consumes this frame once per round; without
+    # it each round re-scans and re-quantizes the corpus from parquet
     base = load_table(spark, sf, "embeddings").select(
         F.transform(
             F.col("embedding"),
@@ -641,7 +644,7 @@ def embedding_top_component(spark: SparkSession, sf: str) -> DataFrame:
                 x.cast("double") * PI_XSCALE + F.lit(0.5)
             ).cast("long"),
         ).alias("qx")
-    )
+    ).cache()
     v = [1.0 / math.sqrt(d_dim)] * d_dim
     for _ in range(PI_ITERS):
         qv = F.array(
@@ -677,6 +680,7 @@ def embedding_top_component(spark: SparkSession, sf: str) -> DataFrame:
         # in every IEEE engine
         nrm = math.sqrt(sum(s * s for s in sums))
         v = [float(s) / nrm for s in sums]
+    base.unpersist()
     return spark.createDataFrame(
         [(j, v[j]) for j in range(d_dim)], "pos int, loading double"
     )
@@ -716,10 +720,14 @@ def _pi_iter_cte(k: int, qv_src: str) -> str:
                          ORDER BY pos) AS v FROM s{k})"""
 
 
+# initial iterate quantized exactly like the Spark loop's round 1:
+# floor(1/sqrt(d)·PI_VSCALE + 0.5) — computed from EMB_DIM so a
+# dimension change can't silently decouple the two sides
+_PI_QV0_VAL = math.floor(1.0 / math.sqrt(EMB_DIM) * PI_VSCALE + 0.5)
 _PI_QV0 = (
     f"SELECT list_transform(range({EMB_DIM}), "
-    f"i -> CAST({PI_VSCALE // 8} AS BIGINT)) AS qv"
-)  # floor(1/sqrt(64)·1e6 + 0.5) = 125000 per dim
+    f"i -> CAST({_PI_QV0_VAL} AS BIGINT)) AS qv"
+)
 
 
 def _pi_qv(k: int) -> str:

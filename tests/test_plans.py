@@ -422,19 +422,25 @@ def test_session_funnel_single_user_partitioning(spark, sf_dir):
 def test_top_component_round_is_combinable(spark, sf_dir):
     # each power-iteration round's per-dimension sum must combine
     # map-side so the shuffle carries (pos, partial) cells, never the
-    # exploded contributions
+    # exploded contributions. Constants come from the module under
+    # test so a scale/dimension change keeps the pin meaningful.
+    from iceberg_kafka_playgroud_spark.operators.similarity import (
+        EMB_DIM,
+        PI_XSCALE,
+        _PI_QV0_VAL,
+    )
     from iceberg_kafka_playgroud_spark.schema import load_table
     from pyspark.sql import functions as F
 
     base = load_table(spark, sf_dir, "embeddings").select(
         F.transform(
             F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast(
-                "long"
-            ),
+            lambda x: F.floor(
+                x.cast("double") * PI_XSCALE + F.lit(0.5)
+            ).cast("long"),
         ).alias("qx")
     )
-    qv = F.array(*[F.lit(125000).cast("long")] * 64)
+    qv = F.array(*[F.lit(_PI_QV0_VAL).cast("long")] * EMB_DIM)
     c = F.aggregate(
         F.zip_with(F.col("qx"), qv, lambda a, b: a * b),
         F.lit(0).cast("long"),
