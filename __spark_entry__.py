@@ -80,15 +80,16 @@ _PRIORITY = [
     "dedup_incremental_minhash", "session_funnel", "stream_windowed_topk",
     "embedding_top_component", "ann_recall_eval", "text_langid_confusion",
     "stream_anomaly_zscore", "udtf_char_ngrams", "agg_approx_percentile",
-    # -- slots 34-50: stale greens on the events/ts path first, then
+    "multimodal_payload_dedup", "text_char_entropy_proxy",
+    # -- slots 36-50: stale greens on the events/ts path first, then
     #    rows not re-checked since round 2 --
     "event_time_tumbling", "asof_last_purchase", "stream_exact_dedup",
     "stream_stateful_user_totals", "stream_upsert_latest",
     "stream_dim_enrichment", "math_functions", "json_functions",
     "conditional_case", "nested_types", "explode_unnest", "table_stats",
     "text_token_count", "text_bpe_token_count", "text_quality_score",
-    "text_lang_id", "text_fingerprint",
     # -- beyond the 50-slot window --
+    "text_lang_id", "text_fingerprint",
     "doc_stats_by_source", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "ann_topk_bruteforce",

@@ -190,14 +190,55 @@ def multimodal_audio_rms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def multimodal_payload_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup over binary payloads: content-hash each blob inside
+    Arrow batches (bytes never leave executors), then group — the
+    asset-dedup pass an image/video lake runs before feature
+    extraction. One content-hash shuffle of (hash, id) pairs; payload
+    bytes stay scan-local.
+    """
+    import hashlib
+
+    src = with_payload(load_table(spark, sf, "documents"))
+
+    def content_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content_md5": [
+                        hashlib.md5(bytes(p)).hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    hashed = src.mapInPandas(
+        content_hash, schema="doc_id long, content_md5 string"
+    )
+    return hashed.groupBy("content_md5").agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
 QUERIES = {
     "multimodal_audio_rms": multimodal_audio_rms,
+    "multimodal_payload_dedup": multimodal_payload_dedup,
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES = {
+    # the payload is the utf-8 encoding of text, and DuckDB's md5 over
+    # a VARCHAR hashes its utf-8 bytes — identical digests by design
+    "multimodal_payload_dedup": """
+        WITH h AS (SELECT doc_id, md5(text) AS content_md5 FROM documents)
+        SELECT content_md5, COUNT(*) AS n_copies,
+               MIN(doc_id) AS canonical_doc_id
+        FROM h GROUP BY content_md5
+    """,
     # byte values come from hex pairs of the encoded blob (byte-based,
     # not char-based — valid for any payload); Σb² is integer-exact and
     # the RMS expression matches the Spark side token for token

@@ -252,6 +252,40 @@ def text_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def text_char_entropy_proxy(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-distribution quality signal: an integer-exact entropy
+    proxy, H ≈ bitlen(n) − (Σ c·⌊log2 c⌋)/n over per-document character
+    counts. True Shannon entropy needs float log2 whose last-ulp
+    differs across libm implementations (breaking exact parity at
+    quantization boundaries); ⌊log2⌋ via integer bit-length
+    (length(bin(x))−1) keeps every accumulation integer, leaving a
+    single identical IEEE division. Low proxy ⇒ few dominant
+    characters (binary junk, repeated padding); two map-side-combined
+    aggregations, same shape as ``text_repetition_filter``."""
+    d = load_table(spark, sf, "documents")
+    ch = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    per_ch = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    per_doc = per_ch.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars_counted"),
+        F.count("*").cast("long").alias("distinct_chars"),
+        F.sum(F.col("c") * (F.length(F.expr("bin(c)")) - 1))
+        .cast("long")
+        .alias("s_bits"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chars_counted",
+        "distinct_chars",
+        (
+            (F.length(F.expr("bin(n_chars_counted)")) - 1).cast("double")
+            - F.col("s_bits").cast("double")
+            / F.col("n_chars_counted").cast("double")
+        ).alias("entropy_bits_proxy"),
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_bpe_token_count": text_bpe_token_count,
@@ -262,6 +296,7 @@ QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "pii_scrub_stats": pii_scrub_stats,
     "text_langid_confusion": text_langid_confusion,
+    "text_char_entropy_proxy": text_char_entropy_proxy,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -363,6 +398,27 @@ ORACLES = {
         )
         SELECT lang, lang_pred, COUNT(*) AS n
         FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+    "text_char_entropy_proxy": """
+        WITH ch AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ''), x -> x != ''))
+                   AS ch
+          FROM documents
+        ),
+        cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+        agg AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS d,
+                 CAST(SUM(c * (length(bin(c)) - 1)) AS BIGINT) AS s
+          FROM cnt GROUP BY doc_id
+        )
+        SELECT doc_id, n AS n_chars_counted, d AS distinct_chars,
+               CAST(length(bin(n)) - 1 AS DOUBLE)
+                 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS entropy_bits_proxy
+        FROM agg
     """,
     "pii_scrub_stats": """
         WITH p AS (
