@@ -88,7 +88,8 @@ _PRIORITY = [
     "stream_dim_enrichment", "math_functions", "json_functions",
     "conditional_case", "nested_types", "explode_unnest", "table_stats",
     "text_token_count", "text_bpe_token_count", "text_quality_score",
-    # -- beyond the 50-slot window --
+    # -- beyond the 50-slot window; first in line for the r6 window --
+    "orders_rfm_segmentation", "events_cohort_retention",
     "text_lang_id", "text_fingerprint",
     "doc_stats_by_source", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",

@@ -154,6 +154,66 @@ def applyinpandas_rank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+RFM_BUCKETS = 4
+
+
+def orders_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation: quartile-bucket every customer by
+    Recency (latest order), Frequency (order count), and Monetary
+    (exact cents total), then count customers per (r, f, m) segment —
+    the marketing-analytics workhorse.
+
+    ntile runs over (metric, custkey) total orders so quartile
+    boundaries are deterministic under ties in both engines; the
+    per-customer aggregate is one shuffle, the ntile windows are
+    customer-count-sized.
+    """
+    o = load_table(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    nt = lambda *cols: F.ntile(RFM_BUCKETS).over(W.orderBy(*cols))  # noqa: E731
+    seg = per_cust.select(
+        nt(F.col("last_order").desc(), F.col("o_custkey")).alias("r_bucket"),
+        nt(F.col("n_orders").desc(), F.col("o_custkey")).alias("f_bucket"),
+        nt(F.col("cents").desc(), F.col("o_custkey")).alias("m_bucket"),
+    )
+    return (
+        seg.groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )
+
+
+def events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity
+    counted at day offsets from that cohort day — the
+    product-analytics retention triangle. Two user-keyed aggregations
+    (first-seen, then distinct user-day activity) and one final
+    cohort-sized rollup; no per-day scans.
+    """
+    e = load_table(spark, sf, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def udtf_char_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     """Python UDTF (table-generating function) — the T in the X5
     UDF/UDAF/UDTF surface: one input row fans out to N output rows
@@ -704,6 +764,8 @@ QUERIES = {
     "ann_recall_eval": ann_recall_eval,
     "udtf_char_ngrams": udtf_char_ngrams,
     "agg_approx_percentile": agg_approx_percentile,
+    "orders_rfm_segmentation": orders_rfm_segmentation,
+    "events_cohort_retention": events_cohort_retention,
 }
 
 _DOT = (
@@ -953,6 +1015,41 @@ ORACLES = {
         FROM nation,
              LATERAL (SELECT unnest(generate_series(1, length(n_name) - 2))
                       AS i) s
+    """,
+    "orders_rfm_segmentation": f"""
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 MAX(o_orderdate) AS last_order,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY o_custkey
+        ),
+        seg AS (
+          SELECT NTILE({RFM_BUCKETS}) OVER (ORDER BY last_order DESC,
+                                            o_custkey) AS r_bucket,
+                 NTILE({RFM_BUCKETS}) OVER (ORDER BY n_orders DESC,
+                                            o_custkey) AS f_bucket,
+                 NTILE({RFM_BUCKETS}) OVER (ORDER BY cents DESC,
+                                            o_custkey) AS m_bucket
+          FROM per_cust
+        )
+        SELECT r_bucket, f_bucket, m_bucket, COUNT(*) AS n_customers
+        FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "events_cohort_retention": """
+        WITH first_seen AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+          FROM events GROUP BY user_id
+        ),
+        active AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        )
+        SELECT cohort_day,
+               CAST(day - cohort_day AS INTEGER) AS day_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM active a JOIN first_seen f ON a.user_id = f.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     # approximate operator → error-bound boolean contract (the
     # agg_approx_distinct pattern): the Spark side checks its sketch
