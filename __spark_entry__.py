@@ -61,10 +61,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ts-layout change (fixed via schema.normalize_event_ts), 7 whose
 # oracle SUMs widened to int128 and hash-mismatched (now CAST to
 # BIGINT), and 2 that ERR'd on raw array cells (now serialized).
-# Slots 19-50 are stale greens whose last driver row predates the
-# fixture change, events/ts-path queries first.  Keep newly added or
-# newly fixed queries inside the first 50 until they earn a fresh
-# driver row.
+# Slots 19-37 are the 19 round-5 additions (no driver row yet — new
+# and fixed queries stay inside the first 50 until they earn one);
+# slots 38-50 are stale-green re-checks, events/ts-path first since
+# their old rows predate the fixture's ts-layout change. Overflowing
+# stale documents-path greens (unaffected by that change) queue just
+# past the window.
 _PRIORITY = [
     # -- 18 round-4 non-green rows, all fixed this round --
     "date_functions", "purchase_event_fabric", "event_sessionize_batch",
@@ -74,22 +76,25 @@ _PRIORITY = [
     "sequence_pack_contiguous", "quality_filter_funnel",
     "dedup_keep_canonical", "curation_pipeline_end_to_end",
     "user_behavior_features", "array_set_functions", "agg_collect_list_set",
-    # -- slots 19-33: round-5 additions (no driver row yet) --
+    # -- slots 19-37: round-5 additions (no driver row yet) --
     "text_repetition_filter", "pii_scrub_stats", "decontaminate_exact",
     "token_length_histogram", "embedding_quantize_int8", "vocab_oov_rate",
     "dedup_incremental_minhash", "session_funnel", "stream_windowed_topk",
     "embedding_top_component", "ann_recall_eval", "text_langid_confusion",
     "stream_anomaly_zscore", "udtf_char_ngrams", "agg_approx_percentile",
     "multimodal_payload_dedup", "text_char_entropy_proxy",
-    # -- slots 36-50: stale greens on the events/ts path first, then
-    #    rows not re-checked since round 2 --
+    "orders_rfm_segmentation", "events_cohort_retention",
+    # -- slots 38-50: stale re-checks, events/ts path first (their old
+    #    driver rows predate the fixture's ts-layout change; the
+    #    documents-path stale greens demoted below are unaffected by
+    #    that change and keep their trustworthy r1/r2 rows) --
     "event_time_tumbling", "asof_last_purchase", "stream_exact_dedup",
     "stream_stateful_user_totals", "stream_upsert_latest",
     "stream_dim_enrichment", "math_functions", "json_functions",
     "conditional_case", "nested_types", "explode_unnest", "table_stats",
-    "text_token_count", "text_bpe_token_count", "text_quality_score",
-    # -- beyond the 50-slot window; first in line for the r6 window --
-    "orders_rfm_segmentation", "events_cohort_retention",
+    "text_token_count",
+    # -- beyond the 50-slot window --
+    "text_bpe_token_count", "text_quality_score",
     "text_lang_id", "text_fingerprint",
     "doc_stats_by_source", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",

@@ -165,8 +165,12 @@ def orders_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
 
     ntile runs over (metric, custkey) total orders so quartile
     boundaries are deterministic under ties in both engines; the
-    per-customer aggregate is one shuffle, the ntile windows are
-    customer-count-sized.
+    per-customer aggregate is one shuffle. The unpartitioned ntile is
+    the exact-quartile semantics and funnels the (customer-count-sized,
+    already-aggregated) frame through one task — fine up to tens of
+    millions of customers; beyond that, swap to approx_percentile
+    boundary assignment (narrow, no global window) and accept sketch-
+    boundary quartiles.
     """
     o = load_table(spark, sf, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -209,7 +213,10 @@ def events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
             "user_id",
         )
         .groupBy("cohort_day", "day_offset")
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        # plain count: `active` is already distinct on (user, day) and a
+        # user's day maps to one (cohort_day, offset), so COUNT(*) ==
+        # COUNT(DISTINCT user) without the extra two-phase dedup pass
+        .agg(F.count("*").alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
 
@@ -1047,7 +1054,7 @@ ORACLES = {
         )
         SELECT cohort_day,
                CAST(day - cohort_day AS INTEGER) AS day_offset,
-               COUNT(DISTINCT a.user_id) AS n_active
+               COUNT(*) AS n_active
         FROM active a JOIN first_seen f ON a.user_id = f.user_id
         GROUP BY 1, 2 ORDER BY 1, 2
     """,

@@ -190,16 +190,16 @@ def multimodal_audio_rms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def multimodal_payload_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact dedup over binary payloads: content-hash each blob inside
-    Arrow batches (bytes never leave executors), then group — the
-    asset-dedup pass an image/video lake runs before feature
-    extraction. One content-hash shuffle of (hash, id) pairs; payload
-    bytes stay scan-local.
+def payload_dedup(src: DataFrame) -> DataFrame:
+    """Exact dedup over a (doc_id, payload binary) frame: content-hash
+    each blob inside Arrow batches (bytes never leave executors), then
+    group on the digest. One content-hash shuffle of (hash, id) pairs;
+    payload bytes stay scan-local. Exposed separately from the query
+    wrapper so tests can feed frames that actually CONTAIN duplicates —
+    the fixture corpus has none, which would leave the n_copies /
+    canonical-pick logic unexercised.
     """
     import hashlib
-
-    src = with_payload(load_table(spark, sf, "documents"))
 
     def content_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -220,6 +220,12 @@ def multimodal_payload_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_copies"),
         F.min("doc_id").alias("canonical_doc_id"),
     )
+
+
+def multimodal_payload_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Asset-dedup pass an image/video lake runs before feature
+    extraction (see ``payload_dedup``), over the fixture payloads."""
+    return payload_dedup(with_payload(load_table(spark, sf, "documents")))
 
 
 QUERIES = {

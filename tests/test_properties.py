@@ -279,3 +279,27 @@ def test_repetition_filter_ratio_bounds(spark, sf_dir):
         (F.col("distinct_ratio") <= 0) | (F.col("distinct_ratio") > 1)
         | (F.col("top_token_frac") <= 0) | (F.col("top_token_frac") > 1)
     ).count() == 0
+
+
+def test_payload_dedup_counts_real_duplicates(spark):
+    """The fixture corpus has zero duplicate payloads, so oracle parity
+    alone never exercises n_copies > 1 or the canonical pick — feed a
+    frame that does."""
+    from iceberg_kafka_playgroud_spark.operators.multimodal import (
+        payload_dedup,
+    )
+
+    rows = [
+        (10, bytearray(b"alpha")),
+        (7, bytearray(b"alpha")),
+        (3, bytearray(b"alpha")),
+        (5, bytearray(b"beta")),
+        (1, bytearray(b"gamma")),
+        (2, bytearray(b"gamma")),
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["canonical_doc_id"]: r["n_copies"]
+        for r in payload_dedup(src).collect()
+    }
+    assert got == {3: 3, 5: 1, 1: 2}
