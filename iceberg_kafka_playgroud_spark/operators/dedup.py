@@ -800,3 +800,79 @@ ORACLES["dedup_connected_components"] = f"""
            COUNT(*) OVER (PARTITION BY component) AS component_size
     FROM comp
 """
+
+
+def dedup_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster profile: how many near-dup clusters exist at
+    each size, and how many documents they hold — the report that
+    decides a dedup rollout (a few huge clusters vs a long tail needs
+    different keep-policies). Cluster-count-sized rollup over the CC
+    labels; the heavy lifting is the (cached) pair graph."""
+    cc = dedup_connected_components(spark, sf)
+    return (
+        cc.groupBy("component_size")
+        .agg(
+            F.countDistinct("component").alias("n_components"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("component_size")
+    )
+
+
+QUERIES["dedup_cluster_stats"] = dedup_cluster_stats
+ORACLES["dedup_cluster_stats"] = f"""
+    WITH cc AS ({ORACLES["dedup_connected_components"]})
+    SELECT component_size,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+           COUNT(*) AS n_docs
+    FROM cc GROUP BY component_size ORDER BY component_size
+"""
+
+
+def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's 3-gram shingles
+    whose FIRST corpus occurrence (min doc_id) is this doc — the
+    dedup-aware curation signal that prefers documents contributing
+    new content over rehashes. Inverted-index shape: one shuffle keyed
+    by shingle for first-occurrence, one map-side-combined per-doc
+    rollup; docs with fewer than 3 tokens have no shingles and no row
+    (same in the oracle)."""
+    d = load_table(spark, sf, "documents")
+    sh = shingle_set(d).cache()
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (
+            F.col("n_novel").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
+    )
+
+
+QUERIES["text_ngram_novelty"] = text_ngram_novelty
+ORACLES["text_ngram_novelty"] = f"""
+    WITH {_SHINGLES_CTE},
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc
+               FROM sh GROUP BY shingle),
+    per AS (
+      SELECT s.doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM sh s JOIN firsts f USING (shingle) GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
+    FROM per
+"""
