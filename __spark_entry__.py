@@ -94,7 +94,7 @@ _PRIORITY = [
     "conditional_case", "nested_types", "explode_unnest", "table_stats",
     "text_token_count",
     # -- beyond the 50-slot window; new ops here queue for the r6 window --
-    "dedup_cluster_stats", "text_ngram_novelty",
+    "dedup_cluster_stats", "text_ngram_novelty", "join_asof_nearest",
     "text_bpe_token_count", "text_quality_score",
     "text_lang_id", "text_fingerprint",
     "doc_stats_by_source", "dedup_exact",

@@ -50,6 +50,65 @@ def asof_last_purchase(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+NEAREST_WINDOW_US = 1_800_000_000  # ±30 min alignment window
+
+
+def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-neighbor as-of join: each 'view' aligned to the CLOSEST
+    same-user 'purchase' within ±30 min (either direction) — the
+    sensor-alignment variant of as-of, complementing the backward-only
+    ``asof_last_purchase``.
+
+    Same time-bucket blocking as ``interval_join_events``: bucket
+    width = the window, probe exploded to 3 adjacent buckets, so the
+    join is a pure equi-join on (user_id, bucket) with per-key fan-out
+    bounded by per-user activity in ±1 bucket — skew-safe at any
+    corpus size. Tie-break (|Δt|, purchase time, purchase id) is a
+    total order, so the pick is deterministic in both engines.
+    """
+    e = load_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    bucket = F.expr(f"unix_micros(ts) div {NEAREST_WINDOW_US}")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        us.alias("v_us"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bucket"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        us.alias("p_us"),
+        bucket.alias("bucket"),
+    )
+    cand = (
+        views.join(
+            purch,
+            (F.col("user_id") == F.col("p_user"))
+            & (views.bucket == purch.bucket),
+        )
+        .withColumn("adiff", F.abs(F.col("p_us") - F.col("v_us")))
+        .filter(F.col("adiff") <= NEAREST_WINDOW_US)
+    )
+    w = W.partitionBy("view_id").orderBy("adiff", "p_us", "purchase_id")
+    best = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("view_id", "purchase_id", "adiff")
+    )
+    all_views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id"
+    )
+    return all_views.join(best, "view_id", "left").select(
+        "view_id",
+        "user_id",
+        F.col("purchase_id").alias("nearest_purchase_id"),
+        F.col("adiff").alias("diff_us"),
+    )
+
+
 def grouping_sets_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond rollup/cube)."""
     load_table(spark, sf, "orders").createOrReplaceTempView("orders")
@@ -773,6 +832,7 @@ QUERIES = {
     "agg_approx_percentile": agg_approx_percentile,
     "orders_rfm_segmentation": orders_rfm_segmentation,
     "events_cohort_retention": events_cohort_retention,
+    "join_asof_nearest": join_asof_nearest,
 }
 
 _DOT = (
@@ -1022,6 +1082,30 @@ ORACLES = {
         FROM nation,
              LATERAL (SELECT unnest(generate_series(1, length(n_name) - 2))
                       AS i) s
+    """,
+    "join_asof_nearest": f"""
+        WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+                   FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id AS p_user, event_id AS purchase_id,
+                     epoch_us(ts) AS p_us
+              FROM events WHERE event_type = 'purchase'),
+        cand AS (
+          SELECT view_id, user_id, purchase_id,
+                 abs(p_us - v_us) AS adiff, p_us
+          FROM v JOIN p ON p_user = user_id
+           AND abs(p_us - v_us) <= {NEAREST_WINDOW_US}
+        ),
+        best AS (
+          SELECT view_id, purchase_id, adiff,
+                 ROW_NUMBER() OVER (PARTITION BY view_id
+                                    ORDER BY adiff, p_us, purchase_id) AS rk
+          FROM cand
+        )
+        SELECT v.view_id, v.user_id,
+               b.purchase_id AS nearest_purchase_id,
+               b.adiff AS diff_us
+        FROM v LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+          ON b.view_id = v.view_id
     """,
     "orders_rfm_segmentation": f"""
         WITH per_cust AS (
