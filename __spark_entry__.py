@@ -56,19 +56,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks the FIRST 50 registry
-# entries per round.  Round 5 ordering: the 18 rows that were not
-# fully green in round 4 sort first — 9 broken by the events fixture's
-# ts-layout change (fixed via schema.normalize_event_ts), 7 whose
-# oracle SUMs widened to int128 and hash-mismatched (now CAST to
-# BIGINT), and 2 that ERR'd on raw array cells (now serialized).
-# Slots 19-37 are the 19 round-5 additions (no driver row yet — new
-# and fixed queries stay inside the first 50 until they earn one);
-# slots 38-50 are stale-green re-checks, events/ts-path first since
-# their old rows predate the fixture's ts-layout change. Overflowing
-# stale documents-path greens (unaffected by that change) queue just
-# past the window.
+# entries per round.  Round 6 ordering: with CORRECTNESS_r05 at
+# 50/50 green and every query driver-checked at least once except
+# three, the window rotates to least-recently-driver-checked —
+# never-checked first, then new round-6 operators, then r2-era rows,
+# then r4-era fill. The r5 greens (freshest rows) queue last.
 _PRIORITY = [
-    # -- 18 round-4 non-green rows, all fixed this round --
+    # -- round-6 window: never-driver-checked first (added in r5,
+    #    landed past the 50-slot window), then new round-6 operators
+    #    (inserted below as built), then stalest greens (r2-era, whose
+    #    rows predate two fixture changes), then r4-era. The r5 greens
+    #    queue last -- freshest driver rows, code unchanged since. --
+    "dedup_cluster_stats", "text_ngram_novelty", "join_asof_nearest",
+    # -- r2-era greens (33): oldest driver rows in the registry --
+    "text_bpe_token_count", "text_quality_score", "text_lang_id",
+    "text_fingerprint", "doc_stats_by_source", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "ann_topk_bruteforce", "ann_topk_blocked", "embedding_near_dup_pairs",
+    "embedding_near_dup_lsh", "multimodal_features", "multimodal_resize",
+    "multimodal_frame_sample", "dedup_connected_components", "ann_topk_ivf",
+    "snapshot_time_travel", "agg_salted_skew", "sample_hash_bucket",
+    "grouping_sets_agg", "percentile_exact", "union_by_name",
+    "intersect_all_keys", "pandas_udf_scalar", "pandas_udf_grouped_agg",
+    "applyinpandas_rank", "ann_topk_lsh", "snapshot_files",
+    "confluent_roundtrip", "catalog_table_columns",
+    "catalog_write_read_roundtrip",
+    # -- r4-era greens (36) --
+    "array_hof", "agg_approx_distinct", "dedup_simhash_hamming",
+    "schema_evolution_roundtrip", "join_bucketed_colocated",
+    "stream_rate_limited_ingest", "stream_snapshot_ingest",
+    "events_zscore_normalize", "snapshot_expire", "snapshot_incremental_read",
+    "sort_nulls_ordering", "str_format_functions", "join_salted_skew",
+    "null_safe_functions", "explode_outer_tokens", "regex_functions",
+    "bit_functions", "agg_stats_moments", "window_cume_dist",
+    "embedding_centroids", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q13_customer_distribution", "q22_idle_customers",
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
+    "q15_top_supplier", "q16_supplier_counts", "q17_small_qty_revenue",
+    "q20_dominant_suppliers", "q21_last_shipper",
+    "stratified_sample_per_source", "vocab_top_terms",
+    "contamination_ngram_overlap",
+    # -- r5 greens (50): freshest rows, past the window --
     "date_functions", "purchase_event_fabric", "event_sessionize_batch",
     "interval_join_events", "stream_tumbling_counts", "stream_sessionize",
     "stream_stream_join", "stream_dual_sink", "stream_sliding_counts",
@@ -76,7 +104,6 @@ _PRIORITY = [
     "sequence_pack_contiguous", "quality_filter_funnel",
     "dedup_keep_canonical", "curation_pipeline_end_to_end",
     "user_behavior_features", "array_set_functions", "agg_collect_list_set",
-    # -- slots 19-37: round-5 additions (no driver row yet) --
     "text_repetition_filter", "pii_scrub_stats", "decontaminate_exact",
     "token_length_histogram", "embedding_quantize_int8", "vocab_oov_rate",
     "dedup_incremental_minhash", "session_funnel", "stream_windowed_topk",
@@ -84,46 +111,11 @@ _PRIORITY = [
     "stream_anomaly_zscore", "udtf_char_ngrams", "agg_approx_percentile",
     "multimodal_payload_dedup", "text_char_entropy_proxy",
     "orders_rfm_segmentation", "events_cohort_retention",
-    # -- slots 38-50: stale re-checks, events/ts path first (their old
-    #    driver rows predate the fixture's ts-layout change; the
-    #    documents-path stale greens demoted below are unaffected by
-    #    that change and keep their trustworthy r1/r2 rows) --
     "event_time_tumbling", "asof_last_purchase", "stream_exact_dedup",
     "stream_stateful_user_totals", "stream_upsert_latest",
     "stream_dim_enrichment", "math_functions", "json_functions",
     "conditional_case", "nested_types", "explode_unnest", "table_stats",
     "text_token_count",
-    # -- beyond the 50-slot window; new ops here queue for the r6 window --
-    "dedup_cluster_stats", "text_ngram_novelty", "join_asof_nearest",
-    "text_bpe_token_count", "text_quality_score",
-    "text_lang_id", "text_fingerprint",
-    "doc_stats_by_source", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "ann_topk_bruteforce",
-    "ann_topk_blocked", "embedding_near_dup_pairs", "embedding_near_dup_lsh",
-    "multimodal_features", "multimodal_resize", "multimodal_frame_sample",
-    "dedup_connected_components", "ann_topk_ivf", "snapshot_time_travel",
-    # -- beyond the window: checked green in r4 or earlier, unchanged --
-    "agg_salted_skew", "sample_hash_bucket", "grouping_sets_agg",
-    "percentile_exact", "union_by_name", "intersect_all_keys",
-    "pandas_udf_scalar", "pandas_udf_grouped_agg", "applyinpandas_rank",
-    "ann_topk_lsh", "snapshot_files", "confluent_roundtrip",
-    "catalog_table_columns", "catalog_write_read_roundtrip",
-    "array_hof", "agg_approx_distinct", "dedup_simhash_hamming",
-    "schema_evolution_roundtrip", "join_bucketed_colocated",
-    "stream_rate_limited_ingest", "stream_snapshot_ingest",
-    "events_zscore_normalize", "snapshot_expire",
-    "snapshot_incremental_read", "sort_nulls_ordering",
-    "str_format_functions", "join_salted_skew", "null_safe_functions",
-    "explode_outer_tokens", "regex_functions", "bit_functions",
-    "agg_stats_moments", "window_cume_dist", "embedding_centroids",
-    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-    "q13_customer_distribution", "q22_idle_customers",
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
-    "q15_top_supplier", "q16_supplier_counts", "q17_small_qty_revenue",
-    "q20_dominant_suppliers", "q21_last_shipper",
-    "stratified_sample_per_source", "vocab_top_terms",
-    "contamination_ngram_overlap",
 ]
 
 

@@ -206,20 +206,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # applicationId is unique per SparkContext, so a restarted session
     # can never serve plans bound to a dead one
+    # Engine contract: all event/order time is UTC (the reference's
+    # s3-connector-config.json:21-25). Set on EVERY load — including
+    # memoized ones — so a caller that resets the session timezone
+    # between loads can't shift to_date/window/date_trunc results on a
+    # later memo hit. Runtime (not only our session factory) so the
+    # engine also works under the correctness driver's own SparkSession.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
     memo = _TABLE_MEMO.get(key)
     if memo is not None:
         return memo
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {FIXTURE_TABLES}")
-    # Engine contract: all event/order time is UTC (the reference's
-    # s3-connector-config.json:21-25). Set on EVERY load — not just for
-    # events — so timestamp rendering is identical no matter which
-    # table a caller-owned session touches first (a per-table set would
-    # make results order-dependent under a non-UTC caller session).
-    # Runtime (not only our session factory) so the engine also works
-    # under the correctness driver's own SparkSession.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # the TIMESTAMP(NANOS) fixture layout is rejected by Spark's
         # reader without this; harmless for the NTZ-micros layout

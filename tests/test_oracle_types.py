@@ -13,7 +13,7 @@ correct:
   Spark's naive-collected TimestampType.
 
 Every oracle therefore must project only driver-safe types. This runs
-DuckDB-side only (cheap) over all 147 oracles at sf0.001; the Spark
+DuckDB-side only (cheap) over every registered oracle at sf0.001; the Spark
 side is covered by test_oracle_parity, which would surface a Spark/
 oracle type mismatch as a value or schema diff.
 """

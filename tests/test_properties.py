@@ -212,6 +212,7 @@ def test_quantize_int8_error_bound(spark, sf_dir):
     element, so max_abs_err ≤ scale/2 for every vector; checksum stays
     inside d·127."""
     from iceberg_kafka_playgroud_spark.operators.similarity import (
+        EMB_DIM,
         embedding_quantize_int8,
     )
 
@@ -219,7 +220,7 @@ def test_quantize_int8_error_bound(spark, sf_dir):
         embedding_quantize_int8(spark, sf_dir)
         .filter(
             (F.col("max_abs_err") > F.col("scale") / 2 + 1e-12)
-            | (F.abs(F.col("q_checksum")) > 64 * 127)
+            | (F.abs(F.col("q_checksum")) > EMB_DIM * 127)
         )
         .count()
     )
