@@ -84,12 +84,20 @@ def main() -> None:
     # co-tenants — best-of-4 rides out both)
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4")))
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(runs):
+        for i in range(runs):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if i == 0:
+                # first run at target scale: pays plan compilation,
+                # AQE specialization, and — for the cached dedup
+                # family — the one-time signature materialization.
+                # Reported separately so cache effects are explicit.
+                cold[name] = round(dt, 3)
+            best = min(best, dt)
         timings[name] = round(best, 3)
 
     print(
@@ -99,6 +107,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "value_cold": round(sum(cold.values()), 3),
+                "queries_cold": cold,
                 "sf": sf,
             }
         )

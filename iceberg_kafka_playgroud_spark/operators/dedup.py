@@ -308,45 +308,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def simhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    """32-bit SimHash per document: (doc_id, simhash bit-string).
+def _simhash_signatures_core(spark: SparkSession, sf: str, bits: int) -> DataFrame:
+    """w-bit SimHash per document: (doc_id, simhash bit-string).
 
-    Bit b of the signature = sign of Σ_words (±1), where the ±1 is the
-    high bit of the b-th hex nibble of md5(word) — engine-portable and
-    exactly SQL-expressible.
+    Signature bit b = sign of Σ_words (±1), where the ±1 is one md5
+    bit of the word — engine-portable and exactly SQL-expressible.
+    With ``bpn = bits/32`` signature bits per hex nibble, bit b reads
+    bit ``3 - b%bpn`` (from the top) of nibble ``b//bpn``; at
+    bits=128 that is simply ALL 128 digest bits in order.  Pure
+    integer shift/mask on four pre-converted 32-bit words — ~10×
+    cheaper per word than per-bit substring+IN string tests.
     """
+    assert bits in (32, 64, 128), bits
+    bpn = bits // 32  # signature bits consumed per hex nibble
+    nb = 8 * bpn  # signature bits driven by each 32-bit digest word
     d = load_table(spark, sf, "documents")
     words = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
-    # md5 hex → four 32-bit ints, then pure integer shift/mask per bit
-    # (high bit of nibble b == bit 31-4*(b%8) of word b//8) — ~10×
-    # cheaper per word than 32 substring+IN string tests
     digests = words.select("doc_id", F.md5("w").alias("hw"))
-    hashed = digests.select(
+    # A single groupBy(doc_id) with `bits` sum() accumulators generates
+    # a codegen method so large the JVM refuses to JIT it at bits=128
+    # (measured 8 s vs 1 s for the same data at 64).  Instead explode
+    # the digest into one row per 32-bit word and aggregate nb ≤ 32
+    # narrow sums keyed on (doc_id, word_idx) — per-row codegen stays
+    # small and JIT-hot at every width, the map-side partial agg
+    # shrinks the shuffle to 4 rows per doc, and the final reassembly
+    # groupBy(doc_id) touches only doc-count × 4 rows.
+    quads = digests.select(
         "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.conv(F.substring("hw", 8 * j + 1, 8), 16, 10).cast("long")
+                    for j in range(4)
+                ]
+            )
+        ).alias("j", "v"),
+    )
+    # global signature bit b = word b // nb, local bit i = b % nb; the
+    # word-bit shift for local bit i is j-independent: bit (bpn-1-i%bpn
+    # from the bottom) of nibble i//bpn
+    shifts = [31 - 4 * ((i // bpn) % 8) - (i % bpn) for i in range(nb)]
+    sums = quads.groupBy("doc_id", "j").agg(
         *[
-            F.conv(F.substring("hw", 8 * j + 1, 8), 16, 10)
-            .cast("long")
-            .alias(f"v{j}")
+            F.expr(f"sum((shiftright(v, {s}) & 1) * 2 - 1)").alias(f"s{i}")
+            for i, s in enumerate(shifts)
+        ]
+    )
+    chunk = F.concat(
+        *[F.when(F.col(f"s{i}") > 0, "1").otherwise("0") for i in range(nb)]
+    )
+    per_word = sums.select("doc_id", "j", chunk.alias("chunk"))
+    sig = per_word.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("chunk"))).alias(f"c{j}")
             for j in range(4)
-        ],
+        ]
     )
-    bit_sums = [
-        F.expr(f"sum((shiftright(v{b // 8}, {31 - 4 * (b % 8)}) & 1) * 2 - 1)").alias(
-            f"s{b}"
-        )
-        for b in range(32)
-    ]
-    sig = hashed.groupBy("doc_id").agg(*bit_sums)
-    bits = F.concat(
-        *[F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(32)]
+    return sig.select(
+        "doc_id", F.concat(*[F.col(f"c{j}") for j in range(4)]).alias("simhash")
     )
-    return sig.select("doc_id", bits.alias("simhash"))
+
+
+def simhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """32-bit SimHash (the Hamming-0 bucketing signature)."""
+    return _simhash_signatures_core(spark, sf, 32)
 
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash Hamming-0 bucket sizes: doc_id, signature, and how many
     docs share it exactly (near-dup group size). The signature table is
-    cached like the 64-bit variant's — doc-count-sized, and the
+    cached like the 128-bit variant's — doc-count-sized, and the
     plan-keyed cache lets repeated same-session calls skip the
     tokenize→md5→32-sum aggregation."""
     sigs = simhash_signatures(spark, sf).cache()
@@ -361,69 +392,39 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def simhash_signatures64(spark: SparkSession, sf: str) -> DataFrame:
-    """64-bit SimHash per document (the scale-path signature).
+def simhash_signatures128(spark: SparkSession, sf: str) -> DataFrame:
+    """128-bit SimHash per document (the scale-path signature).
 
-    Same sign-of-sums construction as ``simhash_signatures`` but twice
-    the width: signature bit b is driven by bit ``3 - b%2`` of hex
-    nibble ``b//2`` of md5(word) — two signature bits per nibble,
-    covering all 32 nibbles of the digest.  Pure integer shift/mask on
-    four pre-converted 32-bit words, engine-portable and exactly
-    SQL-expressible (the DuckDB oracle replays the identical mapping).
-
-    Why 64 and not 32: banded LSH over a w-bit signature has 2^(w/4)
-    bucket values per band; at w=32 that is 256 buckets, whose hot
-    bucket held 65%% of one band's docs on the fixture corpus and makes
-    candidates grow ~4n²/2⁹.  w=64 gives 65 536 buckets per band —
-    the candidate blow-up and the hot-bucket bound both collapse
-    (measured: the sf0.1 bench query dropped from ~6.9 s to well under
-    half), and at 10⁹ docs the candidate count stays join-shaped
-    instead of quadratic.
+    Width history: the 32-bit/8-bit-band variant had 256 bucket
+    values per band (candidates ~4n²/2⁹); 64-bit/16-bit bands gave
+    65 536 buckets but natural-language bit bias still left ONE band
+    bucket holding ~65% of the fixture corpus — in-bucket candidate
+    pairs grow quadratically at scale.  128-bit signatures with
+    32-bit bands give 2³² bucket values per band; even with biased
+    bits the max observed band-bucket share drops from 65% to 0.3%
+    of docs (15 of 5000 at sf0.1), so candidate generation stays
+    join-shaped at 10⁹ docs.  128 bits consume the ENTIRE md5 digest
+    (one signature bit per digest bit), so no second hash is needed.
     """
-    d = load_table(spark, sf, "documents")
-    words = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
-    digests = words.select("doc_id", F.md5("w").alias("hw"))
-    hashed = digests.select(
-        "doc_id",
-        *[
-            F.conv(F.substring("hw", 8 * j + 1, 8), 16, 10)
-            .cast("long")
-            .alias(f"v{j}")
-            for j in range(4)
-        ],
-    )
-    # nibble n = b//2 lives in word n//8 at bit offset 31-4*(n%8)..28-4*(n%8);
-    # take the nibble's bit (3 - b%2), i.e. word bit 31-4*(n%8)-(b%2)
-    bit_sums = [
-        F.expr(
-            f"sum((shiftright(v{(b // 2) // 8},"
-            f" {31 - 4 * ((b // 2) % 8) - (b % 2)}) & 1) * 2 - 1)"
-        ).alias(f"s{b}")
-        for b in range(64)
-    ]
-    sig = hashed.groupBy("doc_id").agg(*bit_sums)
-    bits = F.concat(
-        *[F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(64)]
-    )
-    return sig.select("doc_id", bits.alias("simhash"))
+    return _simhash_signatures_core(spark, sf, 128)
 
 
 K_HAMMING = 3
 SIMHASH_BANDS = K_HAMMING + 1  # pigeonhole: d(x,y) ≤ k ⇒ ≥1 band equal
-SIMHASH_BITS = 64
+SIMHASH_BITS = 128
 
 
 def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup pairs at Hamming distance ≤ 3 via banded 64-bit SimHash.
+    """Near-dup pairs at Hamming distance ≤ 3 via banded 128-bit SimHash.
 
-    Splitting the 64-bit signature into k+1 = 4 bands of 16 bits makes
-    candidate generation a band-bucket equi-join with FULL recall
-    (pigeonhole: ≤3 differing bits can't touch all 4 bands), fixing
-    the Hamming-0-only blind spot of ``dedup_simhash``. Verification
-    XOR-popcounts candidate pairs only — never the O(n²) cross
-    product.  16-bit bands mean 65 536 bucket values per band, so the
-    candidate set stays linear-ish in n instead of the ~4n²/2⁹ of the
-    earlier 32-bit/8-bit-band variant (see ``simhash_signatures64``).
+    Splitting the 128-bit signature into k+1 = 4 bands of 32 bits
+    makes candidate generation a band-bucket equi-join with FULL
+    recall (pigeonhole: ≤3 differing bits can't touch all 4 bands),
+    fixing the Hamming-0-only blind spot of ``dedup_simhash``.
+    Verification XOR-popcounts candidate pairs only — never the
+    O(n²) cross product.  32-bit bands mean 2³² bucket values per
+    band, which bounds the hot-band bucket that made the earlier
+    64-bit variant quadratic at scale (see ``simhash_signatures128``).
 
     The signature table is materialized once (cache): the plan
     consumes it four times (band self-join sides + both verify
@@ -437,7 +438,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
     reason — the table is doc-count-sized, negligible next to the
     corpus.
     """
-    sigs = simhash_signatures64(spark, sf).cache()
+    sigs = simhash_signatures128(spark, sf).cache()
     bw = SIMHASH_BITS // SIMHASH_BANDS
     # the candidate join carries BARE id pairs: natural-language simhash
     # bands have hot buckets (one fixture bucket holds 65% of one band's
@@ -446,11 +447,20 @@ def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
     # two broadcast joins against the doc-sized signature table, already
     # converted to int64 ONCE PER DOC — the previous form shuffled two
     # 32-char strings per candidate and ran conv() twice per pair.
+    # band_val as a BIGINT (32-bit chunk of the signature), not the
+    # 32-char bit-string: 8-byte join keys hash/compare/shuffle ~4×
+    # cheaper than 32-byte strings at candidate-join volume
     bands = sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
-                *[F.substring("simhash", bw * b + 1, bw) for b in range(SIMHASH_BANDS)]
+                *[
+                    F.expr(
+                        f"cast(conv(substring(simhash, {bw * b + 1}, {bw}), 2, 10)"
+                        " as bigint)"
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
             )
         ).alias("band_idx", "band_val"),
     )
@@ -468,30 +478,34 @@ def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
     )
-    # two 32-bit halves: conv('<64 bits>', 2, 10) would overflow a
+    # four 32-bit words: conv('<64+ bits>', 2, 10) would overflow a
     # signed bigint cast when the sign bit is set, so the XOR-popcount
-    # runs on (hi, lo) words instead of one 64-bit value
+    # runs word-wise on 32-bit chunks of the 128-bit signature
+    nw = SIMHASH_BITS // 32
     sigl = sigs.select(
         "doc_id",
-        F.expr("cast(conv(substring(simhash, 1, 32), 2, 10) as bigint)").alias("hi"),
-        F.expr("cast(conv(substring(simhash, 33, 32), 2, 10) as bigint)").alias("lo"),
+        *[
+            F.expr(f"cast(conv(substring(simhash, {32 * j + 1}, 32), 2, 10) as bigint)")
+            .alias(f"w{j}")
+            for j in range(nw)
+        ],
     )
     s1 = sigl.select(
-        F.col("doc_id").alias("d1"), F.col("hi").alias("h1"), F.col("lo").alias("l1")
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"w{j}").alias(f"x{j}") for j in range(nw)],
     )
     s2 = sigl.select(
-        F.col("doc_id").alias("d2"), F.col("hi").alias("h2"), F.col("lo").alias("l2")
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"w{j}").alias(f"y{j}") for j in range(nw)],
+    )
+    ham = sum(
+        (F.expr(f"bit_count(x{j} ^ y{j})") for j in range(1, nw)),
+        F.expr("bit_count(x0 ^ y0)"),
     )
     return (
         cand.join(F.broadcast(s1), "d1")
         .join(F.broadcast(s2), "d2")
-        .select(
-            "d1",
-            "d2",
-            (F.expr("bit_count(h1 ^ h2)") + F.expr("bit_count(l1 ^ l2)"))
-            .cast("long")
-            .alias("hamming"),
-        )
+        .select("d1", "d2", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= K_HAMMING)
         .distinct()
     )
@@ -635,18 +649,18 @@ sigs AS (
 )
 """
 
-# 64-bit variant: two signature bits per md5 nibble — bit b reads bit
-# (3 - b%2) of nibble b//2, replaying simhash_signatures64 exactly
-_SIMHASH64_SIGS_CTE = f"""
+# 128-bit variant: four signature bits per md5 nibble — bit b reads
+# bit (3 - b%4) of nibble b//4, replaying simhash_signatures128 exactly
+_SIMHASH128_SIGS_CTE = f"""
 words AS (
   SELECT doc_id, md5(unnest({_TOKS})) AS hw FROM documents
 ),
 sums AS (
   SELECT doc_id, b,
-         SUM(CASE WHEN ((strpos('0123456789abcdef', substring(hw, b // 2 + 1, 1)) - 1)
-                        >> (3 - (b % 2))) & 1 = 1
+         SUM(CASE WHEN ((strpos('0123456789abcdef', substring(hw, b // 4 + 1, 1)) - 1)
+                        >> (3 - (b % 4))) & 1 = 1
                   THEN 1 ELSE -1 END) AS s
-  FROM words, (SELECT unnest(generate_series(0,63)) AS b) bits
+  FROM words, (SELECT unnest(generate_series(0,127)) AS b) bits
   GROUP BY doc_id, b
 ),
 sigs AS (
@@ -752,11 +766,11 @@ ORACLES = {
         FROM sigs
     """,
     "dedup_simhash_hamming": f"""
-        WITH {_SIMHASH64_SIGS_CTE},
+        WITH {_SIMHASH128_SIGS_CTE},
         bands AS (
           SELECT doc_id, simhash, unnest([0,1,2,3]) AS band_idx,
-                 unnest([substring(simhash, 1, 16), substring(simhash, 17, 16),
-                         substring(simhash, 33, 16), substring(simhash, 49, 16)]) AS band_val
+                 unnest([substring(simhash, 1, 32), substring(simhash, 33, 32),
+                         substring(simhash, 65, 32), substring(simhash, 97, 32)]) AS band_val
           FROM sigs
         ),
         cand AS (
@@ -768,7 +782,7 @@ ORACLES = {
         )
         SELECT d1, d2, hamming FROM (
           SELECT d1, d2,
-                 CAST(len(list_filter(generate_series(1, 64),
+                 CAST(len(list_filter(generate_series(1, 128),
                       i -> substring(s1, i, 1) != substring(s2, i, 1))) AS BIGINT)
                    AS hamming
           FROM cand

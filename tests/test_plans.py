@@ -215,11 +215,11 @@ def test_simhash_hamming_is_banded_not_allpairs(spark, sf_dir):
 
 
 def test_simhash_hamming_full_recall_vs_bruteforce(spark, sf_dir):
-    # pigeonhole guarantee: 4 bands of 16 bits catch EVERY pair at
+    # pigeonhole guarantee: 4 bands of 32 bits catch EVERY pair at
     # Hamming distance <= 3 — verify against the brute-force answer
     sigs = {
         r["doc_id"]: int(r["simhash"], 2)
-        for r in dedup.simhash_signatures64(spark, sf_dir).collect()
+        for r in dedup.simhash_signatures128(spark, sf_dir).collect()
     }
     ids = sorted(sigs)
     brute = {
@@ -233,6 +233,33 @@ def test_simhash_hamming_full_recall_vs_bruteforce(spark, sf_dir):
         for r in dedup.dedup_simhash_hamming(spark, sf_dir).collect()
     }
     assert banded == brute
+
+
+def test_simhash_band_buckets_bounded(spark, sf_dir):
+    # the scale contract behind the banded join: no single (band_idx,
+    # band_val) bucket may hold more than a few % of docs — the 64-bit
+    # signature's hot bucket held ~65% and made candidates quadratic
+    from pyspark.sql import functions as F
+
+    sigs = dedup.simhash_signatures128(spark, sf_dir)
+    n_docs = sigs.count()
+    bw = dedup.SIMHASH_BITS // dedup.SIMHASH_BANDS
+    buckets = (
+        sigs.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.substring("simhash", bw * b + 1, bw)
+                        for b in range(dedup.SIMHASH_BANDS)
+                    ]
+                )
+            ).alias("band_idx", "band_val")
+        )
+        .groupBy("band_idx", "band_val")
+        .count()
+    )
+    max_share = buckets.agg(F.max("count")).collect()[0][0] / n_docs
+    assert max_share <= 0.05, f"hot band bucket holds {max_share:.1%} of docs"
 
 
 def test_layout_cache_compacts_single_row_group(tmp_path):
