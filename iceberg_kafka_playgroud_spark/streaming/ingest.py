@@ -47,6 +47,10 @@ MAX_RECORDS_PER_FILE = 1000  # reference flush.size, s3-connector-config.json:18
 # Production sizing: state partitions ≈ executor cores, set per query.
 STREAM_SHUFFLE_PARTITIONS = 4
 
+# (schema, staging-dir) per (applicationId, source file) — see
+# events_file_stream
+_STREAM_SRC_MEMO: dict = {}
+
 
 def _ckpt_dir(prefix: str) -> str:
     """Checkpoint dirs on tmpfs when available — offset/commit logs are
@@ -96,11 +100,20 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = os.path.abspath(f"{sf_dir.rstrip('/')}/events.parquet")
-    file_schema = spark.read.parquet(src).schema
-    # the file source wants a directory; expose the single fixture file
-    # through a temp dir of symlinks
-    stage = tempfile.mkdtemp(prefix="events_stream_src_")
-    os.symlink(src, os.path.join(stage, "events.parquet"))
+    # memoize the footer-read schema and the symlink staging dir per
+    # (session, source): every streaming query re-entry was paying a
+    # batch footer read + mkdtemp for an identical layout
+    key = (spark.sparkContext.applicationId, src)
+    memo = _STREAM_SRC_MEMO.get(key)
+    if memo is None:
+        file_schema = spark.read.parquet(src).schema
+        # the file source wants a directory; expose the single fixture
+        # file through a temp dir of symlinks
+        stage = tempfile.mkdtemp(prefix="events_stream_src_")
+        os.symlink(src, os.path.join(stage, "events.parquet"))
+        memo = (file_schema, stage)
+        _STREAM_SRC_MEMO[key] = memo
+    file_schema, stage = memo
     stream = spark.readStream.schema(file_schema).parquet(stage)
     return normalize_event_ts(stream)
 
@@ -578,6 +591,95 @@ def stream_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
     return out.groupBy("event_type").agg(F.count("*").alias("n_anomalies"))
 
 
+def stream_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time near-dup gate as a STREAMING query: new documents
+    arrive in micro-batches and each batch is probed against the
+    static corpus MinHash index via ``foreachBatch`` — the dedup gate
+    a 100 TB daily-ingest pipeline runs in front of its lake (the
+    reference's ingest loop shape, kafka_publisher.py:366-376, with
+    dedup added).
+
+    Scale design: the OLD corpus index (shingles + band buckets) is
+    built ONCE and reused by every micro-batch; each batch computes
+    bands for its own documents only and candidate generation is the
+    old×new band equi-join — old×old pairs are never generated, and
+    batch size bounds per-trigger work. Per-doc results depend only on
+    (doc, old corpus), so micro-batch boundaries cannot change the
+    output: the result equals ``dedup_incremental_minhash`` run in one
+    batch, which is the oracle.
+    """
+    from ..operators import dedup
+    from ..schema import load_table
+
+    d = load_table(spark, sf, "documents")
+    is_new = (F.col("doc_id") % dedup.NEW_BATCH_MOD) == dedup.NEW_BATCH_RESIDUE
+    sh_old = dedup.shingle_set(d.filter(~is_new)).cache()
+    bands_old = (
+        dedup.lsh_bands(dedup.minhash_signatures(sh_old))
+        .select(F.col("doc_id").alias("d_old"), "band_idx", "band_val")
+        .cache()
+    )
+    # stage today's documents as a 4-file drop zone and replay it one
+    # file per trigger — the bounded stand-in for the Kafka doc topic
+    stage = tempfile.mkdtemp(prefix="docs_stream_src_")
+    d.filter(is_new).repartition(4).write.mode("overwrite").parquet(stage)
+    doc_schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out_dir = tempfile.mkdtemp(prefix="incdedup_out_")
+
+    def probe(batch_df: DataFrame, epoch_id: int) -> None:
+        sh_new = dedup.shingle_set(batch_df)
+        nb = dedup.lsh_bands(dedup.minhash_signatures(sh_new)).select(
+            F.col("doc_id").alias("d_new"), "band_idx", "band_val"
+        )
+        cand = (
+            bands_old.join(nb, ["band_idx", "band_val"])
+            .select("d_old", "d_new")
+            .distinct()
+        )
+        scored = dedup._jaccard_on_candidates(
+            sh_old.unionByName(sh_new), cand, "d_old", "d_new"
+        )
+        best_j = F.max("jaccard").over(W.partitionBy("d_new"))
+        agg = (
+            scored.withColumn("best_j", best_j)
+            .groupBy("d_new")
+            .agg(
+                F.count("*").alias("n_matches"),
+                F.max("jaccard").alias("best_jaccard"),
+                F.min(
+                    F.when(F.col("jaccard") == F.col("best_j"), F.col("d_old"))
+                ).alias("best_old_id"),
+            )
+        )
+        (
+            batch_df.select(F.col("doc_id").alias("d_new"))
+            .join(agg, "d_new", "left")
+            .select(
+                F.col("d_new").alias("new_doc_id"),
+                F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+                F.col("best_jaccard").cast("double").alias("best_jaccard"),
+                F.col("best_old_id").cast("long").alias("best_old_id"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", _ckpt_dir("incdedup_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def stream_windowed_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 event types per 1-hour event-time window: the live
     "trending" query — a watermarked streaming aggregation whose
@@ -640,6 +742,7 @@ QUERIES = {
     "stream_stateful_user_totals": stream_stateful_user_totals,
     "stream_windowed_topk": stream_windowed_topk,
     "stream_anomaly_zscore": stream_anomaly_zscore,
+    "stream_incremental_dedup": stream_incremental_dedup,
 }
 
 ORACLES = {
@@ -776,3 +879,9 @@ ORACLES = {
         FROM events GROUP BY user_id
     """,
 }
+
+# the streaming probe is batch-boundary-independent by construction, so
+# its oracle IS the single-batch incremental dedup's oracle
+from ..operators.dedup import ORACLES as _DEDUP_ORACLES  # noqa: E402
+
+ORACLES["stream_incremental_dedup"] = _DEDUP_ORACLES["dedup_incremental_minhash"]
