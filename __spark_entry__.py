@@ -69,7 +69,7 @@ _PRIORITY = [
     #    queue last -- freshest driver rows, code unchanged since. --
     "dedup_cluster_stats", "text_ngram_novelty", "join_asof_nearest",
     # -- new round-6 operators (no driver row yet) --
-    "stream_incremental_dedup",
+    "stream_incremental_dedup", "multimodal_phash_near_dup",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

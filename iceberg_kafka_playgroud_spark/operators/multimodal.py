@@ -228,8 +228,112 @@ def multimodal_payload_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return payload_dedup(with_payload(load_table(spark, sf, "documents")))
 
 
+PHASH_BITS = 64
+PHASH_BANDS = 4  # pigeonhole: Hamming <= 3 pairs always share a band
+PHASH_STRIDE = 64
+
+
+def phash_signatures(src: DataFrame) -> DataFrame:
+    """64-bit average-hash over a (doc_id, payload binary) frame.
+
+    The REAL aHash algorithm on stand-in pixels: bit j compares the
+    mean of the payload's j-th strided byte lane (bytes j, j+64,
+    j+128, …) against the whole-payload mean — decode-to-grayscale is
+    the only stubbed step (the container has no codecs; see module
+    docstring). The comparison is the integer cross-multiply
+    ``lane_sum * n > total * lane_count`` so the signature is exact in
+    both engines (no float means). Runs as Arrow-batched mapInPandas
+    with NumPy lane sums; zero shuffle, linear in input splits.
+    """
+    import numpy as np
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "phash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                total = int(b.sum())
+                bits = []
+                for j in range(PHASH_BITS):
+                    lane = b[j::PHASH_STRIDE]
+                    bits.append(
+                        "1" if int(lane.sum()) * n > total * len(lane) else "0"
+                    )
+                out["doc_id"].append(doc_id)
+                out["phash"].append("".join(bits))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(sig, schema="doc_id long, phash string")
+
+
+def multimodal_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual near-dup pairs (Hamming ≤ 3) over payload aHashes —
+    the asset-level near-dup pass an image lake runs after exact
+    ``multimodal_payload_dedup`` (re-encoded / lightly-edited copies
+    share a perceptual hash but not an md5).
+
+    Candidate generation reuses the banded-signature shape proven in
+    ``dedup.dedup_simhash_hamming``: split the 64-bit aHash into 4
+    bands of 16 bits, equi-join band buckets, then XOR-popcount ONLY
+    the candidates — never the O(n²) cross product. Signatures are
+    doc-count-sized and cached; at 100 TB the payload bytes are
+    touched exactly once (the mapInPandas scan).
+    """
+    sigs = phash_signatures(
+        with_payload(load_table(spark, sf, "documents"))
+    ).cache()
+    bw = PHASH_BITS // PHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"cast(conv(substring(phash, {bw * b + 1}, {bw}), 2, 10)"
+                        " as bigint)"
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(F.col("doc_id").alias("d1"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+    )
+    sigl = sigs.select(
+        "doc_id",
+        F.expr("cast(conv(substring(phash, 1, 32), 2, 10) as bigint)").alias("hi"),
+        F.expr("cast(conv(substring(phash, 33, 32), 2, 10) as bigint)").alias("lo"),
+    )
+    s1 = sigl.select(
+        F.col("doc_id").alias("d1"), F.col("hi").alias("h1"), F.col("lo").alias("l1")
+    )
+    s2 = sigl.select(
+        F.col("doc_id").alias("d2"), F.col("hi").alias("h2"), F.col("lo").alias("l2")
+    )
+    return (
+        cand.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .select(
+            "d1",
+            "d2",
+            (F.expr("bit_count(h1 ^ h2)") + F.expr("bit_count(l1 ^ l2)"))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
 QUERIES = {
     "multimodal_audio_rms": multimodal_audio_rms,
+    "multimodal_phash_near_dup": multimodal_phash_near_dup,
     "multimodal_payload_dedup": multimodal_payload_dedup,
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
@@ -237,6 +341,63 @@ QUERIES = {
 }
 
 ORACLES = {
+    # aHash replay on the hex encoding of the payload bytes. NB:
+    # DuckDB's // TRUNCATES toward zero (unlike Spark/Python floor),
+    # so the lane upper bound guards j >= n with an explicit CASE
+    # instead of relying on a negative series stop.
+    "multimodal_phash_near_dup": """
+        WITH docs AS (
+          SELECT doc_id, hex(encode(text)) AS h,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        ),
+        tot AS (
+          SELECT doc_id, h, n,
+                 list_aggregate(list_transform(generate_series(1, CAST(n AS INT)),
+                     i -> CAST(CAST(concat('0x', substring(h, 2*i - 1, 2))
+                               AS INTEGER) AS BIGINT)),
+                   'sum') AS total
+          FROM docs
+        ),
+        bits AS (
+          SELECT doc_id, n, total, j.j AS j,
+                 coalesce(list_aggregate(list_transform(
+                     generate_series(0, CAST(CASE WHEN j.j < n
+                                                  THEN (n - 1 - j.j) // 64
+                                                  ELSE -1 END AS INT)),
+                     k -> CAST(CAST(concat('0x',
+                              substring(h, CAST(2*(j.j + 64*k) + 1 AS INT), 2))
+                               AS INTEGER) AS BIGINT)),
+                   'sum'), 0) AS s,
+                 CASE WHEN j.j < n THEN (n - 1 - j.j) // 64 + 1 ELSE 0 END AS cnt
+          FROM tot, (SELECT unnest(generate_series(0, 63)) AS j) j
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 string_agg(CASE WHEN s * n > total * cnt THEN '1' ELSE '0' END,
+                            '' ORDER BY j) AS phash
+          FROM bits GROUP BY doc_id, n, total
+        ),
+        bands AS (
+          SELECT doc_id, phash, unnest([0,1,2,3]) AS band_idx,
+                 unnest([substring(phash,1,16), substring(phash,17,16),
+                         substring(phash,33,16), substring(phash,49,16)]) AS band_val
+          FROM sigs
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                 a.phash AS s1, b.phash AS s2
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+        )
+        SELECT d1, d2, hamming FROM (
+          SELECT d1, d2, CAST(len(list_filter(generate_series(1, 64),
+               i -> substring(s1, i, 1) != substring(s2, i, 1))) AS BIGINT)
+                 AS hamming
+          FROM cand
+        ) WHERE hamming <= 3
+    """,
     # the payload is the utf-8 encoding of text, and DuckDB's md5 over
     # a VARCHAR hashes its utf-8 bytes — identical digests by design
     "multimodal_payload_dedup": """

@@ -214,6 +214,17 @@ def test_simhash_hamming_is_banded_not_allpairs(spark, sf_dir):
     assert "band_idx" in plan and "band_val" in plan
 
 
+def test_phash_near_dup_is_banded_not_allpairs(spark, sf_dir):
+    # the perceptual near-dup reuses the banded-candidate shape: an
+    # equi-join on (band_idx, band_val), never a cross product
+    from iceberg_kafka_playgroud_spark.operators import multimodal
+
+    plan = physical_plan(multimodal.multimodal_phash_near_dup(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "band_idx" in plan and "band_val" in plan
+
+
 def test_simhash_hamming_full_recall_vs_bruteforce(spark, sf_dir):
     # pigeonhole guarantee: 4 bands of 32 bits catch EVERY pair at
     # Hamming distance <= 3 — verify against the brute-force answer
