@@ -1,0 +1,97 @@
+"""Scale-growth smoke: measured evidence that the data-heavy operator
+plans are ~linear in corpus size, not quadratic.
+
+Builds a 10× documents corpus (10 salted copies of the sf0.1 fixture —
+salting the text prevents cross-copy near-dups, so the workload is a
+genuine 10× of the same shape) and asserts wall-time for the top
+data-heavy operators grows ≤ LINEAR_SLACK × 10. A quadratic candidate
+path (e.g. a hot LSH bucket) would show ~100× growth and fail loudly.
+
+Gated behind SPARK_GRAFT_PERF=1 — it's a ~2 min timing test, not a
+correctness gate. Results table lives in NOTES.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+PERF = os.environ.get("SPARK_GRAFT_PERF") == "1"
+pytestmark = pytest.mark.skipif(
+    not PERF, reason="timing test; set SPARK_GRAFT_PERF=1 to run"
+)
+
+SRC_SF = "/root/testdata/sf0.1"
+COPIES = 10
+# 10× data may grow ≤ this × the 1× time: generous for Spark's fixed
+# per-stage floor and co-tenant noise, far below the ~100× a
+# quadratic path would show
+LINEAR_SLACK = 2.5
+
+
+@pytest.fixture(scope="module")
+def scaled_dir(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("scale10"))
+    d = spark.read.parquet(f"{SRC_SF}/documents.parquet")
+    copies = [
+        d.select(
+            (F.col("doc_id") + F.lit(i * 100_000_000)).alias("doc_id"),
+            *[c for c in d.columns if c not in ("doc_id", "text")],
+            F.concat(F.lit(f"u{i}x "), F.col("text")).alias("text"),
+        ).select(*d.columns)
+        for i in range(COPIES)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.repartition(32).write.mode("overwrite").parquet(
+        f"{base}/documents.parquet"
+    )
+    yield base
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _ops():
+    from iceberg_kafka_playgroud_spark.operators import dedup, text
+
+    return {
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash_hamming": dedup.dedup_simhash_hamming,
+        "dedup_connected_components": dedup.dedup_connected_components,
+        "text_quality_score": text.text_quality_score,
+        "text_lang_id": text.text_lang_id,
+    }
+
+
+def _best_of(fn, spark, sf_dir, n=2):
+    best = float("inf")
+    for _ in range(n):
+        # drop the plan-keyed caches (pair graphs, signature tables):
+        # the growth claim is about the COLD dataflow, and a cached
+        # re-read is corpus-size-insensitive
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def test_data_heavy_ops_grow_linearly(spark, scaled_dir):
+    rows = []
+    for name, fn in _ops().items():
+        t1 = _best_of(fn, spark, SRC_SF)
+        t10 = _best_of(fn, spark, scaled_dir)
+        ratio = t10 / t1
+        rows.append((name, t1, t10, ratio))
+    table = "\n".join(
+        f"  {n:<30} 1x={a:6.2f}s 10x={b:6.2f}s ratio={r:5.1f}x"
+        for n, a, b, r in rows
+    )
+    print("\nscale growth (10x corpus):\n" + table)
+    bad = [(n, r) for n, _, _, r in rows if r > COPIES * LINEAR_SLACK]
+    assert not bad, f"superlinear growth {bad}:\n{table}"
