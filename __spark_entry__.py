@@ -70,6 +70,8 @@ _PRIORITY = [
     "dedup_cluster_stats", "text_ngram_novelty", "join_asof_nearest",
     # -- new round-6 operators (no driver row yet) --
     "stream_incremental_dedup", "multimodal_phash_near_dup",
+    "dedup_cluster_canonical", "mixture_resample_balanced",
+    "events_moving_average", "text_unigram_logprob",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -780,6 +780,37 @@ def events_zscore_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def events_moving_average(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user trailing moving average (5-row frame) over event
+    values — the smoothing/feature-engineering window every telemetry
+    pipeline runs. One shuffle keyed by user_id; the frame sum runs on
+    exact int64 cents (a float sliding sum is engine-order-dependent),
+    with ONE final IEEE division — bit-exact parity.
+
+    Frame order is (ts, event_id): ts alone can tie and an ambiguous
+    frame would be nondeterministic across engines AND executions.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (
+            F.sum(vc).over(w).cast("double")
+            / (F.count("*").over(w) * 100).cast("double")
+        ).alias("moving_avg_5"),
+    )
+
+
 def user_behavior_features(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user feature extraction — the feature-store aggregation: one
     map-side-combined shuffle on user_id producing event counts,
@@ -814,6 +845,7 @@ QUERIES = {
     "agg_stats_moments": agg_stats_moments,
     "window_cume_dist": window_cume_dist,
     "events_zscore_normalize": events_zscore_normalize,
+    "events_moving_average": events_moving_average,
     "user_behavior_features": user_behavior_features,
     "join_salted_skew": join_salted_skew,
     "interval_join_events": interval_join_events,
@@ -897,6 +929,14 @@ ORACLES = {
                     AS DOUBLE) / 100.0 AS total_price
         FROM orders JOIN dim ON o_orderstatus = status
         GROUP BY status_name ORDER BY status_name
+    """,
+    "events_moving_average": """
+        SELECT event_id, user_id, ts, value,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+               / CAST(COUNT(*) OVER w * 100 AS DOUBLE) AS moving_avg_5
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     """,
     "events_zscore_normalize": """
         WITH m AS (

@@ -96,6 +96,45 @@ def stratified_sample_per_source(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def mixture_resample_balanced(spark: SparkSession, sf: str) -> DataFrame:
+    """Rebalance the corpus to a uniform source mixture by
+    downsampling every source to the smallest source's size — the
+    domain-mixture control step training-data pipelines run before
+    shard writing (here with a balanced target; any target vector
+    slots into the same rank-gate).
+
+    Fully deterministic and integer-exact: the per-source keep-set is
+    the first ``min_count`` docs in (md5(doc_id), doc_id) order, so
+    re-runs and re-shards never move a document in or out. Two
+    shuffles: the per-source count (map-side combined, sources-sized
+    result broadcast back) and the per-source rank window. The output
+    proves WHICH docs survived via an exact integer id-sum, not just
+    how many.
+    """
+    d = load_table(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    min_count = counts.agg(F.min("n_docs").alias("min_count"))
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    kept = (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(min_count))
+        .filter(F.col("rk") <= F.col("min_count"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("kept_id_sum"),
+        )
+        .join(F.broadcast(counts), "source")
+        .select("source", "n_docs", "n_kept", "kept_id_sum")
+        .orderBy("source")
+    )
+
+
 PACK_BUDGET = 512  # tokens per packed sequence
 
 
@@ -446,6 +485,7 @@ QUERIES = {
     "curation_pipeline_end_to_end": curation_pipeline_end_to_end,
     "split_train_val_test": split_train_val_test,
     "stratified_sample_per_source": stratified_sample_per_source,
+    "mixture_resample_balanced": mixture_resample_balanced,
     "sequence_pack_contiguous": sequence_pack_contiguous,
     "vocab_top_terms": vocab_top_terms,
     "contamination_ngram_overlap": contamination_ngram_overlap,
@@ -479,6 +519,27 @@ sh AS (
 """
 
 ORACLES = {
+    "mixture_resample_balanced": """
+        WITH counts AS (
+          SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ),
+        mc AS (SELECT MIN(n_docs) AS min_count FROM counts),
+        ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+                   AS rk
+          FROM documents
+        ),
+        kept AS (
+          SELECT source, COUNT(*) AS n_kept, SUM(doc_id) AS kept_id_sum
+          FROM ranked, mc WHERE rk <= min_count GROUP BY source
+        )
+        SELECT k.source, c.n_docs, k.n_kept,
+               CAST(k.kept_id_sum AS BIGINT) AS kept_id_sum
+        FROM kept k JOIN counts c ON k.source = c.source
+        ORDER BY k.source
+    """,
     "curation_pipeline_end_to_end": (
         "WITH gated AS ("
         "  SELECT doc_id, source, text, "

@@ -816,6 +816,40 @@ ORACLES["dedup_connected_components"] = f"""
 """
 
 
+def dedup_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end fuzzy-dedup funnel: near-dup clusters (connected
+    components over the MinHash pair graph) → keep the HIGHEST-QUALITY
+    document per cluster (ties broken by min doc_id) — the keep-policy
+    production dedup actually ships, vs ``dedup_keep_canonical``'s
+    exact-hash min-id rule.
+
+    Scale shape: the pair graph and labels are the (cached) CC
+    dataflow; the quality join touches cluster members only and the
+    argmax is a per-component window over component-sized groups —
+    nothing quadratic, nothing driver-side.
+    """
+    from .text import text_quality_score
+    from pyspark.sql import Window as W
+
+    cc = dedup_connected_components(spark, sf)
+    q = text_quality_score(spark, sf).select("doc_id", "quality_score")
+    joined = cc.join(q, "doc_id")
+    w = W.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("component_size").cast("long").alias("component_size"),
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("quality_score").alias("canonical_quality"),
+            (F.col("component_size") - 1).cast("long").alias("n_discarded"),
+        )
+    )
+
+
 def dedup_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate-cluster profile: how many near-dup clusters exist at
     each size, and how many documents they hold — the report that
@@ -832,6 +866,28 @@ def dedup_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("component_size")
     )
 
+
+from .text import ORACLES as _TEXT_ORACLES  # noqa: E402
+
+QUERIES["dedup_cluster_canonical"] = dedup_cluster_canonical
+# composes the CC closure with the quality replay; the argmax is the
+# same (quality DESC, doc_id ASC) total order as the Spark window
+ORACLES["dedup_cluster_canonical"] = f"""
+    WITH cc AS ({ORACLES["dedup_connected_components"]}),
+    q AS ({_TEXT_ORACLES["text_quality_score"]})
+    SELECT component,
+           CAST(component_size AS BIGINT) AS component_size,
+           canonical_doc_id, canonical_quality,
+           CAST(component_size - 1 AS BIGINT) AS n_discarded
+    FROM (
+      SELECT cc.component, cc.component_size, cc.doc_id AS canonical_doc_id,
+             q.quality_score AS canonical_quality,
+             row_number() OVER (PARTITION BY cc.component
+                                ORDER BY q.quality_score DESC, cc.doc_id ASC)
+               AS rk
+      FROM cc JOIN q ON cc.doc_id = q.doc_id
+    ) WHERE rk = 1
+"""
 
 QUERIES["dedup_cluster_stats"] = dedup_cluster_stats
 ORACLES["dedup_cluster_stats"] = f"""

@@ -286,6 +286,45 @@ def text_char_entropy_proxy(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram language-model fluency proxy (the CCNet-style LM filter
+    shape): per-doc average log-probability of its tokens under the
+    corpus unigram distribution — low scores flag gibberish / rare-token
+    soup for the quality funnel.
+
+    Exact-parity form: avg log2 P(w) = (Σ ⌊log2 c_w⌋)/n − ⌊log2 total⌋
+    with ⌊log2⌋ as integer bit-length (same libm-free trick as
+    ``text_char_entropy_proxy``) — every accumulation is int64, then
+    one division and one subtraction written identically in the
+    oracle. Two-pass dataflow: corpus unigram counts (vocabulary-sized
+    shuffle, map-side combined), then a token→count join and per-doc
+    rollup. At 100 TB the count table is vocab-sized (≪ corpus) and
+    everything else is the one explode shuffle.
+    """
+    d = load_table(spark, sf, "documents")
+    words = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    freqs = words.groupBy("w").agg(F.count("*").alias("c"))
+    total = freqs.agg(F.sum("c").cast("long").alias("tot"))
+    per_doc = (
+        words.join(freqs, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.length(F.expr("bin(c)")) - 1).cast("long").alias("s_logc"),
+        )
+    )
+    return per_doc.join(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("s_logc").cast("double") / F.col("n_tokens").cast("double")
+            - (F.length(F.expr("bin(tot)")) - 1).cast("double")
+        ).alias("logprob_bits_proxy"),
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_bpe_token_count": text_bpe_token_count,
@@ -297,6 +336,7 @@ QUERIES = {
     "pii_scrub_stats": pii_scrub_stats,
     "text_langid_confusion": text_langid_confusion,
     "text_char_entropy_proxy": text_char_entropy_proxy,
+    "text_unigram_logprob": text_unigram_logprob,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -398,6 +438,25 @@ ORACLES = {
         )
         SELECT lang, lang_pred, COUNT(*) AS n
         FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+    "text_unigram_logprob": """
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x != '')) AS w
+          FROM documents
+        ),
+        freqs AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM freqs),
+        per_doc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(length(bin(c)) - 1) AS BIGINT) AS s_logc
+          FROM words JOIN freqs USING (w) GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               CAST(s_logc AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 - CAST(length(bin(tot)) - 1 AS DOUBLE) AS logprob_bits_proxy
+        FROM per_doc, tot
     """,
     "text_char_entropy_proxy": """
         WITH ch AS (
