@@ -72,6 +72,7 @@ _PRIORITY = [
     "stream_incremental_dedup", "multimodal_phash_near_dup",
     "dedup_cluster_canonical", "mixture_resample_balanced",
     "events_moving_average", "text_unigram_logprob",
+    "embedding_kmeans_lloyd", "graph_pagerank",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

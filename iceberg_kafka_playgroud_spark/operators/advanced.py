@@ -780,6 +780,81 @@ def events_zscore_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+PR_SCALE = 10**12  # fixed-point rank scale
+PR_ITERS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
+
+
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the supplier↔customer trade graph (who supplies
+    whom, via lineitem⋈orders) — the canonical iterative graph-join
+    loop, run with EXACT integer fixed-point parity.
+
+    Graph: undirected (both directions materialized) so no node is a
+    sink; node ids disambiguate the bipartite sides (2·suppkey /
+    2·custkey+1). Arithmetic: ranks are int64 at 10¹² scale; each
+    round contributes ``r DIV outdeg`` per edge and applies damping as
+    an integer ratio — no float accumulation anywhere, so engine
+    summation order cannot perturb results and the DuckDB oracle
+    unrolls the identical rounds.
+
+    Scale shape: per round one shuffle keyed by dst (map-side combined
+    contribution sums) joined back to the nodes table; edges are
+    materialized once and cached; rank state is nodes-sized,
+    distributed — the loop never collects. Fixed iteration count like
+    production PageRank (convergence tolerance would add one
+    scalar-count job per round).
+    """
+    li = load_table(spark, sf, "lineitem").select(
+        (F.col("l_suppkey") * 2).alias("a"), F.col("l_orderkey")
+    )
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", (F.col("o_custkey") * 2 + 1).alias("b")
+    )
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("a", "b")
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .cache()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = deg.select(F.col("src").alias("node"), "outdeg").cache()
+    n_nodes = nodes.count()
+    base_term = (PR_SCALE // n_nodes) * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    ranks = nodes.select(
+        "node", F.lit(PR_SCALE // n_nodes).cast("long").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks.join(nodes, "node"), edges.src == F.col("node"))
+            .select("dst", F.expr("r DIV outdeg").alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("sc"))
+        ranks = (
+            nodes.select("node")
+            .join(sums, nodes.node == sums.dst, "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base_term} AS BIGINT)"
+                    f" + (coalesce(sc, CAST(0 AS BIGINT)) * {PR_DAMP_NUM})"
+                    f" DIV {PR_DAMP_DEN}"
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        F.expr("node DIV 2").alias("node_key"),
+        F.col("r").alias("rank_fp"),
+    )
+
+
 def events_moving_average(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user trailing moving average (5-row frame) over event
     values — the smoothing/feature-engineering window every telemetry
@@ -846,6 +921,7 @@ QUERIES = {
     "window_cume_dist": window_cume_dist,
     "events_zscore_normalize": events_zscore_normalize,
     "events_moving_average": events_moving_average,
+    "graph_pagerank": graph_pagerank,
     "user_behavior_features": user_behavior_features,
     "join_salted_skew": join_salted_skew,
     "interval_join_events": interval_join_events,
@@ -929,6 +1005,49 @@ ORACLES = {
                     AS DOUBLE) / 100.0 AS total_price
         FROM orders JOIN dim ON o_orderstatus = status
         GROUP BY status_name ORDER BY status_name
+    """,
+    "graph_pagerank": f"""
+        WITH pr_pairs AS (
+          SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        pr_edges AS (
+          SELECT a AS src, b AS dst FROM pr_pairs
+          UNION ALL
+          SELECT b AS src, a AS dst FROM pr_pairs
+        ),
+        deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM pr_edges GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM deg),
+        bt AS (SELECT ({PR_SCALE} // n * {PR_DAMP_DEN - PR_DAMP_NUM})
+                      // {PR_DAMP_DEN} AS base, {PR_SCALE} // n AS r_init
+               FROM nn),
+        r0 AS (SELECT node, CAST(r_init AS BIGINT) AS r FROM deg, bt),
+        c1 AS (SELECT e.dst, SUM(r.r // d.outdeg) AS sc
+               FROM pr_edges e JOIN r0 r ON e.src = r.node
+               JOIN deg d ON e.src = d.node GROUP BY e.dst),
+        r1 AS (SELECT d.node,
+                      CAST(bt.base + coalesce(c1.sc, 0) * {PR_DAMP_NUM}
+                           // {PR_DAMP_DEN} AS BIGINT) AS r
+               FROM deg d LEFT JOIN c1 ON d.node = c1.dst, bt),
+        c2 AS (SELECT e.dst, SUM(r.r // d.outdeg) AS sc
+               FROM pr_edges e JOIN r1 r ON e.src = r.node
+               JOIN deg d ON e.src = d.node GROUP BY e.dst),
+        r2 AS (SELECT d.node,
+                      CAST(bt.base + coalesce(c2.sc, 0) * {PR_DAMP_NUM}
+                           // {PR_DAMP_DEN} AS BIGINT) AS r
+               FROM deg d LEFT JOIN c2 ON d.node = c2.dst, bt),
+        c3 AS (SELECT e.dst, SUM(r.r // d.outdeg) AS sc
+               FROM pr_edges e JOIN r2 r ON e.src = r.node
+               JOIN deg d ON e.src = d.node GROUP BY e.dst),
+        r3 AS (SELECT d.node,
+                      CAST(bt.base + coalesce(c3.sc, 0) * {PR_DAMP_NUM}
+                           // {PR_DAMP_DEN} AS BIGINT) AS r
+               FROM deg d LEFT JOIN c3 ON d.node = c3.dst, bt)
+        SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+                 AS node_type,
+               node // 2 AS node_key,
+               r AS rank_fp
+        FROM r3
     """,
     "events_moving_average": """
         SELECT event_id, user_id, ts, value,

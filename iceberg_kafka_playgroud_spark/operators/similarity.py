@@ -686,6 +686,110 @@ def embedding_top_component(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+KM_K = 8  # clusters
+KM_ITERS = 2  # Lloyd update rounds (final stats on the updated model)
+
+
+def embedding_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
+    """Mini-batch-free Lloyd's k-means over the embedding corpus — the
+    canonical iterative-ML loop (cluster quality / corpus partitioning
+    for IVF-style indexes), run with EXACT cross-engine parity.
+
+    Parity recipe (the ``embedding_top_component`` template applied to
+    k-means): embeddings quantize to int64 fixed-point once; every
+    assignment distance is an integer Σ(qx−c)²; centroid updates
+    re-quantize via one IEEE division + floor(x+0.5) per (cluster,
+    dim); ties in assignment break on (dist, cid) — a total order. The
+    DuckDB oracle unrolls the identical rounds.
+
+    Scale shape: per round one Spark job (posexplode partial sums,
+    map-side combined) and an O(k·d) driver collect — centroids are
+    driver-state like every production k-means; the corpus is scanned,
+    never collected. Seeds = k lowest vec_ids (deterministic; swap for
+    k-means|| at real scale without touching the loop).
+    """
+    base = (
+        load_table(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") * PI_XSCALE + F.lit(0.5)
+                ).cast("long"),
+            ).alias("qx"),
+        )
+        .cache()
+    )
+    seed_rows = base.orderBy("vec_id").limit(KM_K).collect()
+    cents: dict[int, list[int]] = {
+        j: [int(q) for q in r["qx"]] for j, r in enumerate(seed_rows)
+    }
+
+    def assign():
+        structs = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qx"),
+                            F.array(
+                                *[F.lit(c).cast("long") for c in cents[j]]
+                            ),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(j).alias("cid"),
+                )
+                for j in range(KM_K)
+            ]
+        )
+        best = F.array_min(structs)
+        return base.select(
+            "vec_id", "qx", best["cid"].alias("cid"), best["dist"].alias("dist")
+        )
+
+    for _ in range(KM_ITERS):
+        sums = (
+            assign()
+            .select("cid", F.posexplode("qx").alias("pos", "q"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        for r in sums:
+            # rounded integer mean: ONE double division + floor(x+0.5),
+            # the same two IEEE ops the oracle runs — empty clusters
+            # simply keep their previous centroid (no row arrives)
+            cents[r["cid"]][r["pos"]] = int(
+                math.floor(int(r["s"]) / int(r["n"]) + 0.5)
+            )
+    final = assign()
+    l1 = F.create_map(
+        *[
+            x
+            for j in range(KM_K)
+            for x in (F.lit(j), F.lit(sum(abs(c) for c in cents[j])))
+        ]
+    )
+    out = (
+        final.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("dist").cast("long").alias("inertia"),
+        )
+        .select(
+            F.col("cid").cast("int").alias("cluster_id"),
+            "n_vecs",
+            "inertia",
+            F.element_at(l1, F.col("cid")).cast("long").alias("centroid_l1"),
+        )
+    )
+    return out
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_blocked": ann_topk_blocked,
@@ -695,7 +799,73 @@ QUERIES = {
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_top_component": embedding_top_component,
+    "embedding_kmeans_lloyd": embedding_kmeans_lloyd,
 }
+
+
+def _km_assign_cte(k: int, cents: str) -> str:
+    """One unrolled Lloyd assignment: integer Σ(qx−c)² argmin with the
+    (dist, cid) tie-break, mirroring ``embedding_kmeans_lloyd``."""
+    return f"""
+    assign{k} AS (
+      SELECT vec_id, qx, cid, dist FROM (
+        SELECT i.vec_id, i.qx, i.cid, i.dist,
+               row_number() OVER (PARTITION BY i.vec_id
+                                  ORDER BY i.dist, i.cid) AS rk
+        FROM (
+          SELECT b.vec_id, b.qx, c.cid,
+                 list_sum(list_transform(list_zip(b.qx, c.c),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+          FROM kmbase b, {cents} c
+        ) i
+      ) WHERE rk = 1
+    )"""
+
+
+def _km_update_cte(k: int) -> str:
+    """Centroid re-quantization from assign{k}: one IEEE division +
+    floor(x+0.5) per (cluster, dim); empty clusters carry forward."""
+    prev = "cent0f" if k == 1 else f"cent{k - 1}f"
+    return f"""
+    cent{k} AS (
+      SELECT g.cid,
+             list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+                  AS BIGINT) ORDER BY pos) AS c
+      FROM (
+        SELECT a.cid, u.pos, SUM(a.qx[u.pos + 1]) AS s, COUNT(*) AS n
+        FROM assign{k} a, (SELECT unnest(range({EMB_DIM})) AS pos) u
+        GROUP BY a.cid, u.pos
+      ) g GROUP BY g.cid
+    ),
+    cent{k}f AS (
+      SELECT p.cid, coalesce(c.c, p.c) AS c
+      FROM {prev} p LEFT JOIN cent{k} c USING (cid)
+    )"""
+
+
+_KMEANS_ORACLE = f"""
+    WITH kmbase AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {PI_XSCALE} + 0.5)
+                    AS BIGINT)) AS qx
+      FROM embeddings
+    ),
+    cent0f AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qx AS c
+      FROM kmbase ORDER BY vec_id LIMIT {KM_K}
+    ),{_km_assign_cte(1, "cent0f")},{_km_update_cte(1)},{
+        _km_assign_cte(2, "cent1f")},{_km_update_cte(2)},{
+        _km_assign_cte(3, "cent2f")}
+    SELECT CAST(a.cid AS INTEGER) AS cluster_id,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(a.dist) AS BIGINT) AS inertia,
+           CAST(any_value(l.l1) AS BIGINT) AS centroid_l1
+    FROM assign3 a
+    JOIN (SELECT cid, list_sum(list_transform(c, x -> abs(x))) AS l1
+          FROM cent2f) l ON l.cid = a.cid
+    GROUP BY a.cid
+"""
 
 
 def _pi_iter_cte(k: int, qv_src: str) -> str:
@@ -884,6 +1054,7 @@ ORACLES = {
     "ann_topk_bruteforce": _TOPK_ORACLE,
     "embedding_quantize_int8": _QUANT_ORACLE,
     "embedding_top_component": _TOP_COMPONENT_ORACLE,
+    "embedding_kmeans_lloyd": _KMEANS_ORACLE,
     "ann_topk_blocked": _TOPK_ORACLE,
     "ann_topk_ivf": _IVF_ORACLE,
     "embedding_centroids": f"""
