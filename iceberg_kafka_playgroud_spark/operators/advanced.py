@@ -780,6 +780,53 @@ def events_zscore_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_join_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy entity matching: distinct part names within edit distance
+    ≤ 2, with FULL recall via length-band blocking — |len(a)−len(b)| ≤
+    d is implied by Levenshtein ≤ d, so exploding each left name to
+    its 2d+1 admissible lengths turns the match into an equi-join on
+    length. The quadratic all-pairs compare never materializes; the
+    O(L²) DP distance runs on the (distinct-names × band) candidates
+    only. Name frequencies ride along so the match table is directly
+    usable for merge decisions.
+    """
+    p = load_table(spark, sf, "part")
+    names = (
+        p.groupBy(F.col("p_name").alias("name"))
+        .agg(F.count("*").alias("n_parts"))
+        .withColumn("len", F.length("name"))
+    )
+    a = names.select(
+        F.col("name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        F.explode(
+            F.sequence(
+                F.col("len") - FUZZY_MAX_DIST, F.col("len") + FUZZY_MAX_DIST
+            )
+        ).alias("len_key"),
+    )
+    b = names.select(
+        F.col("name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        F.col("len").alias("len_key"),
+    )
+    return (
+        a.join(b, "len_key")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select(
+            "name_a", "name_b",
+            F.col("dist").cast("int").alias("dist"),
+            "n_parts_a", "n_parts_b",
+        )
+        .distinct()
+    )
+
+
 PR_SCALE = 10**12  # fixed-point rank scale
 PR_ITERS = 3
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
@@ -922,6 +969,7 @@ QUERIES = {
     "events_zscore_normalize": events_zscore_normalize,
     "events_moving_average": events_moving_average,
     "graph_pagerank": graph_pagerank,
+    "fuzzy_join_levenshtein": fuzzy_join_levenshtein,
     "user_behavior_features": user_behavior_features,
     "join_salted_skew": join_salted_skew,
     "interval_join_events": interval_join_events,
@@ -1005,6 +1053,19 @@ ORACLES = {
                     AS DOUBLE) / 100.0 AS total_price
         FROM orders JOIN dim ON o_orderstatus = status
         GROUP BY status_name ORDER BY status_name
+    """,
+    "fuzzy_join_levenshtein": f"""
+        WITH names AS (
+          SELECT p_name AS name, COUNT(*) AS n_parts, length(p_name) AS len
+          FROM part GROUP BY p_name
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+               a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        FROM names a JOIN names b
+          ON b.len BETWEEN a.len - {FUZZY_MAX_DIST} AND a.len + {FUZZY_MAX_DIST}
+         AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
     """,
     "graph_pagerank": f"""
         WITH pr_pairs AS (

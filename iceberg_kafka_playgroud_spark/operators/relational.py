@@ -272,6 +272,56 @@ def pivot_linestatus(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def unpivot_part_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (melt) — wide numeric columns to (measure, value) long
+    format, the inverse of ``pivot_linestatus``. A pure narrow
+    projection (each input row fans out to k rows scan-locally), so it
+    costs zero shuffle at any scale."""
+    p = load_table(spark, sf, "part")
+    return p.select("p_partkey", "p_size", "p_retailprice").unpivot(
+        ["p_partkey"],
+        ["p_size", "p_retailprice"],
+        "measure",
+        "value",
+    ).withColumn("value", F.col("value").cast("double"))
+
+
+def table_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-level profiling (the ANALYZE/data-quality pass): per
+    column of ``orders`` — null count, exact distinct count, and the
+    table row count. One pass with conditional aggregates; the
+    distinct counts shuffle once each, all map-side combined. At
+    100 TB swap exact COUNT(DISTINCT) for approx_count_distinct
+    per-column without changing the output contract."""
+    o = load_table(spark, sf, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    total = o.count()
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"d_{c}"))
+    row = o.agg(*aggs)
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"n_{c}").cast("long").alias("n_nulls"),
+                        F.col(f"d_{c}").cast("long").alias("n_distinct"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select(
+        "p.column", "p.n_nulls", "p.n_distinct",
+        F.lit(total).cast("long").alias("n_rows"),
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.6 — joins (every `how` the SQL surface promises)
 # --------------------------------------------------------------------------
@@ -1388,6 +1438,8 @@ QUERIES = {
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "pivot_linestatus": pivot_linestatus,
+    "unpivot_part_measures": unpivot_part_measures,
+    "table_profile_orders": table_profile_orders,
     "join_inner_dim": join_inner_dim,
     "join_left_outer": join_left_outer,
     "join_right_outer": join_right_outer,
@@ -1557,6 +1609,35 @@ ORACLES = {
         f"{_CSUM.format(c='o_totalprice')} AS total "
         "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
     ),
+    "unpivot_part_measures": (
+        "SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value"
+        " FROM part UNION ALL "
+        "SELECT p_partkey, 'p_retailprice' AS measure,"
+        " CAST(p_retailprice AS DOUBLE) AS value FROM part"
+    ),
+    "table_profile_orders": """
+        WITH t AS (SELECT COUNT(*) AS n_rows FROM orders)
+        SELECT p.column, p.n_nulls, p.n_distinct, t.n_rows FROM (
+          SELECT 'o_orderkey' AS column,
+                 CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                 CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+          UNION ALL SELECT 'o_custkey',
+                 CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+          UNION ALL SELECT 'o_orderstatus',
+                 CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+          UNION ALL SELECT 'o_totalprice',
+                 CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+          UNION ALL SELECT 'o_orderdate',
+                 CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders
+          UNION ALL SELECT 'o_orderpriority',
+                 CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+        ) p, t
+    """,
     "pivot_linestatus": (
         "SELECT l_returnflag, "
         f"CAST(SUM(CASE WHEN l_linestatus='O' THEN {_C.format(c='l_quantity')} END) AS DOUBLE) / 100.0 AS \"O\", "
