@@ -74,6 +74,7 @@ _PRIORITY = [
     "events_moving_average", "text_unigram_logprob",
     "embedding_kmeans_lloyd", "graph_pagerank",
     "fuzzy_join_levenshtein", "unpivot_part_measures", "table_profile_orders",
+    "scd2_dimension_join", "merge_scd1_apply", "stream_quality_gate",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -780,6 +780,117 @@ def events_zscore_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def scd2_dimension_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Effective-dated (SCD type-2) dimension join: each event joins
+    the customer-dimension VERSION that was valid at its event time —
+    the warehouse pattern for as-was reporting.
+
+    The versioned dimension is synthesized deterministically (every
+    customer changes segment once, at corpus_min_ts + custkey%720
+    hours), then the join is the scalable SCD shape: equi-join on the
+    surrogate key plus a validity-range filter — never a non-equi
+    range join, because a key's version count is small and bounded
+    (here 2; real SCDs are ≤ dozens), so the fanout-then-filter is
+    linear and co-partitioned with the fact shuffle. Output: event
+    counts per (as-was segment, version).
+    """
+    e = load_table(spark, sf, "events")
+    c = load_table(spark, sf, "customer")
+    min_ts = e.agg(F.min("ts").alias("t0"))
+    vers = (
+        c.select("c_custkey", "c_mktsegment")
+        .join(F.broadcast(min_ts))
+        .select(
+            "c_custkey",
+            F.expr("t0 + make_interval(0, 0, 0, 0, CAST(c_custkey % 720 AS INT), 0, 0)")
+            .alias("change_ts"),
+            "c_mktsegment",
+        )
+        .select(
+            "c_custkey",
+            F.posexplode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("version"),
+                        F.lit(None).cast("timestamp").alias("valid_from"),
+                        F.col("change_ts").alias("valid_to"),
+                        F.col("c_mktsegment").alias("segment"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("version"),
+                        F.col("change_ts").alias("valid_from"),
+                        F.lit(None).cast("timestamp").alias("valid_to"),
+                        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias(
+                            "segment"
+                        ),
+                    ),
+                )
+            ).alias("_i", "v"),
+        )
+        .select("c_custkey", "v.*")
+    )
+    return (
+        e.join(vers, e.user_id == vers.c_custkey)
+        .filter(
+            (F.col("valid_from").isNull() | (F.col("ts") >= F.col("valid_from")))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .groupBy("segment", "version")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("segment", "version")
+    )
+
+
+def merge_scd1_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch MERGE INTO (SCD type-1): apply a deterministic change
+    batch — updates (custkey%7), deletes (custkey%13, winning on
+    overlap), inserts (supplier-derived new keys) — to the customer
+    dimension in ONE left-join pass plus a union, the way MERGE
+    compiles when the target lacks transactional support (with the
+    Iceberg runtime the same frame feeds ``MERGE INTO``; the streaming
+    twin is ``stream_upsert_latest``). Output: per-segment row count +
+    exact key-sum of the merged table, proving membership not just
+    cardinality.
+
+    Scale: one shuffle joining target×changes on the merge key (both
+    hash-partitioned; changes are typically ≪ target and broadcast),
+    inserts are a union append — no rewrite of untouched rows until
+    the writer materializes, which is exactly Iceberg's MOR shape.
+    """
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    k = F.col("c_custkey")
+    changes = (
+        c.select(
+            "c_custkey",
+            F.when(k % 13 == 0, "D").when(k % 7 == 0, "U").alias("op"),
+        ).filter(F.col("op").isNotNull())
+    )
+    merged = (
+        c.join(F.broadcast(changes), "c_custkey", "left")
+        .filter(F.coalesce(F.col("op"), F.lit("K")) != "D")
+        .select(
+            "c_custkey",
+            F.when(F.col("op") == "U", F.lit("UPDATED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+        )
+    )
+    inserts = s.select(
+        (F.col("s_suppkey") + 1_000_000).alias("c_custkey"),
+        F.lit("NEW").alias("segment"),
+    )
+    return (
+        merged.unionByName(inserts)
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("segment")
+    )
+
+
 FUZZY_MAX_DIST = 2
 
 
@@ -970,6 +1081,8 @@ QUERIES = {
     "events_moving_average": events_moving_average,
     "graph_pagerank": graph_pagerank,
     "fuzzy_join_levenshtein": fuzzy_join_levenshtein,
+    "scd2_dimension_join": scd2_dimension_join,
+    "merge_scd1_apply": merge_scd1_apply,
     "user_behavior_features": user_behavior_features,
     "join_salted_skew": join_salted_skew,
     "interval_join_events": interval_join_events,
@@ -1053,6 +1166,50 @@ ORACLES = {
                     AS DOUBLE) / 100.0 AS total_price
         FROM orders JOIN dim ON o_orderstatus = status
         GROUP BY status_name ORDER BY status_name
+    """,
+    "merge_scd1_apply": """
+        WITH changes AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 13 = 0 THEN 'D'
+                      WHEN c_custkey % 7 = 0 THEN 'U' END AS op
+          FROM customer
+          WHERE c_custkey % 13 = 0 OR c_custkey % 7 = 0
+        ),
+        merged AS (
+          SELECT c.c_custkey,
+                 CASE WHEN ch.op = 'U' THEN 'UPDATED'
+                      ELSE c.c_mktsegment END AS segment
+          FROM customer c LEFT JOIN changes ch USING (c_custkey)
+          WHERE coalesce(ch.op, 'K') != 'D'
+          UNION ALL
+          SELECT s_suppkey + 1000000, 'NEW' FROM supplier
+        )
+        SELECT segment, COUNT(*) AS n_rows,
+               CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        FROM merged GROUP BY segment ORDER BY segment
+    """,
+    "scd2_dimension_join": """
+        WITH t0 AS (SELECT MIN(ts) AS t0 FROM events),
+        vers AS (
+          SELECT c_custkey, 1 AS version,
+                 CAST(NULL AS TIMESTAMP) AS valid_from,
+                 t0 + to_hours(c_custkey % 720) AS valid_to,
+                 c_mktsegment AS segment
+          FROM customer, t0
+          UNION ALL
+          SELECT c_custkey, 2,
+                 t0 + to_hours(c_custkey % 720),
+                 CAST(NULL AS TIMESTAMP),
+                 c_mktsegment || '_V2'
+          FROM customer, t0
+        )
+        SELECT v.segment, CAST(v.version AS INTEGER) AS version,
+               COUNT(*) AS n_events
+        FROM events e JOIN vers v ON e.user_id = v.c_custkey
+        WHERE (v.valid_from IS NULL OR e.ts >= v.valid_from)
+          AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+        GROUP BY v.segment, v.version
+        ORDER BY v.segment, v.version
     """,
     "fuzzy_join_levenshtein": f"""
         WITH names AS (

@@ -680,6 +680,79 @@ def stream_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def stream_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time quality gating as a streaming query: documents
+    arrive in micro-batches and each batch is scored with the SAME
+    row-local predicates as the batch funnel (length gate, language
+    gate — ``quality_filter_funnel`` stages 1-2), with per-source
+    accept/reject counts accumulated across batches — the front-door
+    filter a training-data pipeline runs before anything touches the
+    lake (cross-batch dedup is the separate ``stream_exact_dedup`` /
+    ``stream_incremental_dedup`` stage).
+
+    Row-local predicates are batch-boundary-independent, so the
+    rolled-up counts equal the batch equivalent — the oracle. Scale:
+    the gate itself is a zero-shuffle projection per micro-batch; only
+    the sources-sized count table shuffles.
+    """
+    from ..operators.curation import MAX_CHARS, MIN_CHARS
+    from ..schema import load_table
+
+    d = load_table(spark, sf, "documents")
+    stage = tempfile.mkdtemp(prefix="docs_qgate_src_")
+    d.repartition(4).write.mode("overwrite").parquet(stage)
+    doc_schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out_dir = tempfile.mkdtemp(prefix="qgate_out_")
+
+    def gate(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                "source",
+                F.col("n_chars").between(MIN_CHARS, MAX_CHARS)
+                .cast("long")
+                .alias("len_ok"),
+                (
+                    F.col("n_chars").between(MIN_CHARS, MAX_CHARS)
+                    & (F.col("lang") == "en")
+                )
+                .cast("long")
+                .alias("lang_ok"),
+            )
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_raw"),
+                F.sum("len_ok").alias("n_len"),
+                F.sum("lang_ok").alias("n_len_lang"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", _ckpt_dir("qgate_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("source")
+        .agg(
+            F.sum("n_raw").cast("long").alias("n_raw"),
+            F.sum("n_len").cast("long").alias("n_pass_length"),
+            F.sum("n_len_lang").cast("long").alias("n_pass_lang"),
+        )
+        .orderBy("source")
+    )
+
+
 def stream_windowed_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 event types per 1-hour event-time window: the live
     "trending" query — a watermarked streaming aggregation whose
@@ -743,6 +816,7 @@ QUERIES = {
     "stream_windowed_topk": stream_windowed_topk,
     "stream_anomaly_zscore": stream_anomaly_zscore,
     "stream_incremental_dedup": stream_incremental_dedup,
+    "stream_quality_gate": stream_quality_gate,
 }
 
 ORACLES = {
@@ -885,3 +959,18 @@ ORACLES = {
 from ..operators.dedup import ORACLES as _DEDUP_ORACLES  # noqa: E402
 
 ORACLES["stream_incremental_dedup"] = _DEDUP_ORACLES["dedup_incremental_minhash"]
+
+from ..operators.curation import MAX_CHARS as _QMAX  # noqa: E402
+from ..operators.curation import MIN_CHARS as _QMIN  # noqa: E402
+
+# row-local gates are micro-batch-boundary-independent; the rolled-up
+# counts equal this one-pass batch funnel
+ORACLES["stream_quality_gate"] = f"""
+    SELECT source, COUNT(*) AS n_raw,
+           CAST(SUM(CASE WHEN n_chars BETWEEN {_QMIN} AND {_QMAX}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_length,
+           CAST(SUM(CASE WHEN n_chars BETWEEN {_QMIN} AND {_QMAX}
+                          AND lang = 'en'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_lang
+    FROM documents GROUP BY source ORDER BY source
+"""
