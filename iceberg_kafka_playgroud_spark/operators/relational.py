@@ -322,6 +322,109 @@ def table_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+ZORDER_BITS = 8  # bits interleaved per dimension
+ZORDER_BUCKET_SHIFT = 8  # z >> shift → layout bucket
+
+# identical arithmetic text for Spark expr() and the DuckDB oracle:
+# bit i of x extracted as (x % 2^(i+1)) >= 2^i — no shift or integer-
+# division operator exists in BOTH SQL dialects (Spark lacks //,
+# DuckDB lacks DIV), but %, comparison, and CASE are shared
+_Z_INTERLEAVE = " + ".join(
+    f"(CASE WHEN ({{a}} % {1 << (i + 1)}) >= {1 << i}"
+    f" THEN {1 << (2 * i)} ELSE 0 END)"
+    f" + (CASE WHEN ({{b}} % {1 << (i + 1)}) >= {1 << i}"
+    f" THEN {1 << (2 * i + 1)} ELSE 0 END)"
+    for i in range(ZORDER_BITS)
+)
+
+
+def zorder_layout_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-ORDER clustering audit — the lake-maintenance primitive behind
+    OPTIMIZE ZORDER BY: interleave the bits of two scan dimensions
+    (customer bucket, order-day) into a space-filling-curve key, group
+    rows into z-buckets, and report each bucket's min/max per
+    dimension. Tight per-bucket ranges on BOTH dimensions are exactly
+    what makes file-level min/max stats prune multi-predicate scans.
+
+    The interleave is pure integer arithmetic (shared expression text
+    with the oracle — no engine-specific shift builtins), zero-shuffle
+    until the bucket rollup. At 100 TB this keys a repartitionByRange
+    write; the audit itself is the cheap part.
+    """
+    o = load_table(spark, sf, "orders")
+    a = f"(o_custkey % {1 << ZORDER_BITS})"
+    day = "CAST(floor(CAST(epoch_us(o_orderdate) AS DOUBLE) / 86400000000) AS BIGINT)"
+    # Spark lacks epoch_us; spell the day number portably per engine
+    day_spark = "CAST(floor(unix_timestamp(o_orderdate) / 86400) AS BIGINT)"
+    b = f"({{day}} % {1 << ZORDER_BITS})"
+    z_spark = _Z_INTERLEAVE.format(a=a, b=b.format(day=day_spark))
+    return (
+        o.select(
+            F.col("o_custkey"),
+            F.expr(day_spark).alias("day_num"),
+            F.expr(f"({z_spark}) DIV {1 << ZORDER_BUCKET_SHIFT}").alias(
+                "z_bucket"
+            ),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("day_num").alias("min_day"),
+            F.max("day_num").alias("max_day"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def events_daily_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-over-day growth: daily event counts plus the lag-based
+    delta and growth ratio — the trend-dashboard query. One shuffle
+    for the daily rollup; the lag window runs over the days-sized
+    result. Counts are integers; the ratio is one IEEE division."""
+    e = load_table(spark, sf, "events")
+    from pyspark.sql import Window as W
+
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy("day")
+    prev = F.lag("n").over(w)
+    return daily.select(
+        "day",
+        "n",
+        (F.col("n") - prev).cast("long").alias("delta"),
+        (F.col("n").cast("double") / prev.cast("double")).alias("growth"),
+    )
+
+
+def events_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-hierarchy rollup: event counts at (year, month, day),
+    (year, month), (year), and grand-total levels in ONE pass via
+    ROLLUP — the calendar drill-down every dashboard materializes.
+    Partial aggregation handles all levels map-side; NULL level
+    markers are replaced with -1 so the driver's hasher sees integers.
+    """
+    e = load_table(spark, sf, "events")
+    return (
+        e.select(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+        )
+        .rollup("y", "m", "d")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("y", F.lit(-1)).cast("int").alias("y"),
+            F.coalesce("m", F.lit(-1)).cast("int").alias("m"),
+            F.coalesce("d", F.lit(-1)).cast("int").alias("d"),
+            "n",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.6 — joins (every `how` the SQL surface promises)
 # --------------------------------------------------------------------------
@@ -1440,6 +1543,9 @@ QUERIES = {
     "pivot_linestatus": pivot_linestatus,
     "unpivot_part_measures": unpivot_part_measures,
     "table_profile_orders": table_profile_orders,
+    "zorder_layout_audit": zorder_layout_audit,
+    "events_daily_growth": events_daily_growth,
+    "events_time_rollup": events_time_rollup,
     "join_inner_dim": join_inner_dim,
     "join_left_outer": join_left_outer,
     "join_right_outer": join_right_outer,
@@ -1609,6 +1715,45 @@ ORACLES = {
         f"{_CSUM.format(c='o_totalprice')} AS total "
         "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
     ),
+    "zorder_layout_audit": f"""
+        WITH dd AS (
+          SELECT o_custkey,
+                 CAST(floor(CAST(epoch_us(o_orderdate) AS DOUBLE)
+                      / 86400000000) AS BIGINT) AS day_num
+          FROM orders
+        ),
+        z AS (
+          SELECT o_custkey, day_num,
+                 ({_Z_INTERLEAVE.format(
+                     a=f"(o_custkey % {1 << ZORDER_BITS})",
+                     b=f"(day_num % {1 << ZORDER_BITS})")})
+                   // {1 << ZORDER_BUCKET_SHIFT} AS z_bucket
+          FROM dd
+        )
+        SELECT z_bucket, COUNT(*) AS n_rows,
+               MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+               MIN(day_num) AS min_day, MAX(day_num) AS max_day
+        FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """,
+    "events_daily_growth": """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+          FROM events GROUP BY 1
+        )
+        SELECT day, n,
+               CAST(n - LAG(n) OVER (ORDER BY day) AS BIGINT) AS delta,
+               CAST(n AS DOUBLE) / CAST(LAG(n) OVER (ORDER BY day) AS DOUBLE)
+                 AS growth
+        FROM daily
+    """,
+    "events_time_rollup": """
+        SELECT CAST(coalesce(y, -1) AS INTEGER) AS y,
+               CAST(coalesce(m, -1) AS INTEGER) AS m,
+               CAST(coalesce(d, -1) AS INTEGER) AS d,
+               COUNT(*) AS n
+        FROM (SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d FROM events)
+        GROUP BY ROLLUP (y, m, d)
+    """,
     "unpivot_part_measures": (
         "SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value"
         " FROM part UNION ALL "
