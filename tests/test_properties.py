@@ -304,3 +304,101 @@ def test_payload_dedup_counts_real_duplicates(spark):
         for r in payload_dedup(src).collect()
     }
     assert got == {3: 3, 5: 1, 1: 2}
+
+
+def test_pagerank_mass_conserved_and_positive(spark, sf_dir):
+    """Fixed-point PageRank: every rank is positive and total mass
+    stays within integer-truncation loss of the scale (each of the
+    3 rounds can only LOSE mass to the r DIV outdeg and //100
+    truncations, never create it)."""
+    from iceberg_kafka_playgroud_spark.operators.advanced import (
+        PR_SCALE,
+        graph_pagerank,
+    )
+
+    pr = graph_pagerank(spark, sf_dir)
+    agg = pr.agg(
+        F.sum("rank_fp").alias("mass"), F.min("rank_fp").alias("lo")
+    ).collect()[0]
+    assert agg["lo"] > 0
+    assert agg["mass"] <= PR_SCALE
+    # truncation loses < 1 unit per edge per round + base rounding;
+    # anything below 90% would mean a real leak (e.g. dangling nodes)
+    assert agg["mass"] > PR_SCALE * 0.9
+
+
+def test_kmeans_inertia_not_worse_than_seed_assignment(spark, sf_dir):
+    """Lloyd monotonicity: inertia under the trained (2-round) model
+    must not exceed inertia under the seed centroids."""
+    from iceberg_kafka_playgroud_spark.operators import similarity as sim
+
+    trained = (
+        sim.embedding_kmeans_lloyd(spark, sf_dir)
+        .agg(F.sum("inertia"))
+        .collect()[0][0]
+    )
+    # seed-assignment inertia: k-means with 0 update rounds
+    import unittest.mock as mock
+
+    with mock.patch.object(sim, "KM_ITERS", 0):
+        seed = (
+            sim.embedding_kmeans_lloyd(spark, sf_dir)
+            .agg(F.sum("inertia"))
+            .collect()[0][0]
+        )
+    assert trained <= seed
+
+
+def test_phash_near_dup_full_recall_vs_bruteforce(spark, sf_dir):
+    """Pigeonhole: 4 bands of 16 bits catch EVERY payload pair at
+    Hamming distance <= 2 on the 64-bit aHash."""
+    from iceberg_kafka_playgroud_spark.operators import multimodal as mm
+    from iceberg_kafka_playgroud_spark.schema import load_table
+
+    sigs = {
+        r["doc_id"]: int(r["phash"], 2)
+        for r in mm.phash_signatures(
+            mm.with_payload(load_table(spark, sf_dir, "documents"))
+        ).collect()
+    }
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (sigs[a] ^ sigs[b]).bit_count() <= 2
+    }
+    banded = {
+        (r["d1"], r["d2"])
+        for r in mm.multimodal_phash_near_dup(spark, sf_dir).collect()
+        if r["hamming"] <= 2
+    }
+    assert banded == brute
+
+
+def test_scd2_join_preserves_event_count(spark, sf_dir):
+    """Every event with a customer match falls in EXACTLY one validity
+    window, so the as-was rollup must sum to the enriched-event count."""
+    from iceberg_kafka_playgroud_spark.operators.advanced import (
+        scd2_dimension_join,
+    )
+    from iceberg_kafka_playgroud_spark.schema import load_table
+
+    joined = (
+        scd2_dimension_join(spark, sf_dir).agg(F.sum("n_events")).collect()[0][0]
+    )
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    expected = e.join(c, e.user_id == c.c_custkey).count()
+    assert joined == expected
+
+
+def test_mixture_resample_is_balanced(spark, sf_dir):
+    """Every source keeps exactly min-source-count docs."""
+    from iceberg_kafka_playgroud_spark.operators.curation import (
+        mixture_resample_balanced,
+    )
+
+    rows = mixture_resample_balanced(spark, sf_dir).collect()
+    min_docs = min(r["n_docs"] for r in rows)
+    assert all(r["n_kept"] == min_docs for r in rows)
