@@ -496,3 +496,30 @@ def test_top_component_round_is_combinable(spark, sf_dir):
     )
     plan = physical_plan(round_df)
     assert "partial_sum" in plan
+
+
+def test_fuzzy_join_is_length_banded_not_allpairs(spark, sf_dir):
+    # full-recall blocking: equi-join on the exploded length key; the
+    # all-pairs name compare must never materialize
+    plan = physical_plan(advanced.fuzzy_join_levenshtein(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "len_key" in plan
+
+
+def test_scd2_join_is_equijoin_on_key(spark, sf_dir):
+    # the validity-range predicate rides a key HASH join (bounded
+    # version fanout), never a nested-loop range join; the single
+    # allowed BroadcastNestedLoopJoin is the 1-row min-ts scalar
+    # attach (a broadcast of one row, constant cost at any scale)
+    plan = physical_plan(advanced.scd2_dimension_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # formatted plans name each node twice (tree line + detail header),
+    # so one BNLJ node == two substring hits
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pagerank_plan_has_no_cartesian(spark, sf_dir):
+    plan = physical_plan(advanced.graph_pagerank(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
