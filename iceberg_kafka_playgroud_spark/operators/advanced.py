@@ -841,6 +841,81 @@ def scd2_dimension_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CM_WIDTH = 1024  # count-min buckets per row
+CM_TOP = 20
+
+
+def sketch_countmin_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch over corpus tokens, with the estimate audited
+    against exact counts for the top terms — the streaming-friendly
+    frequency sketch (heavy-hitter detection) built DETERMINISTICALLY:
+    two hash rows from md5 (plain + salted) so the whole construction
+    is exactly replayable in SQL, unlike library sketches with opaque
+    seeds.
+
+    Scale: the sketch table is (2 rows × width) counters built in one
+    map-side-combined shuffle regardless of corpus size; the audit
+    joins only the top-k true terms against their 2 bucket counters.
+    The count-min guarantee (estimate ≥ truth) is pinned in tests.
+    """
+    from .text import tokens as _toks
+
+    d = load_table(spark, sf, "documents")
+    terms = d.select(
+        F.explode(_toks(F.lower(F.col("text")))).alias("t")
+    )
+    hashed = terms.select(
+        "t",
+        (F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+         % CM_WIDTH).alias("b0"),
+        (F.conv(F.substring(F.md5(F.concat(F.lit("s:"), F.col("t"))), 1, 8),
+                16, 10).cast("long") % CM_WIDTH).alias("b1"),
+    )
+    sk0 = hashed.groupBy("b0").agg(F.count("*").alias("c0"))
+    sk1 = hashed.groupBy("b1").agg(F.count("*").alias("c1"))
+    top = (
+        hashed.groupBy("t", "b0", "b1")
+        .agg(F.count("*").alias("true_freq"))
+        .orderBy(F.col("true_freq").desc(), F.col("t").asc())
+        .limit(CM_TOP)
+    )
+    return (
+        top.join(F.broadcast(sk0), "b0")
+        .join(F.broadcast(sk1), "b1")
+        .select(
+            "t",
+            "true_freq",
+            F.least("c0", "c1").cast("long").alias("cm_estimate"),
+        )
+    )
+
+
+BASKET_TOP = 20
+
+
+def basket_pair_frequency(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs ordered
+    together — the A-priori support-counting step. The pair join is
+    keyed by order (per-basket O(items²) with small bounded baskets,
+    so linear overall — the shape that scales; an unkeyed part×part
+    join would not). Total order (n DESC, p1, p2) makes the top-k cut
+    deterministic.
+    """
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(BASKET_TOP)
+    )
+
+
 def merge_scd1_apply(spark: SparkSession, sf: str) -> DataFrame:
     """Batch MERGE INTO (SCD type-1): apply a deterministic change
     batch — updates (custkey%7), deletes (custkey%13, winning on
@@ -1083,6 +1158,8 @@ QUERIES = {
     "fuzzy_join_levenshtein": fuzzy_join_levenshtein,
     "scd2_dimension_join": scd2_dimension_join,
     "merge_scd1_apply": merge_scd1_apply,
+    "sketch_countmin_terms": sketch_countmin_terms,
+    "basket_pair_frequency": basket_pair_frequency,
     "user_behavior_features": user_behavior_features,
     "join_salted_skew": join_salted_skew,
     "interval_join_events": interval_join_events,
@@ -1166,6 +1243,39 @@ ORACLES = {
                     AS DOUBLE) / 100.0 AS total_price
         FROM orders JOIN dim ON o_orderstatus = status
         GROUP BY status_name ORDER BY status_name
+    """,
+    "sketch_countmin_terms": f"""
+        WITH terms AS (
+          SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x != '')) AS t
+          FROM documents
+        ),
+        hashed AS (
+          SELECT t,
+                 CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT)
+                   % {CM_WIDTH} AS b0,
+                 CAST(concat('0x', substring(md5('s:' || t), 1, 8)) AS BIGINT)
+                   % {CM_WIDTH} AS b1
+          FROM terms
+        ),
+        sk0 AS (SELECT b0, COUNT(*) AS c0 FROM hashed GROUP BY b0),
+        sk1 AS (SELECT b1, COUNT(*) AS c1 FROM hashed GROUP BY b1),
+        top AS (
+          SELECT t, b0, b1, COUNT(*) AS true_freq
+          FROM hashed GROUP BY t, b0, b1
+          ORDER BY true_freq DESC, t ASC LIMIT {CM_TOP}
+        )
+        SELECT top.t, top.true_freq,
+               CAST(least(sk0.c0, sk1.c1) AS BIGINT) AS cm_estimate
+        FROM top JOIN sk0 USING (b0) JOIN sk1 USING (b1)
+    """,
+    "basket_pair_frequency": f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, p1 ASC, p2 ASC LIMIT {BASKET_TOP}
     """,
     "merge_scd1_apply": """
         WITH changes AS (

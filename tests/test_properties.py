@@ -402,3 +402,17 @@ def test_mixture_resample_is_balanced(spark, sf_dir):
     rows = mixture_resample_balanced(spark, sf_dir).collect()
     min_docs = min(r["n_docs"] for r in rows)
     assert all(r["n_kept"] == min_docs for r in rows)
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """The count-min guarantee: estimate >= true frequency, always."""
+    from iceberg_kafka_playgroud_spark.operators.advanced import (
+        sketch_countmin_terms,
+    )
+
+    bad = (
+        sketch_countmin_terms(spark, sf_dir)
+        .filter(F.col("cm_estimate") < F.col("true_freq"))
+        .count()
+    )
+    assert bad == 0
