@@ -482,6 +482,22 @@ def ann_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     corpus = em.mapInPandas(
         assign, schema="vec_id long, cell long, vec array<double>"
     )
+    return _ivf_probe(spark, em, corpus, cent_ids, cent_mat)
+
+
+def _ivf_probe(spark, em, corpus, cent_ids, cent_mat):
+    """Probe phase shared by the inline and persisted-index IVF
+    variants: NPROBE nearest cells per query, exact top-k inside."""
+    import numpy as np
+
+    def _cell_sim_matrix(x: "np.ndarray", cmat: "np.ndarray") -> "np.ndarray":
+        out = np.empty((len(x), len(cmat)))
+        for k in range(len(cmat)):
+            out[:, k] = _round_half_up(
+                _fold_cosine(x, np.broadcast_to(cmat[k], x.shape))
+            )
+        return out
+
     # probe cells for the tiny query set: computed driver-side from the
     # same codebook (the query set is bounded — see ann_topk_blocked)
     q_rows = (
@@ -516,6 +532,65 @@ def ann_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+def ann_index_persist_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF index LIFECYCLE: build the cell-assignment index once,
+    persist it as a parquet table partitioned by cell, then serve the
+    probe from the on-disk index — how a production ANN service
+    actually runs (index built nightly, probed all day), vs
+    ``ann_topk_ivf``'s inline build.
+
+    Cell-partitioned layout means a probe reads ONLY its NPROBE cell
+    partitions (partition pruning on the probe join's cell key); at
+    100 TB the index rebuild is the once-a-day cost and each query
+    touches a sliver of it. Results are identical to the inline IVF —
+    which is the oracle (same SQL).
+    """
+    import tempfile
+
+    import numpy as np
+
+    em = load_table(spark, sf, "embeddings").select(
+        "vec_id", _to_double(F.col("embedding")).alias("vec")
+    )
+    cent_rows = (
+        em.filter(F.col("vec_id") < K_CELLS).orderBy("vec_id").collect()
+    )
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array([r["vec"] for r in cent_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
+
+    def _cell_sim_matrix(x, cmat):
+        out = np.empty((len(x), len(cmat)))
+        for k in range(len(cmat)):
+            out[:, k] = _round_half_up(
+                _fold_cosine(x, np.broadcast_to(cmat[k], x.shape))
+            )
+        return out
+
+    def assign(batches):
+        ids, cmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            cells = ids[np.argmax(_cell_sim_matrix(x, cmat), axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cells,
+                    "vec": pdf["vec"],
+                }
+            )
+
+    built = em.mapInPandas(
+        assign, schema="vec_id long, cell long, vec array<double>"
+    )
+    index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    built.write.mode("overwrite").partitionBy("cell").parquet(index_dir)
+    corpus = spark.read.parquet(index_dir).select("vec_id", "cell", "vec")
+    return _ivf_probe(spark, em, corpus, cent_ids, cent_mat)
 
 
 CENTROID_SCALE = 1_000_000  # fixed-point: round(x·1e6) is exact for f32 inputs
@@ -800,6 +875,7 @@ QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_top_component": embedding_top_component,
     "embedding_kmeans_lloyd": embedding_kmeans_lloyd,
+    "ann_index_persist_probe": ann_index_persist_probe,
 }
 
 
@@ -1055,6 +1131,9 @@ ORACLES = {
     "embedding_quantize_int8": _QUANT_ORACLE,
     "embedding_top_component": _TOP_COMPONENT_ORACLE,
     "embedding_kmeans_lloyd": _KMEANS_ORACLE,
+    # identical procedure to the inline IVF build — persisting the
+    # index can't change the answer, so the oracle is shared
+    "ann_index_persist_probe": _IVF_ORACLE,
     "ann_topk_blocked": _TOPK_ORACLE,
     "ann_topk_ivf": _IVF_ORACLE,
     "embedding_centroids": f"""
