@@ -325,6 +325,35 @@ def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def text_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence segmentation stats: count, mean/max sentence length —
+    the readability-profile features (very long run-on "sentences"
+    flag boilerplate and code dumps). Terminator-regex segmentation
+    (not locale BreakIterator — Java-only, not SQL-replayable);
+    char-length sums are integers, the mean is one IEEE division.
+    Pure narrow projection: zero shuffle at any scale."""
+    d = load_table(spark, sf, "documents")
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    with_s = d.select("doc_id", sents.alias("sents")).filter(
+        F.size("sents") > 0
+    )
+    lens = F.transform(F.col("sents"), F.length)
+    total = F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x)
+    return with_s.select(
+        "doc_id",
+        F.size("sents").cast("long").alias("n_sentences"),
+        (total.cast("double") / F.size("sents").cast("double")).alias(
+            "mean_sentence_chars"
+        ),
+        F.array_max(lens).cast("long").alias("max_sentence_chars"),
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_bpe_token_count": text_bpe_token_count,
@@ -337,6 +366,7 @@ QUERIES = {
     "text_langid_confusion": text_langid_confusion,
     "text_char_entropy_proxy": text_char_entropy_proxy,
     "text_unigram_logprob": text_unigram_logprob,
+    "text_sentence_stats": text_sentence_stats,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -438,6 +468,23 @@ ORACLES = {
         )
         SELECT lang, lang_pred, COUNT(*) AS n
         FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+    "text_sentence_stats": """
+        WITH segs AS (
+          SELECT doc_id,
+                 list_filter(list_transform(
+                     regexp_split_to_array(text, '[.!?]+'), s -> trim(s)),
+                   s -> s != '') AS sents
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(sents) AS BIGINT) AS n_sentences,
+               CAST(list_sum(list_transform(sents, s -> length(s)))
+                    AS DOUBLE) / CAST(len(sents) AS DOUBLE)
+                 AS mean_sentence_chars,
+               CAST(list_max(list_transform(sents, s -> length(s)))
+                    AS BIGINT) AS max_sentence_chars
+        FROM segs WHERE len(sents) > 0
     """,
     "text_unigram_logprob": """
         WITH words AS (
