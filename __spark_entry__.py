@@ -78,6 +78,7 @@ _PRIORITY = [
     "zorder_layout_audit", "events_daily_growth", "events_time_rollup",
     "sketch_countmin_terms", "basket_pair_frequency",
     "ann_index_persist_probe", "text_sentence_stats",
+    "orders_abc_analysis", "conversion_latency_quantiles",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

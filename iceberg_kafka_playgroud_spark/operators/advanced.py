@@ -841,6 +841,92 @@ def scd2_dimension_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def orders_abc_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, classified
+    A (first 80% of cumulative revenue), B (next 15%), C (tail) — the
+    inventory-prioritization rollup. Revenue and its running total are
+    exact int64 cents; class thresholds are integer CROSS-MULTIPLIES
+    (cum·100 ≤ total·80), so no float accumulation or division decides
+    a class boundary. One part-keyed shuffle + one global-ordered
+    window over the parts-sized aggregate (at 100 TB: a range-
+    partitioned sort over #parts rows, not the fact table).
+    """
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    total = rev.agg(F.sum("rev_cents").alias("total_cents"))
+    w = W.orderBy(F.col("rev_cents").desc(), F.col("l_partkey").asc())
+    ranked = (
+        rev.join(F.broadcast(total))
+        .withColumn("cum_cents", F.sum("rev_cents").over(w))
+    )
+    cls = (
+        F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.withColumn("abc_class", cls)
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            (F.sum("rev_cents").cast("double") / F.lit(100.0)).alias(
+                "class_revenue"
+            ),
+        )
+        .orderBy("abc_class")
+    )
+
+
+def conversion_latency_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """View→purchase conversion latency quantiles per user cohort: for
+    every user with both a view and a later purchase, the delay from
+    FIRST view to FIRST subsequent purchase, summarized as exact
+    interpolated quartiles over integer seconds. One user-keyed
+    aggregation; the quantile runs over the users-sized result."""
+    e = load_table(spark, sf, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("first_view"),
+        )
+        .filter(F.col("first_view").isNotNull())
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    lat = (
+        per_user.join(purch, "user_id")
+        .filter(F.col("pts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.unix_timestamp(F.min("pts"))
+                - F.unix_timestamp(F.min("first_view"))
+            )
+            .cast("long")
+            .alias("latency_s")
+        )
+    )
+    q = lat.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile(latency_s, array(0.25, 0.5, 0.75))").alias("q"),
+    )
+    return q.select(
+        "n_converted",
+        F.round(F.element_at("q", 1), 6).alias("p25_s"),
+        F.round(F.element_at("q", 2), 6).alias("p50_s"),
+        F.round(F.element_at("q", 3), 6).alias("p75_s"),
+    )
+
+
 CM_WIDTH = 1024  # count-min buckets per row
 CM_TOP = 20
 
@@ -1160,6 +1246,8 @@ QUERIES = {
     "merge_scd1_apply": merge_scd1_apply,
     "sketch_countmin_terms": sketch_countmin_terms,
     "basket_pair_frequency": basket_pair_frequency,
+    "orders_abc_analysis": orders_abc_analysis,
+    "conversion_latency_quantiles": conversion_latency_quantiles,
     "user_behavior_features": user_behavior_features,
     "join_salted_skew": join_salted_skew,
     "interval_join_events": interval_join_events,
@@ -1243,6 +1331,50 @@ ORACLES = {
                     AS DOUBLE) / 100.0 AS total_price
         FROM orders JOIN dim ON o_orderstatus = status
         GROUP BY status_name ORDER BY status_name
+    """,
+    "orders_abc_analysis": """
+        WITH rev AS (
+          SELECT l_partkey,
+                 SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+          FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (SELECT SUM(rev_cents) AS total_cents FROM rev),
+        ranked AS (
+          SELECT l_partkey, rev_cents, total_cents,
+                 SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey ASC)
+                   AS cum_cents
+          FROM rev, tot
+        )
+        SELECT abc_class, COUNT(*) AS n_parts,
+               CAST(SUM(rev_cents) AS DOUBLE) / 100.0 AS class_revenue
+        FROM (
+          SELECT CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                      WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                      ELSE 'C' END AS abc_class, rev_cents
+          FROM ranked
+        ) GROUP BY abc_class ORDER BY abc_class
+    """,
+    "conversion_latency_quantiles": """
+        WITH fv AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+          FROM events GROUP BY user_id
+        ),
+        lat AS (
+          SELECT e.user_id,
+                 CAST(floor(CAST(epoch_us(MIN(e.ts)) AS DOUBLE) / 1000000)
+                      - floor(CAST(epoch_us(MIN(fv.first_view)) AS DOUBLE)
+                              / 1000000) AS BIGINT) AS latency_s
+          FROM events e JOIN fv ON e.user_id = fv.user_id
+          WHERE e.event_type = 'purchase' AND fv.first_view IS NOT NULL
+            AND e.ts >= fv.first_view
+          GROUP BY e.user_id
+        )
+        SELECT COUNT(*) AS n_converted,
+               round(quantile_cont(latency_s, 0.25), 6) AS p25_s,
+               round(quantile_cont(latency_s, 0.50), 6) AS p50_s,
+               round(quantile_cont(latency_s, 0.75), 6) AS p75_s
+        FROM lat
     """,
     "sketch_countmin_terms": f"""
         WITH terms AS (
