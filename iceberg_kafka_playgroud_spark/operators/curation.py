@@ -135,6 +135,50 @@ def mixture_resample_balanced(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def quality_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted corpus sampling: each document survives with
+    probability equal to its quality score — the soft-filter blend
+    (hard thresholds discard borderline data; weighting keeps a
+    calibrated slice of every stratum) used when down-sizing a corpus
+    to a token budget.
+
+    Deterministic "coin flip": the first 8 md5 hex chars of doc_id as
+    a 32-bit integer, kept iff hash < floor(q·2³²) — one multiply +
+    floor over the (already engine-exact) score, so the kept set is
+    identical across engines, runs, and cluster sizes. Zero shuffle
+    until the per-source summary.
+    """
+    from .text import text_quality_score
+
+    q = text_quality_score(spark, sf).select("doc_id", "quality_score")
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    kept = (
+        d.join(q, "doc_id")
+        .withColumn("h", h)
+        .withColumn(
+            "keep",
+            F.col("h")
+            < F.floor(F.col("quality_score") * F.lit(4294967296.0)).cast(
+                "long"
+            ),
+        )
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("doc_id"))).cast("long").alias(
+                "kept_id_sum"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 PACK_BUDGET = 512  # tokens per packed sequence
 
 
@@ -486,6 +530,7 @@ QUERIES = {
     "split_train_val_test": split_train_val_test,
     "stratified_sample_per_source": stratified_sample_per_source,
     "mixture_resample_balanced": mixture_resample_balanced,
+    "quality_weighted_sample": quality_weighted_sample,
     "sequence_pack_contiguous": sequence_pack_contiguous,
     "vocab_top_terms": vocab_top_terms,
     "contamination_ngram_overlap": contamination_ngram_overlap,
@@ -518,7 +563,25 @@ sh AS (
 )
 """
 
+from .text import ORACLES as _TEXT_ORACLES  # noqa: E402
+
 ORACLES = {
+    "quality_weighted_sample": """
+        WITH q AS (""" + _TEXT_ORACLES["text_quality_score"] + """),
+        kept AS (
+          SELECT d.doc_id, d.source, q.quality_score,
+                 CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)),
+                                             1, 8)) AS BIGINT)
+                   < CAST(floor(q.quality_score * 4294967296.0) AS BIGINT)
+                   AS keep
+          FROM documents d JOIN q ON d.doc_id = q.doc_id
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN keep THEN doc_id END) AS BIGINT)
+                 AS kept_id_sum
+        FROM kept GROUP BY source ORDER BY source
+    """,
     "mixture_resample_balanced": """
         WITH counts AS (
           SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
