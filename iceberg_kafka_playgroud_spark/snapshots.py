@@ -296,6 +296,68 @@ def expire_snapshots(
             "live_files": len(live)}
 
 
+def rollback_to(table_dir: str, target_sid: int) -> int:
+    """Roll the table back to an earlier snapshot by committing a NEW
+    snapshot whose state is the target's (Iceberg's
+    ``rollback_to_snapshot`` semantics: history is preserved, the
+    current pointer moves; no data files are touched)."""
+    parent = current_snapshot_id(table_dir)
+    tgt = load_manifest(table_dir, target_sid)
+    sid = parent + 1
+    _write_manifest(
+        table_dir,
+        {
+            "snapshot_id": sid,
+            "parent_id": parent or None,
+            "operation": "rollback",
+            "rolled_back_to": target_sid,
+            "files": tgt["files"],
+            "added_files": 0,
+            "total_records": tgt["total_records"],
+        },
+    )
+    return sid
+
+
+def snapshot_rollback(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollback lifecycle: build the demo table (3 appends + rewrite),
+    roll back to append 2, then commit a fresh append on the
+    rolled-back state — the bad-batch recovery flow. Each stage's
+    row count and exact amount sum must match the fabric invariants:
+    rollback restores the old state without touching data files, and
+    the divergent re-append builds on it.
+    """
+    table_dir = _build_demo_table(spark)
+    pre = current_snapshot_id(table_dir)  # the rewrite snapshot
+    rb = rollback_to(table_dir, 2)
+    commit_append(
+        spark, table_dir, _fabric_slice(spark, 3 * N_PER_APPEND, 4 * N_PER_APPEND)
+    )
+    post = current_snapshot_id(table_dir)
+    stages = [
+        (pre, "1_pre_rollback"),
+        (rb, "2_post_rollback"),
+        (post, "3_post_reappend"),
+    ]
+    out = None
+    for sid, label in stages:
+        part = (
+            read_snapshot(spark, table_dir, sid)
+            .agg(
+                F.count("*").alias("n_rows"),
+                (
+                    F.sum(F.round(F.col("amount") * 100).cast("long")).cast(
+                        "double"
+                    )
+                    / F.lit(100.0)
+                ).alias("amount_sum"),
+            )
+            .select(F.lit(label).alias("stage"), "n_rows", "amount_sum")
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
 def snapshot_expire(spark: SparkSession, sf: str) -> DataFrame:
     """Maintenance contract: after expiring to the compacted snapshot
     only, the historical manifests are gone, the pre-compaction data
@@ -366,6 +428,7 @@ def snapshot_incremental_read(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "snapshot_rollback": snapshot_rollback,
     "snapshot_time_travel": snapshot_time_travel,
     "snapshot_files": snapshot_files,
     "snapshot_expire": snapshot_expire,
@@ -380,6 +443,15 @@ fab AS (
   SELECT id, (1740787200000 + id * 5000) // 10 % 1000 AS cents,
          id % 4 AS bucket
   FROM (SELECT unnest(generate_series(0, 1199)) AS id)
+)
+"""
+
+# wider fabric (ids 0..1599) for the rollback oracle's re-append window
+_FAB2 = """
+fab AS (
+  SELECT id, (1740787200000 + id * 5000) // 10 % 1000 AS cents,
+         id % 4 AS bucket
+  FROM (SELECT unnest(generate_series(0, 1599)) AS id)
 )
 """
 
@@ -400,6 +472,21 @@ ORACLES = {
                (SELECT CAST(SUM(cents) AS DOUBLE) / 100.0
                 FROM fab WHERE id < s.total_records) AS asof_amount_sum
         FROM snaps s
+    """,
+    # pre-rollback = the rewrite (ids < 1200); rollback to append 2
+    # restores ids < 800; the divergent re-append adds ids [1200, 1600)
+    "snapshot_rollback": f"""
+        WITH {_FAB2}
+        SELECT s.stage,
+               (SELECT COUNT(*) FROM fab
+                WHERE (id < s.hi1) OR (id >= s.lo2 AND id < s.hi2)) AS n_rows,
+               (SELECT CAST(SUM(cents) AS DOUBLE) / 100.0 FROM fab
+                WHERE (id < s.hi1) OR (id >= s.lo2 AND id < s.hi2))
+                 AS amount_sum
+        FROM (VALUES ('1_pre_rollback', 1200, 0, 0),
+                     ('2_post_rollback', 800, 0, 0),
+                     ('3_post_reappend', 800, 1200, 1600))
+             AS s(stage, hi1, lo2, hi2)
     """,
     "snapshot_files": f"""
         WITH {_FAB}
