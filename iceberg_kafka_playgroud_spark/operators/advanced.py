@@ -841,6 +841,44 @@ def scd2_dimension_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+THROTTLE_WINDOW_MIN = 5
+
+
+def events_throttle_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Rate-limit dedup: keep only the FIRST event per (user, type,
+    5-minute bucket) — the telemetry throttle that collapses repeated
+    beacons before they hit the lake. One shuffle keyed by the bucket
+    tuple; the keep rule is a row_number over (ts, event_id), a total
+    order so the kept set is deterministic. Output: per-type kept /
+    dropped counts plus an id-checksum of the kept rows.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf, "events")
+    bucket = F.floor(
+        F.unix_timestamp("ts") / (THROTTLE_WINDOW_MIN * 60)
+    ).cast("long")
+    w = W.partitionBy("user_id", "event_type", "bkt").orderBy(
+        "ts", "event_id"
+    )
+    flagged = (
+        e.withColumn("bkt", bucket)
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("kept", F.col("rk") == 1)
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("event_id")))
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def orders_abc_analysis(spark: SparkSession, sf: str) -> DataFrame:
     """ABC / Pareto classification: parts ranked by revenue, classified
     A (first 80% of cumulative revenue), B (next 15%), C (tail) — the
@@ -1248,6 +1286,7 @@ QUERIES = {
     "basket_pair_frequency": basket_pair_frequency,
     "orders_abc_analysis": orders_abc_analysis,
     "conversion_latency_quantiles": conversion_latency_quantiles,
+    "events_throttle_dedup": events_throttle_dedup,
     "user_behavior_features": user_behavior_features,
     "join_salted_skew": join_salted_skew,
     "interval_join_events": interval_join_events,
@@ -1331,6 +1370,23 @@ ORACLES = {
                     AS DOUBLE) / 100.0 AS total_price
         FROM orders JOIN dim ON o_orderstatus = status
         GROUP BY status_name ORDER BY status_name
+    """,
+    "events_throttle_dedup": f"""
+        WITH flagged AS (
+          SELECT event_type, event_id,
+                 row_number() OVER (
+                   PARTITION BY user_id, event_type,
+                     CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000
+                                / {THROTTLE_WINDOW_MIN * 60}) AS BIGINT)
+                   ORDER BY ts, event_id) AS rk
+          FROM events
+        )
+        SELECT event_type, COUNT(*) AS n_raw,
+               CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(SUM(CASE WHEN rk = 1 THEN event_id END) AS BIGINT)
+                 AS kept_id_sum
+        FROM flagged GROUP BY event_type ORDER BY event_type
     """,
     "orders_abc_analysis": """
         WITH rev AS (

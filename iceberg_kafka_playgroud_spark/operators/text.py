@@ -354,6 +354,64 @@ def text_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram conditional-LM fluency proxy — the stronger CCNet-style
+    score: avg over a doc's bigrams of log2 P(w2|w1) ≈ (⌊log2 c(w1w2)⌋
+    − ⌊log2 c(w1)⌋), corpus-estimated. Unusual word ORDER now lowers
+    the score (the unigram proxy can't see order). Same libm-free
+    integer bit-length log2 as ``text_unigram_logprob``; the only
+    float ops are one division and they are written identically in
+    the oracle.
+
+    Dataflow: bigram shingles reuse ``dedup.shingle_set``'s narrow
+    construction; the bigram and unigram count tables are
+    vocabulary-sized; scoring is two joins keyed by the gram.
+    """
+    d = load_table(spark, sf, "documents")
+    with_toks = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+    toks = F.col("toks")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    bigrams = with_toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ).alias("bg"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.bg")
+    bg_counts = bigrams.groupBy("bg").agg(F.count("*").alias("cb"))
+    w1_counts = bigrams.groupBy("w1").agg(F.count("*").alias("cw"))
+    scored = (
+        bigrams.join(bg_counts, "bg")
+        .join(w1_counts, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(
+                (F.length(F.expr("bin(cb)")) - 1)
+                - (F.length(F.expr("bin(cw)")) - 1)
+            )
+            .cast("long")
+            .alias("s_log"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        (
+            F.col("s_log").cast("double") / F.col("n_bigrams").cast("double")
+        ).alias("bigram_logprob_bits"),
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_bpe_token_count": text_bpe_token_count,
@@ -367,6 +425,7 @@ QUERIES = {
     "text_char_entropy_proxy": text_char_entropy_proxy,
     "text_unigram_logprob": text_unigram_logprob,
     "text_sentence_stats": text_sentence_stats,
+    "text_bigram_logprob": text_bigram_logprob,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -468,6 +527,36 @@ ORACLES = {
         )
         SELECT lang, lang_pred, COUNT(*) AS n
         FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+    "text_bigram_logprob": """
+        WITH docs AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x != '')
+                   AS toks
+          FROM documents
+        ),
+        bigrams AS (
+          SELECT doc_id,
+                 toks[i] AS w1,
+                 toks[i] || ' ' || toks[i + 1] AS bg
+          FROM docs, LATERAL (
+            SELECT unnest(generate_series(1, len(toks) - 1)) AS i
+          ) s
+          WHERE len(toks) >= 2
+        ),
+        bgc AS (SELECT bg, COUNT(*) AS cb FROM bigrams GROUP BY bg),
+        w1c AS (SELECT w1, COUNT(*) AS cw FROM bigrams GROUP BY w1),
+        scored AS (
+          SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM((length(bin(bgc.cb)) - 1)
+                          - (length(bin(w1c.cw)) - 1)) AS BIGINT) AS s_log
+          FROM bigrams b JOIN bgc USING (bg) JOIN w1c USING (w1)
+          GROUP BY b.doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               CAST(s_log AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                 AS bigram_logprob_bits
+        FROM scored
     """,
     "text_sentence_stats": """
         WITH segs AS (
