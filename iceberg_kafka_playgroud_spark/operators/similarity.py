@@ -593,6 +593,49 @@ def ann_index_persist_probe(spark: SparkSession, sf: str) -> DataFrame:
     return _ivf_probe(spark, em, corpus, cent_ids, cent_mat)
 
 
+def embedding_norm_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding health check: vectors whose norm is extreme are
+    usually corrupt (zeroed buffers, double-scaled uploads) — flag
+    everything outside the [p01, p99] band of squared norms. Norm² is
+    an exact int64 (fixed-point quantized elements), so the only
+    floats are the two interpolated percentile thresholds, computed
+    identically in both engines. One narrow pass + a 2-value
+    broadcast; per-label outlier counts come from one rollup."""
+    em = load_table(spark, sf, "embeddings")
+    q2 = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    base = em.select("vec_id", "label", q2.alias("norm2")).cache()
+    th = base.agg(
+        F.expr("percentile(norm2, array(0.01, 0.99))").alias("q")
+    ).select(
+        F.element_at("q", 1).alias("lo"), F.element_at("q", 2).alias("hi")
+    )
+    return (
+        base.join(F.broadcast(th))
+        .withColumn(
+            "is_outlier",
+            (F.col("norm2").cast("double") < F.col("lo"))
+            | (F.col("norm2").cast("double") > F.col("hi")),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("is_outlier").cast("long"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
 CENTROID_SCALE = 1_000_000  # fixed-point: round(x·1e6) is exact for f32 inputs
 
 
@@ -876,6 +919,7 @@ QUERIES = {
     "embedding_top_component": embedding_top_component,
     "embedding_kmeans_lloyd": embedding_kmeans_lloyd,
     "ann_index_persist_probe": ann_index_persist_probe,
+    "embedding_norm_outliers": embedding_norm_outliers,
 }
 
 
@@ -1134,6 +1178,24 @@ ORACLES = {
     # identical procedure to the inline IVF build — persisting the
     # index can't change the answer, so the oracle is shared
     "ann_index_persist_probe": _IVF_ORACLE,
+    "embedding_norm_outliers": f"""
+        WITH base AS (
+          SELECT vec_id, label,
+                 list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5)
+                        AS BIGINT)
+                        * CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5)
+                          AS BIGINT))) AS norm2
+          FROM embeddings
+        ),
+        th AS (SELECT quantile_cont(norm2, 0.01) AS lo,
+                      quantile_cont(norm2, 0.99) AS hi FROM base)
+        SELECT label, COUNT(*) AS n_vecs,
+               CAST(SUM(CASE WHEN CAST(norm2 AS DOUBLE) < th.lo
+                              OR CAST(norm2 AS DOUBLE) > th.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM base, th GROUP BY label ORDER BY label
+    """,
     "ann_topk_blocked": _TOPK_ORACLE,
     "ann_topk_ivf": _IVF_ORACLE,
     "embedding_centroids": f"""
