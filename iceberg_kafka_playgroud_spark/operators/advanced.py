@@ -903,9 +903,15 @@ def orders_abc_analysis(spark: SparkSession, sf: str) -> DataFrame:
         rev.join(F.broadcast(total))
         .withColumn("cum_cents", F.sum("rev_cents").over(w))
     )
+    # DECIMAL(38,0) cross-multiplies: int64 would wrap at ~total_cents
+    # > 9.2e16 (a few-TB corpus) and silently misclassify; decimal is
+    # exact to 38 digits in both engines and the compare runs over the
+    # parts-sized aggregate only
+    cum_d = F.col("cum_cents").cast("decimal(38,0)")
+    tot_d = F.col("total_cents").cast("decimal(38,0)")
     cls = (
-        F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
-        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        F.when(cum_d * 100 <= tot_d * 80, "A")
+        .when(cum_d * 100 <= tot_d * 95, "B")
         .otherwise("C")
     )
     return (
@@ -1133,7 +1139,9 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
             F.col("dist").cast("int").alias("dist"),
             "n_parts_a", "n_parts_b",
         )
-        .distinct()
+        # no distinct: the b side carries ONE len per name, so each
+        # surviving pair matches on exactly one len_key — deduping
+        # would add a full shuffle to remove nothing
     )
 
 
@@ -1404,8 +1412,10 @@ ORACLES = {
         SELECT abc_class, COUNT(*) AS n_parts,
                CAST(SUM(rev_cents) AS DOUBLE) / 100.0 AS class_revenue
         FROM (
-          SELECT CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
-                      WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+          SELECT CASE WHEN CAST(cum_cents AS DECIMAL(38,0)) * 100
+                           <= CAST(total_cents AS DECIMAL(38,0)) * 80 THEN 'A'
+                      WHEN CAST(cum_cents AS DECIMAL(38,0)) * 100
+                           <= CAST(total_cents AS DECIMAL(38,0)) * 95 THEN 'B'
                       ELSE 'C' END AS abc_class, rev_cents
           FROM ranked
         ) GROUP BY abc_class ORDER BY abc_class

@@ -353,8 +353,8 @@ def zorder_layout_audit(spark: SparkSession, sf: str) -> DataFrame:
     """
     o = load_table(spark, sf, "orders")
     a = f"(o_custkey % {1 << ZORDER_BITS})"
-    day = "CAST(floor(CAST(epoch_us(o_orderdate) AS DOUBLE) / 86400000000) AS BIGINT)"
-    # Spark lacks epoch_us; spell the day number portably per engine
+    # Spark lacks epoch_us; the oracle spells the SAME day number via
+    # epoch_us/86400e6 (floors agree for non-negative times)
     day_spark = "CAST(floor(unix_timestamp(o_orderdate) / 86400) AS BIGINT)"
     b = f"({{day}} % {1 << ZORDER_BITS})"
     z_spark = _Z_INTERLEAVE.format(a=a, b=b.format(day=day_spark))
