@@ -81,7 +81,7 @@ _PRIORITY = [
     "orders_abc_analysis", "conversion_latency_quantiles",
     "quality_weighted_sample", "snapshot_rollback",
     "events_throttle_dedup", "text_bigram_logprob",
-    "embedding_norm_outliers",
+    "embedding_norm_outliers", "rollup_serving_equivalence",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -400,6 +400,52 @@ def events_daily_growth(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def rollup_serving_equivalence(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous-aggregate serving (the TimescaleDB/materialized-view
+    pattern): materialize an HOURLY rollup once, answer the DAILY
+    query from the rollup, and emit both the rollup-served and
+    raw-computed answers side by side — the aggregate-navigation
+    correctness check a serving layer runs before switching a
+    dashboard onto precomputed aggregates. Counts and int64 cent sums
+    re-aggregate losslessly (the invariant that makes hierarchical
+    rollups valid; averages would not).
+
+    At 100 TB the hourly table is hours-sized, so the daily query
+    reads ~24 rows per day instead of the raw events — this operator
+    IS that cost argument, stated as a query.
+    """
+    e = load_table(spark, sf, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count("*").alias("n"), F.sum(vc).alias("cents"))
+    from_rollup = hourly.groupBy(
+        F.to_date("hour_start").alias("day")
+    ).agg(
+        F.sum("n").cast("long").alias("n_served"),
+        (F.sum("cents").cast("double") / F.lit(100.0)).alias("value_served"),
+    )
+    from_raw = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n_raw"),
+        (F.sum(vc).cast("double") / F.lit(100.0)).alias("value_raw"),
+    )
+    return (
+        from_rollup.join(from_raw, "day")
+        .select(
+            "day",
+            "n_served",
+            "n_raw",
+            "value_served",
+            "value_raw",
+            (
+                (F.col("n_served") == F.col("n_raw"))
+                & (F.col("value_served") == F.col("value_raw"))
+            ).alias("served_matches_raw"),
+        )
+        .orderBy("day")
+    )
+
+
 def events_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Time-hierarchy rollup: event counts at (year, month, day),
     (year, month), (year), and grand-total levels in ONE pass via
@@ -1546,6 +1592,7 @@ QUERIES = {
     "zorder_layout_audit": zorder_layout_audit,
     "events_daily_growth": events_daily_growth,
     "events_time_rollup": events_time_rollup,
+    "rollup_serving_equivalence": rollup_serving_equivalence,
     "join_inner_dim": join_inner_dim,
     "join_left_outer": join_left_outer,
     "join_right_outer": join_right_outer,
@@ -1745,6 +1792,29 @@ ORACLES = {
                CAST(n AS DOUBLE) / CAST(LAG(n) OVER (ORDER BY day) AS DOUBLE)
                  AS growth
         FROM daily
+    """,
+    "rollup_serving_equivalence": """
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n,
+                 SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+          FROM events GROUP BY 1
+        ),
+        served AS (
+          SELECT CAST(hour_start AS DATE) AS day,
+                 CAST(SUM(n) AS BIGINT) AS n_served,
+                 CAST(SUM(cents) AS DOUBLE) / 100.0 AS value_served
+          FROM hourly GROUP BY 1
+        ),
+        raw AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_raw,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS value_raw
+          FROM events GROUP BY 1
+        )
+        SELECT s.day, s.n_served, r.n_raw, s.value_served, r.value_raw,
+               (s.n_served = r.n_raw AND s.value_served = r.value_raw)
+                 AS served_matches_raw
+        FROM served s JOIN raw r USING (day) ORDER BY s.day
     """,
     "events_time_rollup": """
         SELECT CAST(coalesce(y, -1) AS INTEGER) AS y,

@@ -681,6 +681,10 @@ def stream_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
                 F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
                 F.col("best_jaccard").cast("double").alias("best_jaccard"),
                 F.col("best_old_id").cast("long").alias("best_old_id"),
+                # epoch provenance: proves the probe really ran as
+                # multiple micro-batches (pinned in tests); dropped
+                # from the oracle-checked result below
+                F.lit(epoch_id).cast("long").alias("epoch_id"),
             )
             .write.mode("append")
             .parquet(out_dir)
@@ -694,7 +698,11 @@ def stream_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    out = spark.read.parquet(out_dir)
+    assert out.select("epoch_id").distinct().count() > 1, (
+        "incremental dedup should probe in multiple micro-batches"
+    )
+    return out.drop("epoch_id")
 
 
 def stream_quality_gate(spark: SparkSession, sf: str) -> DataFrame:

@@ -57,14 +57,17 @@ def scaled_dir(spark, tmp_path_factory):
 
 
 def _ops():
-    from iceberg_kafka_playgroud_spark.operators import dedup, text
+    from iceberg_kafka_playgroud_spark.operators import dedup, multimodal, text
 
     return {
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash_hamming": dedup.dedup_simhash_hamming,
         "dedup_connected_components": dedup.dedup_connected_components,
+        "dedup_cluster_canonical": dedup.dedup_cluster_canonical,
         "text_quality_score": text.text_quality_score,
         "text_lang_id": text.text_lang_id,
+        "text_bigram_logprob": text.text_bigram_logprob,
+        "multimodal_phash_near_dup": multimodal.multimodal_phash_near_dup,
     }
 
 
