@@ -57,6 +57,8 @@ def main() -> None:
         "dedup_simhash",
         "dedup_simhash_hamming",
         "dedup_connected_components",
+        "dedup_cluster_canonical",
+        "multimodal_phash_near_dup",
         "ann_topk_blocked",
         "text_quality_score",
         "text_lang_id",

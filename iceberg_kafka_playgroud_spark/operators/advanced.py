@@ -994,13 +994,15 @@ def sketch_countmin_terms(spark: SparkSession, sf: str) -> DataFrame:
     terms = d.select(
         F.explode(_toks(F.lower(F.col("text")))).alias("t")
     )
+    # three consumers (both sketch rows + the truth audit) — cache so
+    # the explode+md5 pass runs once, not per consumer
     hashed = terms.select(
         "t",
         (F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
          % CM_WIDTH).alias("b0"),
         (F.conv(F.substring(F.md5(F.concat(F.lit("s:"), F.col("t"))), 1, 8),
                 16, 10).cast("long") % CM_WIDTH).alias("b1"),
-    )
+    ).cache()
     sk0 = hashed.groupBy("b0").agg(F.count("*").alias("c0"))
     sk1 = hashed.groupBy("b1").agg(F.count("*").alias("c1"))
     top = (

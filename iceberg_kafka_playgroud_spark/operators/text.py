@@ -304,7 +304,7 @@ def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     words = d.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
-    )
+    ).cache()  # 2 consumers: the count table + the scoring join
     freqs = words.groupBy("w").agg(F.count("*").alias("c"))
     total = freqs.agg(F.sum("c").cast("long").alias("tot"))
     per_doc = (
@@ -386,7 +386,7 @@ def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
                 ),
             )
         ).alias("g"),
-    ).select("doc_id", "g.w1", "g.bg")
+    ).select("doc_id", "g.w1", "g.bg").cache()  # 3 consumers: counts ×2 + scoring
     bg_counts = bigrams.groupBy("bg").agg(F.count("*").alias("cb"))
     w1_counts = bigrams.groupBy("w1").agg(F.count("*").alias("cw"))
     scored = (
