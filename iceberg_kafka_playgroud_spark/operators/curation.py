@@ -179,6 +179,49 @@ def quality_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG-style document chunking: overlapping token windows (64
+    tokens, stride 48) with per-chunk ids and content hashes — the
+    retrieval-index prep step between curation and embedding. One
+    narrow pass: the window fanout is array slicing inside the scan
+    task, zero shuffle; a 100 TB corpus chunks at scan speed.
+
+    Chunk rule: starts at 0, stride, 2·stride, …; the LAST window is
+    whatever remains (≥1 token), so every token is covered and chunk
+    count = ⌈max(n−overlap, 1) / stride⌉ — replayed exactly in SQL.
+    """
+    d = load_table(spark, sf, "documents")
+    with_toks = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    toks = F.col("toks")
+    n_chunks = F.ceil(
+        F.greatest(F.size(toks) - (CHUNK_TOKENS - CHUNK_STRIDE), F.lit(1))
+        / F.lit(CHUNK_STRIDE)
+    ).cast("int")
+    chunks = with_toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda c: F.concat_ws(
+                    " ", F.slice(toks, c * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+                ),
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(F.split("chunk_text", " ")).cast("long").alias("chunk_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 PACK_BUDGET = 512  # tokens per packed sequence
 
 
@@ -531,6 +574,7 @@ QUERIES = {
     "stratified_sample_per_source": stratified_sample_per_source,
     "mixture_resample_balanced": mixture_resample_balanced,
     "quality_weighted_sample": quality_weighted_sample,
+    "doc_chunking": doc_chunking,
     "sequence_pack_contiguous": sequence_pack_contiguous,
     "vocab_top_terms": vocab_top_terms,
     "contamination_ngram_overlap": contamination_ngram_overlap,
@@ -566,6 +610,32 @@ sh AS (
 from .text import ORACLES as _TEXT_ORACLES  # noqa: E402
 
 ORACLES = {
+    "doc_chunking": """
+        WITH docs AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS toks
+          FROM documents
+        ),
+        sized AS (
+          SELECT doc_id, toks,
+                 CAST(ceil(CAST(greatest(len(toks) - 16, 1) AS DOUBLE) / 48)
+                      AS INT) AS n_chunks
+          FROM docs WHERE len(toks) > 0
+        ),
+        chunks AS (
+          SELECT doc_id, c.c AS chunk_idx,
+                 array_to_string(toks[c.c * 48 + 1 : c.c * 48 + 64], ' ')
+                   AS chunk_text
+          FROM sized, LATERAL (
+            SELECT unnest(generate_series(0, n_chunks - 1)) AS c
+          ) c
+        )
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(list_filter(string_split(chunk_text, ' '),
+                                    x -> x != '')) AS BIGINT) AS chunk_tokens,
+               md5(chunk_text) AS chunk_md5
+        FROM chunks
+    """,
     "quality_weighted_sample": """
         WITH q AS (""" + _TEXT_ORACLES["text_quality_score"] + """),
         kept AS (

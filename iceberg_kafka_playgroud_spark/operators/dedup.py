@@ -374,6 +374,60 @@ def simhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     return _simhash_signatures_core(spark, sf, 32)
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """ASYMMETRIC near-dup: pairs where one document's shingle set is
+    ≥80% contained in the other's — the quote-inclusion / partial-copy
+    case that symmetric Jaccard MISSES (a paragraph embedded in a long
+    doc has tiny Jaccard but containment ≈ 1), and that MinHash
+    banding also misses because its collision probability tracks
+    Jaccard. Candidates therefore come from the df-pruned inverted
+    index (the ``dedup_ngram_jaccard`` scheme, fan-out bounded by the
+    cutoff), and both direction-specific containments are exact.
+    """
+    d = load_table(spark, sf, "documents")
+    sh = shingle_set(d).cache()
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CUTOFF)
+        .select("shingle")
+    )
+    rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    n1 = sizes.alias("n1")
+    n2 = sizes.alias("n2")
+    c12 = F.col("i").cast("double") / F.col("n1.n").cast("double")
+    c21 = F.col("i").cast("double") / F.col("n2.n").cast("double")
+    return (
+        inter.join(F.broadcast(n1), F.col("n1.doc_id") == F.col("d1"))
+        .join(F.broadcast(n2), F.col("n2.doc_id") == F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            c12.alias("containment_1in2"),
+            c21.alias("containment_2in1"),
+        )
+        .filter(
+            (F.col("containment_1in2") >= CONTAINMENT_THRESHOLD)
+            | (F.col("containment_2in1") >= CONTAINMENT_THRESHOLD)
+        )
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash Hamming-0 bucket sizes: doc_id, signature, and how many
     docs share it exactly (near-dup group size). The signature table is
@@ -592,6 +646,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_hamming": dedup_simhash_hamming,
+    "dedup_containment_pairs": dedup_containment_pairs,
     "dedup_incremental_minhash": dedup_incremental_minhash,
 }
 
@@ -758,6 +813,30 @@ ORACLES = {
                round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6) AS jaccard
         FROM inter JOIN sizes n1 ON n1.doc_id=d1 JOIN sizes n2 ON n2.doc_id=d2
         WHERE round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6) >= 0.5
+    """,
+    "dedup_containment_pairs": f"""
+        WITH {_SHINGLES_CTE},
+        dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+        rare AS (
+          SELECT sh.doc_id, sh.shingle
+          FROM sh JOIN dfc USING (shingle) WHERE dfc.df <= {NGRAM_DF_CUTOFF}
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM rare a JOIN rare b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               CAST(i AS DOUBLE) / CAST(n1.n AS DOUBLE) AS containment_1in2,
+               CAST(i AS DOUBLE) / CAST(n2.n AS DOUBLE) AS containment_2in1
+        FROM inter JOIN sizes n1 ON n1.doc_id = d1
+                   JOIN sizes n2 ON n2.doc_id = d2
+        WHERE CAST(i AS DOUBLE) / CAST(n1.n AS DOUBLE)
+                >= {CONTAINMENT_THRESHOLD}
+           OR CAST(i AS DOUBLE) / CAST(n2.n AS DOUBLE)
+                >= {CONTAINMENT_THRESHOLD}
     """,
     "dedup_simhash": f"""
         WITH {_SIMHASH_SIGS_CTE}
