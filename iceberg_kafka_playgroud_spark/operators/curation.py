@@ -208,17 +208,25 @@ def doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - 1),
-                lambda c: F.concat_ws(
-                    " ", F.slice(toks, c * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+                lambda c: F.struct(
+                    # size the token SLICE directly — re-splitting the
+                    # concatenated text would pay a second O(len) pass
+                    # per chunk for a value the slice already knows
+                    F.size(
+                        F.slice(toks, c * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+                    ).alias("n"),
+                    F.concat_ws(
+                        " ", F.slice(toks, c * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+                    ).alias("txt"),
                 ),
             )
-        ).alias("chunk_idx", "chunk_text"),
+        ).alias("chunk_idx", "chunk"),
     )
     return chunks.select(
         "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.size(F.split("chunk_text", " ")).cast("long").alias("chunk_tokens"),
-        F.md5("chunk_text").alias("chunk_md5"),
+        F.col("chunk.n").cast("long").alias("chunk_tokens"),
+        F.md5("chunk.txt").alias("chunk_md5"),
     )
 
 

@@ -252,6 +252,40 @@ def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
 NGRAM_DF_CUTOFF = 50
 
 
+def _rare_shingle_intersection(spark: SparkSession, sf: str):
+    """Shared df-pruned inverted-index dataflow for the exact
+    similarity family (``dedup_ngram_jaccard``, containment): rare
+    shingles (df ≤ cutoff), per-doc set sizes, and per-pair
+    intersection counts — ONE definition so jaccard and containment
+    candidates can never desynchronize. Returns (inter, sizes)."""
+    d = load_table(spark, sf, "documents")
+    sh = shingle_set(d).cache()
+    # hot-shingle list is tiny (only shingles shared by >cutoff docs)
+    # → broadcast anti-join keeps the pruning narrow
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CUTOFF)
+        .select("shingle")
+    )
+    rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    return inter, sizes
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (no MinHash approximation).
 
@@ -267,32 +301,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     Contrast with ``dedup_minhash_lsh``: same shingles, but exact
     similarity over an inverted index instead of an LSH approximation.
     """
-    d = load_table(spark, sf, "documents")
-    sh = shingle_set(d).cache()
-    # hot-shingle list is tiny (only shingles shared by >cutoff docs)
-    # → broadcast anti-join keeps the pruning narrow
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > NGRAM_DF_CUTOFF)
-        .select("shingle")
-    )
-    rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
-
-    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = rare.alias("a")
-    b = rare.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
-        .agg(F.count("*").alias("i"))
-    )
+    inter, sizes = _rare_shingle_intersection(spark, sf)
     n1 = sizes.alias("n1")
     n2 = sizes.alias("n2")
     jac = F.round(
@@ -387,27 +396,7 @@ def dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     index (the ``dedup_ngram_jaccard`` scheme, fan-out bounded by the
     cutoff), and both direction-specific containments are exact.
     """
-    d = load_table(spark, sf, "documents")
-    sh = shingle_set(d).cache()
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > NGRAM_DF_CUTOFF)
-        .select("shingle")
-    )
-    rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = rare.alias("a")
-    b = rare.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("i"))
-    )
+    inter, sizes = _rare_shingle_intersection(spark, sf)
     n1 = sizes.alias("n1")
     n2 = sizes.alias("n2")
     c12 = F.col("i").cast("double") / F.col("n1.n").cast("double")
@@ -725,6 +714,25 @@ sigs AS (
 )
 """
 
+
+# shared df-pruned inverted-index CTEs (SQL twin of
+# _rare_shingle_intersection) — composed by the jaccard AND
+# containment oracles so the two candidate definitions are one text
+_RARE_INTERSECT_CTE = f"""
+dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+rare AS (
+  SELECT sh.doc_id, sh.shingle
+  FROM sh JOIN dfc USING (shingle) WHERE dfc.df <= {NGRAM_DF_CUTOFF}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM rare a JOIN rare b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
 ORACLES = {
     "dedup_exact": """
         SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
@@ -797,18 +805,7 @@ ORACLES = {
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},
-        dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
-        rare AS (
-          SELECT sh.doc_id, sh.shingle
-          FROM sh JOIN dfc USING (shingle) WHERE dfc.df <= 50
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-          FROM rare a JOIN rare b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        )
+        {_RARE_INTERSECT_CTE}
         SELECT d1, d2,
                round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6) AS jaccard
         FROM inter JOIN sizes n1 ON n1.doc_id=d1 JOIN sizes n2 ON n2.doc_id=d2
@@ -816,18 +813,7 @@ ORACLES = {
     """,
     "dedup_containment_pairs": f"""
         WITH {_SHINGLES_CTE},
-        dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
-        rare AS (
-          SELECT sh.doc_id, sh.shingle
-          FROM sh JOIN dfc USING (shingle) WHERE dfc.df <= {NGRAM_DF_CUTOFF}
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-          FROM rare a JOIN rare b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        )
+        {_RARE_INTERSECT_CTE}
         SELECT d1, d2,
                CAST(i AS DOUBLE) / CAST(n1.n AS DOUBLE) AS containment_1in2,
                CAST(i AS DOUBLE) / CAST(n2.n AS DOUBLE) AS containment_2in1

@@ -682,8 +682,8 @@ def stream_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("best_jaccard").cast("double").alias("best_jaccard"),
                 F.col("best_old_id").cast("long").alias("best_old_id"),
                 # epoch provenance: proves the probe really ran as
-                # multiple micro-batches (pinned in tests); dropped
-                # from the oracle-checked result below
+                # multiple micro-batches (enforced below); dropped
+                # from the oracle-checked result
                 F.lit(epoch_id).cast("long").alias("epoch_id"),
             )
             .write.mode("append")
@@ -699,9 +699,15 @@ def stream_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination()
     out = spark.read.parquet(out_dir)
-    assert out.select("epoch_id").distinct().count() > 1, (
-        "incremental dedup should probe in multiple micro-batches"
-    )
+    n_epochs = out.select("epoch_id").distinct().count()
+    if n_epochs <= 1:
+        # a real error, not an assert (asserts vanish under -O): the
+        # operator's whole point is the per-micro-batch probe; one
+        # batch means the staged drop zone degenerated
+        raise RuntimeError(
+            f"incremental dedup ran in {n_epochs} micro-batch(es); "
+            "expected the 4-file staged replay to yield several"
+        )
     return out.drop("epoch_id")
 
 
