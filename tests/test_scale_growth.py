@@ -98,3 +98,22 @@ def test_data_heavy_ops_grow_linearly(spark, scaled_dir):
     print("\nscale growth (10x corpus):\n" + table)
     bad = [(n, r) for n, _, _, r in rows if r > COPIES * LINEAR_SLACK]
     assert not bad, f"superlinear growth {bad}:\n{table}"
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Global plan hygiene: NONE of the 200 registered queries may
+    compile to a CartesianProduct — the one operator that is always
+    wrong at 100 TB. (1-row scalar attaches compile to
+    BroadcastNestedLoopJoin with a single-row build side, which is
+    constant-cost and allowed.) Gated with the perf tests: building
+    every plan takes ~2-3 min because a few operators run driver
+    loops at plan time."""
+    import __spark_entry__ as e
+    from iceberg_kafka_playgroud_spark.plans.inspect import physical_plan
+
+    offenders = []
+    for name, fn in e.queries().items():
+        plan = physical_plan(fn(spark, SRC_SF.replace("sf0.1", "sf0.001")))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
