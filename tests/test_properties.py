@@ -416,3 +416,87 @@ def test_countmin_never_underestimates(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_chunking_covers_every_token_with_fixed_overlap(spark, sf_dir):
+    """Chunk invariants over the real corpus: per doc, chunk 0 starts
+    at token 1; consecutive chunk starts differ by exactly the stride;
+    total coverage = n_tokens (every token in >= 1 chunk); every chunk
+    except possibly the last is full-size."""
+    from iceberg_kafka_playgroud_spark.operators.curation import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunking,
+    )
+    from iceberg_kafka_playgroud_spark.operators.text import tokens
+    from iceberg_kafka_playgroud_spark.schema import load_table
+
+    chunks = doc_chunking(spark, sf_dir)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.max("chunk_idx").alias("max_idx"),
+        F.min("chunk_tokens").alias("min_ct"),
+        F.max("chunk_tokens").alias("max_ct"),
+    )
+    j = per_doc.join(docs, "doc_id")
+    bad = j.filter(
+        (F.col("n_chunks") != F.col("max_idx") + 1)
+        | (F.col("max_ct") > CHUNK_TOKENS)
+        # coverage: last chunk starts at (n_chunks-1)*stride and must
+        # reach the final token
+        | (
+            (F.col("n_chunks") - 1) * CHUNK_STRIDE + F.col("max_ct")
+            < F.col("n_tokens")
+        )
+    ).count()
+    assert bad == 0
+    # all but (possibly) the last chunk are full-size
+    not_full = (
+        chunks.filter(F.col("chunk_tokens") < CHUNK_TOKENS)
+        .join(per_doc, "doc_id")
+        .filter(F.col("chunk_idx") != F.col("max_idx"))
+        .count()
+    )
+    assert not_full == 0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=64,
+        unique=True,
+    )
+)
+@_slow
+def test_zorder_interleave_is_bijective_and_bounded(spark, pairs):
+    """The %/CASE bit-interleave used by zorder_layout_audit is an
+    exact Morton code on 8-bit inputs: distinct (a, b) map to distinct
+    z, z stays within 16 bits, and de-interleaving recovers (a, b)."""
+    from iceberg_kafka_playgroud_spark.operators.relational import (
+        _Z_INTERLEAVE,
+        ZORDER_BITS,
+    )
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    z = df.select(
+        "a", "b", F.expr(_Z_INTERLEAVE.format(a="a", b="b")).alias("z")
+    ).collect()
+    seen = set()
+    for r in z:
+        a, b, zv = r["a"], r["b"], r["z"]
+        assert 0 <= zv < 1 << (2 * ZORDER_BITS)
+        assert zv not in seen
+        seen.add(zv)
+        # de-interleave in Python
+        da = sum(((zv >> (2 * i)) & 1) << i for i in range(ZORDER_BITS))
+        db = sum(((zv >> (2 * i + 1)) & 1) << i for i in range(ZORDER_BITS))
+        assert (da, db) == (a, b)
