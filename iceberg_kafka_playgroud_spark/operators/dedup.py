@@ -557,9 +557,8 @@ def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
 MAX_CC_ITERS = 25  # fixpoint bound; components here are tiny
 
 
-def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
-    """Duplicate-cluster formation: connected components over the
-    MinHash near-dup pair graph (keep one doc per component).
+def connected_components_over(pairs: DataFrame) -> DataFrame:
+    """Connected components over an arbitrary (d1, d2) pair graph.
 
     Hash-to-min label propagation: every node starts labeled with its
     own id; each round, a node adopts the minimum label among itself
@@ -570,7 +569,6 @@ def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     O(log n) rounds (or the published big-star/small-star variant for
     pathological chains) with per-round checkpointing to cut lineage.
     """
-    pairs = dedup_minhash_lsh(spark, sf).select("d1", "d2")
     # undirected adjacency (both directions), plus self-loops so
     # isolated-after-filter nodes keep their own label.  Materialized
     # once: every propagation round joins against edges, and without
@@ -615,7 +613,7 @@ def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
         # with a longer chain than the fixture's — fail loudly instead
         # (same convention as bench.py's unknown-query handling)
         raise RuntimeError(
-            f"dedup_connected_components did not converge in "
+            f"connected_components_over did not converge in "
             f"{MAX_CC_ITERS} rounds ({changed} labels still changing); "
             f"raise MAX_CC_ITERS for this corpus"
         )
@@ -626,6 +624,30 @@ def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         "component",
         F.count("*").over(W.partitionBy("component")).alias("component_size"),
+    )
+
+
+def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the
+    MinHash near-dup pair graph (see ``connected_components_over``)."""
+    return connected_components_over(
+        dedup_minhash_lsh(spark, sf).select("d1", "d2")
+    )
+
+
+def embedding_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
+    """SEMANTIC duplicate clusters: connected components over the
+    embedding near-dup LSH pair graph — the same label-propagation
+    loop as the text-shingle clusters, but edges come from cosine
+    similarity, so paraphrase-level duplicates that share no shingles
+    still cluster. The pair generation is the banded sketch join
+    (``similarity.embedding_near_dup_lsh``), candidates-only at any
+    scale."""
+    from .similarity import embedding_near_dup_lsh
+
+    pairs = embedding_near_dup_lsh(spark, sf).select("d1", "d2")
+    return connected_components_over(pairs).select(
+        F.col("doc_id").alias("vec_id"), "component", "component_size"
     )
 
 
@@ -1010,4 +1032,31 @@ ORACLES["text_ngram_novelty"] = f"""
     SELECT doc_id, n_shingles, n_novel,
            CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
     FROM per
+"""
+
+
+# semantic (embedding) duplicate clusters: same recursive closure, the
+# pair source swaps to the embedding LSH oracle
+from .similarity import ORACLES as _SIM_ORACLES  # noqa: E402
+
+QUERIES["embedding_cluster_components"] = embedding_cluster_components
+ORACLES["embedding_cluster_components"] = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT d1, d2 FROM ({_SIM_ORACLES["embedding_near_dup_lsh"]})
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION ALL
+      SELECT d2, d1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)
+    SELECT node AS vec_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS component_size
+    FROM comp
 """
