@@ -1060,3 +1060,41 @@ ORACLES["embedding_cluster_components"] = f"""
            COUNT(*) OVER (PARTITION BY component) AS component_size
     FROM comp
 """
+
+
+def embedding_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-policy over SEMANTIC clusters: one canonical vector per
+    embedding-similarity component — lowest vec_id wins (embeddings
+    carry no quality signal; swap the order column to plug one in).
+    The mirror of ``dedup_cluster_canonical`` for the cosine edge set.
+    """
+    from pyspark.sql import Window as W
+
+    cc = embedding_cluster_components(spark, sf)
+    w = W.partitionBy("component").orderBy(F.col("vec_id").asc())
+    return (
+        cc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("component_size").cast("long").alias("component_size"),
+            F.col("vec_id").alias("canonical_vec_id"),
+            (F.col("component_size") - 1).cast("long").alias("n_discarded"),
+        )
+    )
+
+
+QUERIES["embedding_cluster_canonical"] = embedding_cluster_canonical
+ORACLES["embedding_cluster_canonical"] = f"""
+    WITH ecc AS ({ORACLES["embedding_cluster_components"]})
+    SELECT component,
+           CAST(component_size AS BIGINT) AS component_size,
+           canonical_vec_id,
+           CAST(component_size - 1 AS BIGINT) AS n_discarded
+    FROM (
+      SELECT component, component_size, vec_id AS canonical_vec_id,
+             row_number() OVER (PARTITION BY component ORDER BY vec_id ASC)
+               AS rk
+      FROM ecc
+    ) WHERE rk = 1
+"""

@@ -412,6 +412,45 @@ def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+KEYWORDS_PER_DOC = 3
+
+
+def text_keyword_extraction(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF-style keyword extraction with an EXACT integer ordering:
+    per document, the top-3 terms ranked by (document frequency ASC,
+    term frequency DESC, term ASC) — rarest-then-most-repeated, the
+    discriminative-term rule behind TF-IDF without its float weights
+    (log-idf × tf ties back to the same order on the fixture's scale,
+    but floats would cost exactness; the integer rank is the contract).
+
+    Dataflow: (doc, term) counts → vocabulary-sized df table joined
+    back (map-side combinable both times) → per-doc top-k window.
+    """
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("tf").desc(), F.col("w").asc()
+    )
+    return (
+        tf.join(dfreq, "w")
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= KEYWORDS_PER_DOC)
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            F.col("w").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_bpe_token_count": text_bpe_token_count,
@@ -426,6 +465,7 @@ QUERIES = {
     "text_unigram_logprob": text_unigram_logprob,
     "text_sentence_stats": text_sentence_stats,
     "text_bigram_logprob": text_bigram_logprob,
+    "text_keyword_extraction": text_keyword_extraction,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -527,6 +567,23 @@ ORACLES = {
         )
         SELECT lang, lang_pred, COUNT(*) AS n
         FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+    "text_keyword_extraction": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x != '')) AS w
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+        dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w)
+        SELECT doc_id, CAST(rk AS INTEGER) AS rk, w AS term, tf, df
+        FROM (
+          SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                     ORDER BY dfreq.df ASC, tf.tf DESC, tf.w ASC) AS rk
+          FROM tf JOIN dfreq USING (w)
+        ) WHERE rk <= 3
     """,
     "text_bigram_logprob": """
         WITH docs AS (
