@@ -1195,9 +1195,15 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     ranks = nodes.select(
         "node", F.lit(PR_SCALE // n_nodes).cast("long").alias("r")
     )
+    # (src, dst, outdeg) is loop-invariant — materialize it ONCE so
+    # each iteration joins just ranks against it, not a fresh
+    # edges⋈nodes⋈ranks three-way
+    edges_deg = edges.join(
+        nodes.select(F.col("node").alias("src"), "outdeg"), "src"
+    ).cache()
     for _ in range(PR_ITERS):
         contrib = (
-            edges.join(ranks.join(nodes, "node"), edges.src == F.col("node"))
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
             .select("dst", F.expr("r DIV outdeg").alias("c"))
         )
         sums = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("sc"))
