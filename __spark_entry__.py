@@ -84,6 +84,7 @@ _PRIORITY = [
     "embedding_norm_outliers", "rollup_serving_equivalence",
     "dedup_containment_pairs", "doc_chunking", "embedding_cluster_components",
     "embedding_cluster_canonical", "text_keyword_extraction",
+    "snapshot_delete_rows", "multimodal_scene_changes",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -154,6 +154,35 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def multimodal_scene_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """Scene-change detection shape over the frame stream: a boundary
+    is a frame whose content hash differs from the previous frame's —
+    the shot-segmentation pass a video pipeline runs before sampling
+    keyframes (real detectors threshold a frame-difference metric; the
+    hash-inequality stand-in keeps the dataflow identical and exact).
+    One per-doc window over the frame table (frames are doc-local, so
+    the shuffle is keyed by doc and bounded by frames-per-doc)."""
+    from pyspark.sql import Window as W
+
+    frames = multimodal_frame_sample(spark, sf)
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = frames.withColumn(
+        "is_boundary",
+        (
+            F.lag("frame_md5").over(w).isNull()
+            | (F.col("frame_md5") != F.lag("frame_md5").over(w))
+        ).cast("long"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum("is_boundary").cast("long").alias("n_scenes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def multimodal_audio_rms(spark: SparkSession, sf: str) -> DataFrame:
     """Audio-feature shape: payload bytes as an 8-bit PCM waveform,
     RMS energy per fixed 64-sample window — the windowed-DSP pattern
@@ -338,6 +367,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_scene_changes": multimodal_scene_changes,
 }
 
 ORACLES = {
@@ -459,6 +489,32 @@ ORACLES = {
                CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS resized_len,
                md5(lower(substring(hex(encode(text)), 1, 512))) AS resized_md5
         FROM documents
+    """,
+    "multimodal_scene_changes": """
+        WITH frames AS (
+          SELECT d.doc_id,
+                 CAST(t.j AS BIGINT) AS frame_idx,
+                 md5(lower(substring(hex(encode(d.text)), 1 + 128*t.j, 128)))
+                   AS frame_md5
+          FROM documents d,
+               LATERAL (
+                 SELECT unnest(generate_series(
+                   0, CAST(floor((octet_length(encode(d.text)) - 1) / 64.0)
+                           AS INT))) AS j
+               ) t
+          WHERE t.j % 4 = 0
+        ),
+        flagged AS (
+          SELECT doc_id,
+                 CASE WHEN LAG(frame_md5) OVER w IS NULL
+                        OR frame_md5 != LAG(frame_md5) OVER w
+                      THEN 1 ELSE 0 END AS is_boundary
+          FROM frames
+          WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+        )
+        SELECT doc_id, COUNT(*) AS n_frames,
+               CAST(SUM(is_boundary) AS BIGINT) AS n_scenes
+        FROM flagged GROUP BY doc_id ORDER BY doc_id
     """,
     "multimodal_frame_sample": """
         SELECT d.doc_id,

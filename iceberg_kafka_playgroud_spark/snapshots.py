@@ -296,6 +296,65 @@ def expire_snapshots(
             "live_files": len(live)}
 
 
+def delete_where(spark: SparkSession, table_dir: str, predicate) -> int:
+    """Row-level DELETE, copy-on-write (Iceberg COW semantics): rewrite
+    the current snapshot WITHOUT the matching rows and commit an
+    operation="delete" manifest. Untouched files would be carried over
+    unchanged in a file-pruned implementation; this analog rewrites the
+    full bucket set (the fixture's buckets all contain matches — at
+    scale, pair this with partition pruning so only affected files
+    rewrite, which is exactly Iceberg's COW planning)."""
+    parent = current_snapshot_id(table_dir)
+    sid = parent + 1
+    cur = read_snapshot(spark, table_dir, parent, keep_bucket=True)
+    remaining = cur.filter(~predicate)
+    out = os.path.join(table_dir, DATA_DIR, f"s{sid}")
+    new_files = _write_bucketed(remaining, out)
+    _write_manifest(
+        table_dir,
+        {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "operation": "delete",
+            "files": new_files,
+            "added_files": len(new_files),
+            "total_records": sum(f["record_count"] for f in new_files),
+        },
+    )
+    return sid
+
+
+def snapshot_delete_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """DELETE lifecycle: build the demo table, delete one user's rows
+    copy-on-write, and prove (a) the current snapshot no longer
+    contains them, (b) time travel to the pre-delete snapshot still
+    does — the GDPR-erasure flow with history intact until expire."""
+    table_dir = _build_demo_table(spark)
+    pre = current_snapshot_id(table_dir)
+    post = delete_where(spark, table_dir, F.col("user_id") == "user_0")
+    out = None
+    for sid, label in [(pre, "1_pre_delete"), (post, "2_post_delete")]:
+        part = (
+            read_snapshot(spark, table_dir, sid)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum((F.col("user_id") == "user_0").cast("long"))
+                .cast("long")
+                .alias("n_target_user"),
+                (
+                    F.sum(F.round(F.col("amount") * 100).cast("long")).cast(
+                        "double"
+                    )
+                    / F.lit(100.0)
+                ).alias("amount_sum"),
+            )
+            .select(F.lit(label).alias("stage"), "n_rows", "n_target_user",
+                    "amount_sum")
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
 def rollback_to(table_dir: str, target_sid: int) -> int:
     """Roll the table back to an earlier snapshot by committing a NEW
     snapshot whose state is the target's (Iceberg's
@@ -428,6 +487,7 @@ def snapshot_incremental_read(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "snapshot_delete_rows": snapshot_delete_rows,
     "snapshot_rollback": snapshot_rollback,
     "snapshot_time_travel": snapshot_time_travel,
     "snapshot_files": snapshot_files,
@@ -472,6 +532,25 @@ ORACLES = {
                (SELECT CAST(SUM(cents) AS DOUBLE) / 100.0
                 FROM fab WHERE id < s.total_records) AS asof_amount_sum
         FROM snaps s
+    """,
+    # fabric user rule: user_id = "user_{id % 1000}", so user_0 is
+    # ids {0, 1000} of the 1200-row demo table
+    "snapshot_delete_rows": f"""
+        WITH {_FAB}
+        SELECT stage, n_rows, n_target_user, amount_sum FROM (
+          SELECT '1_pre_delete' AS stage,
+                 (SELECT COUNT(*) FROM fab) AS n_rows,
+                 (SELECT COUNT(*) FROM fab WHERE id % 1000 = 0)
+                   AS n_target_user,
+                 (SELECT CAST(SUM(cents) AS DOUBLE) / 100.0 FROM fab)
+                   AS amount_sum
+          UNION ALL
+          SELECT '2_post_delete',
+                 (SELECT COUNT(*) FROM fab WHERE id % 1000 != 0),
+                 CAST(0 AS BIGINT),
+                 (SELECT CAST(SUM(cents) AS DOUBLE) / 100.0 FROM fab
+                  WHERE id % 1000 != 0)
+        )
     """,
     # pre-rollback = the rewrite (ids < 1200); rollback to append 2
     # restores ids < 800; the divergent re-append adds ids [1200, 1600)
