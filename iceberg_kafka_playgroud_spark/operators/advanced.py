@@ -1197,10 +1197,14 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     # (src, dst, outdeg) is loop-invariant — materialize it ONCE so
     # each iteration joins just ranks against it, not a fresh
-    # edges⋈nodes⋈ranks three-way
+    # edges⋈nodes⋈ranks three-way. Force materialization now and
+    # release the raw-edge cache: after this point nothing reads it,
+    # and per-call cache pile-up is what LRU-thrashes long sessions.
     edges_deg = edges.join(
         nodes.select(F.col("node").alias("src"), "outdeg"), "src"
     ).cache()
+    edges_deg.count()
+    edges.unpersist()
     for _ in range(PR_ITERS):
         contrib = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)

@@ -1064,21 +1064,38 @@ ORACLES["embedding_cluster_components"] = f"""
 
 def embedding_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
     """Keep-policy over SEMANTIC clusters: one canonical vector per
-    embedding-similarity component — lowest vec_id wins (embeddings
-    carry no quality signal; swap the order column to plug one in).
-    The mirror of ``dedup_cluster_canonical`` for the cosine edge set.
+    embedding-similarity component, ranked by LARGEST integer-exact
+    squared norm (information-content proxy; ties → min vec_id) — a
+    real selection rule, unlike min-id, which would be a tautology
+    (label propagation already labels components by min id). The
+    mirror of ``dedup_cluster_canonical`` for the cosine edge set.
     """
     from pyspark.sql import Window as W
 
     cc = embedding_cluster_components(spark, sf)
-    w = W.partitionBy("component").orderBy(F.col("vec_id").asc())
+    em = load_table(spark, sf, "embeddings")
+    norm2 = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * 1000 + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    scored = cc.join(em.select("vec_id", norm2.alias("norm2")), "vec_id")
+    w = W.partitionBy("component").orderBy(
+        F.col("norm2").desc(), F.col("vec_id").asc()
+    )
     return (
-        cc.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(
             "component",
             F.col("component_size").cast("long").alias("component_size"),
             F.col("vec_id").alias("canonical_vec_id"),
+            F.col("norm2").cast("long").alias("canonical_norm2"),
             (F.col("component_size") - 1).cast("long").alias("n_discarded"),
         )
     )
@@ -1086,15 +1103,25 @@ def embedding_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["embedding_cluster_canonical"] = embedding_cluster_canonical
 ORACLES["embedding_cluster_canonical"] = f"""
-    WITH ecc AS ({ORACLES["embedding_cluster_components"]})
+    WITH ecc AS ({ORACLES["embedding_cluster_components"]}),
+    nrm AS (
+      SELECT vec_id,
+             list_sum(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                    * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
+               AS norm2
+      FROM embeddings
+    )
     SELECT component,
            CAST(component_size AS BIGINT) AS component_size,
            canonical_vec_id,
+           CAST(canonical_norm2 AS BIGINT) AS canonical_norm2,
            CAST(component_size - 1 AS BIGINT) AS n_discarded
     FROM (
-      SELECT component, component_size, vec_id AS canonical_vec_id,
-             row_number() OVER (PARTITION BY component ORDER BY vec_id ASC)
-               AS rk
-      FROM ecc
+      SELECT e.component, e.component_size, e.vec_id AS canonical_vec_id,
+             n.norm2 AS canonical_norm2,
+             row_number() OVER (PARTITION BY e.component
+                                ORDER BY n.norm2 DESC, e.vec_id ASC) AS rk
+      FROM ecc e JOIN nrm n ON e.vec_id = n.vec_id
     ) WHERE rk = 1
 """

@@ -430,7 +430,9 @@ def text_keyword_extraction(spark: SparkSession, sf: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
     )
-    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    tf = tok.groupBy("doc_id", "w").agg(
+        F.count("*").alias("tf")
+    ).cache()  # 2 consumers: the df table + the scoring join
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     from pyspark.sql import Window as W
 

@@ -73,6 +73,10 @@ def _write_manifest(table_dir: str, manifest: dict) -> None:
         json.dump(manifest, fh, indent=1)
 
 
+def _schema_json(df: DataFrame) -> str:
+    return df.schema.json()
+
+
 def _write_bucketed(df: DataFrame, out_dir: str) -> list[dict]:
     """Write df partitioned by BUCKET_COL (one file per bucket) and
     return file entries [{path, bucket, record_count}] with counts
@@ -110,6 +114,7 @@ def commit_append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
             "snapshot_id": sid,
             "parent_id": parent or None,
             "operation": "append",
+            "schema": _schema_json(df),
             "files": prev + new_files,
             "added_files": len(new_files),
             "total_records": sum(f["record_count"] for f in prev + new_files),
@@ -133,6 +138,7 @@ def rewrite_data_files(spark: SparkSession, table_dir: str) -> int:
             "snapshot_id": sid,
             "parent_id": parent,
             "operation": "replace",
+            "schema": _schema_json(cur),
             "files": new_files,
             "added_files": len(new_files),
             "total_records": sum(f["record_count"] for f in new_files),
@@ -152,6 +158,20 @@ def read_snapshot(
     sid = snapshot_id or current_snapshot_id(table_dir)
     m = load_manifest(table_dir, sid)
     paths = [os.path.join(table_dir, DATA_DIR, f["path"]) for f in m["files"]]
+    if not paths:
+        # delete-all leaves a file-less snapshot: an EMPTY table, not
+        # an unreadable one — rebuild the frame from the manifest's
+        # recorded schema (spark.read.parquet() with zero paths raises)
+        from pyspark.sql import types as T
+
+        schema_json = m.get("schema")
+        if schema_json is None:
+            raise ValueError(
+                f"snapshot {sid} has no files and no recorded schema"
+            )
+        return spark.createDataFrame(
+            [], T.StructType.fromJson(json.loads(schema_json))
+        )
     df = spark.read.parquet(*paths)
     if keep_bucket:
         # bucket= dirs aren't hive-discovered under per-file paths;
@@ -217,7 +237,14 @@ def _fabric_slice(spark: SparkSession, lo: int, hi: int) -> DataFrame:
 
 
 def _build_demo_table(spark: SparkSession) -> str:
+    import atexit
+    import shutil
+
     table_dir = tempfile.mkdtemp(prefix="snap_tbl_")
+    # demo tables can't be removed before the caller's lazy read
+    # executes; reclaim them at interpreter exit instead of leaking
+    # one per query invocation
+    atexit.register(shutil.rmtree, table_dir, ignore_errors=True)
     for k in range(N_APPENDS):
         commit_append(
             spark, table_dir, _fabric_slice(spark, k * N_PER_APPEND, (k + 1) * N_PER_APPEND)
@@ -299,11 +326,11 @@ def expire_snapshots(
 def delete_where(spark: SparkSession, table_dir: str, predicate) -> int:
     """Row-level DELETE, copy-on-write (Iceberg COW semantics): rewrite
     the current snapshot WITHOUT the matching rows and commit an
-    operation="delete" manifest. Untouched files would be carried over
-    unchanged in a file-pruned implementation; this analog rewrites the
-    full bucket set (the fixture's buckets all contain matches — at
-    scale, pair this with partition pruning so only affected files
-    rewrite, which is exactly Iceberg's COW planning)."""
+    operation="delete" manifest. This analog rewrites the full bucket
+    set even though the demo deletion only touches bucket 0 (user_0 =
+    ids {0, 1000}, both ≡ 0 mod 4) — a file-pruned implementation
+    would rewrite only matching files, which is exactly Iceberg's COW
+    planning; at scale pair the predicate with partition pruning."""
     parent = current_snapshot_id(table_dir)
     sid = parent + 1
     cur = read_snapshot(spark, table_dir, parent, keep_bucket=True)
@@ -316,6 +343,7 @@ def delete_where(spark: SparkSession, table_dir: str, predicate) -> int:
             "snapshot_id": sid,
             "parent_id": parent,
             "operation": "delete",
+            "schema": _schema_json(remaining),
             "files": new_files,
             "added_files": len(new_files),
             "total_records": sum(f["record_count"] for f in new_files),
@@ -370,6 +398,7 @@ def rollback_to(table_dir: str, target_sid: int) -> int:
             "parent_id": parent or None,
             "operation": "rollback",
             "rolled_back_to": target_sid,
+            "schema": tgt.get("schema"),
             "files": tgt["files"],
             "added_files": 0,
             "total_records": tgt["total_records"],

@@ -440,17 +440,24 @@ def test_chunking_covers_every_token_with_fixed_overlap(spark, sf_dir):
     per_doc = chunks.groupBy("doc_id").agg(
         F.count("*").alias("n_chunks"),
         F.max("chunk_idx").alias("max_idx"),
-        F.min("chunk_tokens").alias("min_ct"),
         F.max("chunk_tokens").alias("max_ct"),
     )
-    j = per_doc.join(docs, "doc_id")
+    last_ct = (
+        chunks.join(
+            per_doc.select("doc_id", F.col("max_idx").alias("li")), "doc_id"
+        )
+        .filter(F.col("chunk_idx") == F.col("li"))
+        .select("doc_id", F.col("chunk_tokens").alias("last_ct"))
+    )
+    j = per_doc.join(docs, "doc_id").join(last_ct, "doc_id")
     bad = j.filter(
         (F.col("n_chunks") != F.col("max_idx") + 1)
         | (F.col("max_ct") > CHUNK_TOKENS)
-        # coverage: last chunk starts at (n_chunks-1)*stride and must
-        # reach the final token
+        # coverage: the LAST chunk starts at (n_chunks-1)*stride and
+        # must reach the final token (max_ct would let full-size
+        # earlier chunks mask a truncated final one)
         | (
-            (F.col("n_chunks") - 1) * CHUNK_STRIDE + F.col("max_ct")
+            (F.col("n_chunks") - 1) * CHUNK_STRIDE + F.col("last_ct")
             < F.col("n_tokens")
         )
     ).count()

@@ -101,7 +101,7 @@ def test_data_heavy_ops_grow_linearly(spark, scaled_dir):
 
 
 def test_no_cartesian_product_anywhere(spark):
-    """Global plan hygiene: NONE of the 200 registered queries may
+    """Global plan hygiene: NONE of the registered queries may
     compile to a CartesianProduct — the one operator that is always
     wrong at 100 TB. (1-row scalar attaches compile to
     BroadcastNestedLoopJoin with a single-row build side, which is

@@ -63,3 +63,18 @@ def test_incremental_read_is_append_diff(spark, tmp_path):
     assert _rows(inc) == _rows(b)
     # empty window → empty frame with the right schema
     assert S.read_incremental(spark, t, 2, 2).count() == 0
+
+
+def test_delete_all_rows_leaves_readable_empty_table(spark):
+    """A predicate matching every row must leave an EMPTY current
+    snapshot, not an unreadable one (the manifest records the schema
+    so a file-less snapshot reconstructs an empty frame)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_kafka_playgroud_spark import snapshots as sn
+
+    td = sn._build_demo_table(spark)
+    sn.delete_where(spark, td, F.lit(True))
+    df = sn.read_snapshot(spark, td)
+    assert df.count() == 0
+    assert "user_id" in df.columns
