@@ -61,6 +61,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # three, the window rotates to least-recently-driver-checked —
 # never-checked first, then new round-6 operators, then r2-era rows,
 # then r4-era fill. The r5 greens (freshest rows) queue last.
+# Round-7 plan: the 40 round-6 operators will then hold fresh rows;
+# rotate the remaining r2-era greens (crowded out this round) plus
+# the r4-era block into the window, new r7 operators first as always.
 _PRIORITY = [
     # -- round-6 window: never-driver-checked first (added in r5,
     #    landed past the 50-slot window), then new round-6 operators
