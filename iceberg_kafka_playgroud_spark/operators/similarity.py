@@ -567,8 +567,12 @@ def ann_index_persist_probe(spark: SparkSession, sf: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf.rstrip("/"))
     memo = _IVF_INDEX_MEMO.get(key)
     if memo is None:
+        import atexit
+        import shutil
+
         _, built, cent_ids, cent_mat = _ivf_build(spark, sf)
         index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+        atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
         built.write.mode("overwrite").partitionBy("cell").parquet(index_dir)
         memo = (index_dir, cent_ids, cent_mat)
         _IVF_INDEX_MEMO[key] = memo

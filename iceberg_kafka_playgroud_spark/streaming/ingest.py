@@ -75,6 +75,19 @@ def _staged_docs_stream(spark: SparkSession, sf_dir: str, df, subset: str):
     )
 
 
+def _tmpdir_reclaimed_at_exit(prefix: str) -> str:
+    """mkdtemp whose contents are reclaimed at interpreter exit —
+    per-call result sinks can't be deleted before the caller's lazy
+    read executes, but they must not accumulate across a best-of-N
+    bench session either."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _ckpt_dir(prefix: str) -> str:
     """Checkpoint dirs on tmpfs when available — offset/commit logs are
     tiny and rewritten per micro-batch, so page-cache-backed is right."""
@@ -646,7 +659,7 @@ def stream_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # session) and replay it one file per trigger — the bounded
     # stand-in for the Kafka doc topic
     stream = _staged_docs_stream(spark, sf, d.filter(is_new), "newbatch")
-    out_dir = tempfile.mkdtemp(prefix="incdedup_out_")
+    out_dir = _tmpdir_reclaimed_at_exit("incdedup_out_")
 
     def probe(batch_df: DataFrame, epoch_id: int) -> None:
         sh_new = dedup.shingle_set(batch_df)
@@ -731,7 +744,7 @@ def stream_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents")
     stream = _staged_docs_stream(spark, sf, d, "all")
-    out_dir = tempfile.mkdtemp(prefix="qgate_out_")
+    out_dir = _tmpdir_reclaimed_at_exit("qgate_out_")
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
         (
