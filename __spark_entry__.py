@@ -88,6 +88,7 @@ _PRIORITY = [
     "dedup_containment_pairs", "doc_chunking", "embedding_cluster_components",
     "embedding_cluster_canonical", "text_keyword_extraction",
     "snapshot_delete_rows", "multimodal_scene_changes",
+    "source_csv_roundtrip", "source_jsonl_roundtrip",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -471,6 +471,74 @@ def events_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# staged alternate-format copies of the orders table per
+# (applicationId, sf, fmt) — written once, reclaimed at exit
+_FMT_STAGE_MEMO: dict = {}
+
+
+def _orders_in_format(spark: SparkSession, sf: str, fmt: str) -> DataFrame:
+    """Write orders once as CSV/JSONL and read it back through the
+    matching file source — the interchange-format ingestion path (S2
+    family beyond parquet). The CSV read supplies an explicit schema
+    (header-inferred types would drift); JSON reads with the same
+    schema, exercising its field-name-based resolution. Timestamps
+    round-trip as ISO-8601 text in both formats under the UTC session.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf.rstrip("/"), fmt)
+    stage = _FMT_STAGE_MEMO.get(key)
+    o = load_table(spark, sf, "orders")
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix=f"orders_{fmt}_")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        w = o.write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", "true").csv(stage)
+        else:
+            w.json(stage)
+        _FMT_STAGE_MEMO[key] = stage
+    if fmt == "csv":
+        return (
+            spark.read.schema(o.schema).option("header", "true").csv(stage)
+        )
+    return spark.read.schema(o.schema).json(stage)
+
+
+def _format_roundtrip_summary(df: DataFrame) -> DataFrame:
+    """Roundtrip proof: exact counts, integer cents total, and key
+    checksum per order status — any type/precision loss in the text
+    format breaks the hash against the parquet-sourced oracle."""
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_total"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.countDistinct(F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("n_days"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def source_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV source: orders → CSV files → schema-driven read → summary
+    identical to the parquet path (the oracle reads parquet)."""
+    return _format_roundtrip_summary(_orders_in_format(spark, sf, "csv"))
+
+
+def source_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines source: same contract as ``source_csv_roundtrip``
+    through the JSON reader's name-based field resolution."""
+    return _format_roundtrip_summary(_orders_in_format(spark, sf, "json"))
+
+
 # --------------------------------------------------------------------------
 # §2.6 — joins (every `how` the SQL surface promises)
 # --------------------------------------------------------------------------
@@ -1593,6 +1661,8 @@ QUERIES = {
     "events_daily_growth": events_daily_growth,
     "events_time_rollup": events_time_rollup,
     "rollup_serving_equivalence": rollup_serving_equivalence,
+    "source_csv_roundtrip": source_csv_roundtrip,
+    "source_jsonl_roundtrip": source_jsonl_roundtrip,
     "join_inner_dim": join_inner_dim,
     "join_left_outer": join_left_outer,
     "join_right_outer": join_right_outer,
@@ -1792,6 +1862,24 @@ ORACLES = {
                CAST(n AS DOUBLE) / CAST(LAG(n) OVER (ORDER BY day) AS DOUBLE)
                  AS growth
         FROM daily
+    """,
+    "source_csv_roundtrip": """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents_total,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+                 AS n_days
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "source_jsonl_roundtrip": """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents_total,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+                 AS n_days
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "rollup_serving_equivalence": """
         WITH hourly AS (
