@@ -78,3 +78,28 @@ def test_delete_all_rows_leaves_readable_empty_table(spark):
     df = sn.read_snapshot(spark, td)
     assert df.count() == 0
     assert "user_id" in df.columns
+
+
+def test_rollback_preserves_history_and_moves_pointer(spark):
+    """rollback_to commits a NEW snapshot (history intact) whose state
+    equals the target's; a later append builds on the rolled-back
+    state, not the abandoned tip."""
+    from iceberg_kafka_playgroud_spark import snapshots as sn
+
+    td = sn._build_demo_table(spark)  # snapshots 1-3 appends, 4 replace
+    rb = sn.rollback_to(td, 2)
+    assert rb == 5  # new commit, nothing overwritten
+    ops = {
+        r["snapshot_id"]: r["operation"]
+        for r in sn.snapshots_df(spark, td).collect()
+    }
+    assert ops[4] == "replace" and ops[5] == "rollback"
+    assert sn.read_snapshot(spark, td, 5).count() == sn.read_snapshot(
+        spark, td, 2
+    ).count()
+    # divergent append on the rolled-back state
+    sn.commit_append(spark, td, sn._fabric_slice(spark, 1200, 1300))
+    assert (
+        sn.read_snapshot(spark, td, 6).count()
+        == sn.read_snapshot(spark, td, 2).count() + 100
+    )
