@@ -74,14 +74,14 @@ _PRIORITY = [
     # -- new round-6 operators (no driver row yet) --
     "stream_incremental_dedup", "multimodal_phash_near_dup",
     "dedup_cluster_canonical", "mixture_resample_balanced",
-    "events_moving_average", "text_unigram_logprob",
+    "text_unigram_logprob",
     "embedding_kmeans_lloyd", "graph_pagerank",
-    "fuzzy_join_levenshtein", "unpivot_part_measures", "table_profile_orders",
+    "fuzzy_join_levenshtein",
     "scd2_dimension_join", "merge_scd1_apply", "stream_quality_gate",
-    "zorder_layout_audit", "events_daily_growth", "events_time_rollup",
+    "zorder_layout_audit",
     "sketch_countmin_terms", "basket_pair_frequency",
-    "ann_index_persist_probe", "text_sentence_stats",
-    "orders_abc_analysis", "conversion_latency_quantiles",
+    "ann_index_persist_probe",
+    "orders_abc_analysis",
     "quality_weighted_sample", "snapshot_rollback",
     "events_throttle_dedup", "text_bigram_logprob",
     "embedding_norm_outliers", "rollup_serving_equivalence",
@@ -102,6 +102,12 @@ _PRIORITY = [
     "applyinpandas_rank", "ann_topk_lsh", "snapshot_files",
     "confluent_roundtrip", "catalog_table_columns",
     "catalog_write_read_roundtrip",
+    # -- simple round-6 ops (plain SQL shapes, demoted below the
+    #    r2-era re-checks: a first driver row on basic SQL carries
+    #    less information than refreshing greens that predate two
+    #    fixture changes; they front the r7 window if unchecked) --
+    "events_moving_average", "unpivot_part_measures", "table_profile_orders",
+    "events_daily_growth", "events_time_rollup", "text_sentence_stats", "conversion_latency_quantiles",
     # -- r4-era greens (36) --
     "array_hof", "agg_approx_distinct", "dedup_simhash_hamming",
     "schema_evolution_roundtrip", "join_bucketed_colocated",
