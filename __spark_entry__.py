@@ -21,12 +21,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from iceberg_kafka_playgroud_spark.operators import (  # noqa: E402
     advanced,
+    audit,
     curation,
     dedup,
     multimodal,
     relational,
     scalar_funcs,
     similarity,
+    temporal,
     text,
 )
 from iceberg_kafka_playgroud_spark import catalog, snapshots  # noqa: E402
@@ -35,7 +37,9 @@ from iceberg_kafka_playgroud_spark.streaming import ingest  # noqa: E402
 
 _MODULES = [
     relational,
+    audit,
     scalar_funcs,
+    temporal,
     text,
     dedup,
     curation,
@@ -89,6 +93,9 @@ _PRIORITY = [
     "embedding_cluster_canonical", "text_keyword_extraction",
     "snapshot_delete_rows", "multimodal_scene_changes",
     "source_csv_roundtrip", "source_jsonl_roundtrip",
+    "time_gapfill_locf", "orders_open_concurrency",
+    "winsorize_event_values", "order_reconciliation_audit",
+    "dq_constraint_suite",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

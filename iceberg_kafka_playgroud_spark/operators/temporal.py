@@ -1,0 +1,282 @@
+"""Time-series warehouse operators (SURVEY §2.9 extensions).
+
+Three classic temporal shapes every metrics warehouse runs and the
+reference's continuous-aggregate pipelines imply (the Kafka→Iceberg
+event stream is exactly the input these serve): calendar gap-fill
+with last-observation-carried-forward, interval-overlap concurrency
+via a sweep line, and percentile winsorization for outlier-robust
+metrics.
+
+Scale posture: every operator aggregates to a bounded-cardinality
+domain (days × event types, days, event types) BEFORE any global
+window, so the single-partition sorts run over thousands of rows even
+at 100 TB of input — the input-sized work is all map-side-combinable
+groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+
+
+def _daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Per (event_type, day) purchase-value sum in exact int64 cents —
+    the shared base aggregate (one map-side-combined shuffle)."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+
+
+def time_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar gap-fill + last-observation-carried-forward.
+
+    Builds the full day calendar spanning the events table, left-joins
+    the per-day purchase revenue onto it, and carries the last
+    observed value forward across gaps — the standard densification
+    step before charting/forecasting (TimescaleDB's ``time_bucket_gapfill
+    + locf`` shape re-expressed in Spark).
+
+    Plan: the observed aggregate is one shuffle; the calendar is built
+    driver-free with ``sequence()`` over the min/max day (a 1-row
+    cross join, broadcast); LOCF is ``last(ignorenulls=True)`` over a
+    day-ordered window. The window partitions by event_type and runs
+    over calendar-day cardinality (≤ tens of thousands of rows even
+    over decades), never over raw events.
+    """
+    rev = _daily_revenue(spark, sf).drop("event_type")
+    span = load_table(spark, sf, "events").agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    cal = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        cal.join(rev, "day", "left")
+        .select(
+            "day",
+            F.col("revenue_cents").isNotNull().alias("is_observed"),
+            F.last("revenue_cents", ignorenulls=True)
+            .over(w)
+            .alias("revenue_cents_filled"),
+        )
+        .orderBy("day")
+    )
+
+
+def orders_open_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Max-concurrent-open-orders sweep line.
+
+    An order is "open" from its order date through its last line-item
+    ship date (inclusive). Emits +1 at the start day and -1 the day
+    after the end day, aggregates deltas per day, and takes a running
+    sum in day order — the classic O(n log n) interval-overlap
+    counter (vs the quadratic self-join). Output: every day the
+    concurrency level changes, with the level in effect from that day.
+
+    Scale: per-order interval extraction is one orderkey shuffle with
+    map-side combine; deltas collapse to day cardinality BEFORE the
+    running sum, so the final (single-partition) window is bounded by
+    calendar days, not order count — the same shape at 100 TB.
+    """
+    li = load_table(spark, sf, "lineitem").groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("end_day")
+    )
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("start_day")
+    )
+    iv = o.join(li, o.o_orderkey == li.l_orderkey)
+    deltas = iv.select(
+        F.col("start_day").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            F.date_add("end_day", 1).alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    per_day = deltas.groupBy("day").agg(
+        F.sum("delta").cast("long").alias("net_delta")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per_day.select(
+            "day",
+            "net_delta",
+            F.sum("net_delta").over(w).cast("long").alias("open_orders"),
+        )
+        .where(F.col("net_delta") != 0)
+        .orderBy("day")
+    )
+
+
+def winsorize_event_values(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type p05/p95 winsorization audit on exact cents.
+
+    Computes discrete (type-7-free, index-based) 5th/95th percentile
+    cut points per event type — the element at index
+    ``floor(p·(n−1))`` in value order, so both engines pick the SAME
+    int64 cent value with no interpolation — then reports how many
+    values each tail clips and the winsorized sum. The standard
+    outlier-robustification before averaging telemetry.
+
+    Plan: one window rank per type + a broadcast of the per-type cut
+    points (one row per type) back onto the aggregate — no second
+    scan-sized shuffle. Ranking is input-sized but partitioned by
+    event_type; at scale the heavy types dominate a partition, which
+    is exactly what AQE skew-split handles (ranking within a type is
+    order-parallel after a range partition).
+    """
+    e = load_table(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    w = W.partitionBy("event_type").orderBy("vc", "event_id")
+    ranked = e.select(
+        "event_type",
+        "vc",
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    cuts = (
+        ranked.where(
+            (F.col("idx") == F.floor(F.lit(0.05) * (F.col("n") - 1)))
+            | (F.col("idx") == F.floor(F.lit(0.95) * (F.col("n") - 1)))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("vc").cast("long").alias("p05_cents"),
+            F.max("vc").cast("long").alias("p95_cents"),
+        )
+    )
+    clipped = (
+        e.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.max("p05_cents").alias("p05_cents"),
+            F.max("p95_cents").alias("p95_cents"),
+            F.sum((F.col("vc") < F.col("p05_cents")).cast("long"))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum((F.col("vc") > F.col("p95_cents")).cast("long"))
+            .cast("long")
+            .alias("n_clipped_high"),
+            F.sum(
+                F.greatest(
+                    F.col("p05_cents"), F.least(F.col("p95_cents"), F.col("vc"))
+                )
+            )
+            .cast("long")
+            .alias("winsorized_sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+    return clipped
+
+
+QUERIES = {
+    "time_gapfill_locf": time_gapfill_locf,
+    "orders_open_concurrency": orders_open_concurrency,
+    "winsorize_event_values": winsorize_event_values,
+}
+
+ORACLES = {
+    "time_gapfill_locf": """
+        WITH rev AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        span AS (
+          SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+          FROM events
+        ),
+        cal AS (
+          SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+          FROM span
+        )
+        SELECT c.day,
+               r.revenue_cents IS NOT NULL AS is_observed,
+               last_value(r.revenue_cents IGNORE NULLS) OVER (
+                 ORDER BY c.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS revenue_cents_filled
+        FROM cal c LEFT JOIN rev r ON c.day = r.day
+        ORDER BY c.day
+    """,
+    "orders_open_concurrency": """
+        WITH iv AS (
+          SELECT CAST(o.o_orderdate AS DATE) AS start_day,
+                 MAX(CAST(l.l_shipdate AS DATE)) AS end_day
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          GROUP BY o.o_orderkey, 1
+        ),
+        deltas AS (
+          SELECT start_day AS day, 1 AS delta FROM iv
+          UNION ALL
+          SELECT end_day + INTERVAL 1 DAY, -1 FROM iv
+        ),
+        per_day AS (
+          SELECT CAST(day AS DATE) AS day,
+                 CAST(SUM(delta) AS BIGINT) AS net_delta
+          FROM deltas GROUP BY 1
+        )
+        SELECT day, net_delta,
+               CAST(SUM(net_delta) OVER (
+                 ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS open_orders
+        FROM per_day
+        QUALIFY net_delta <> 0
+        ORDER BY day
+    """,
+    "winsorize_event_values": """
+        WITH v AS (
+          SELECT event_type, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS vc
+          FROM events
+        ),
+        ranked AS (
+          SELECT event_type, vc,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY vc, event_id) - 1 AS idx,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM v
+        ),
+        cuts AS (
+          SELECT event_type,
+                 CAST(MIN(vc) AS BIGINT) AS p05_cents,
+                 CAST(MAX(vc) AS BIGINT) AS p95_cents
+          FROM ranked
+          WHERE idx = floor(0.05 * (n - 1)) OR idx = floor(0.95 * (n - 1))
+          GROUP BY event_type
+        )
+        SELECT v.event_type, COUNT(*) AS n_values,
+               MAX(c.p05_cents) AS p05_cents,
+               MAX(c.p95_cents) AS p95_cents,
+               CAST(SUM(CASE WHEN v.vc < c.p05_cents THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_clipped_low,
+               CAST(SUM(CASE WHEN v.vc > c.p95_cents THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_clipped_high,
+               CAST(SUM(GREATEST(c.p05_cents, LEAST(c.p95_cents, v.vc)))
+                 AS BIGINT) AS winsorized_sum_cents
+        FROM v JOIN cuts c ON v.event_type = c.event_type
+        GROUP BY v.event_type
+        ORDER BY v.event_type
+    """,
+}

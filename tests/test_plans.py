@@ -523,3 +523,40 @@ def test_pagerank_plan_has_no_cartesian(spark, sf_dir):
     plan = physical_plan(advanced.graph_pagerank(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winsorize_broadcasts_cutpoints(spark, sf_dir):
+    """The per-type cut points (one row per event type) must broadcast
+    back onto the scan — a shuffle join here would re-shuffle the
+    whole events table for a 5-row dimension."""
+    from iceberg_kafka_playgroud_spark.operators import temporal
+
+    plan = physical_plan(temporal.winsorize_event_values(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_concurrency_sweep_aggregates_before_global_window(spark, sf_dir):
+    """The sweep-line running sum is single-partition by necessity —
+    it must therefore run AFTER the per-day delta aggregation, so the
+    global window sees calendar-day cardinality, never order rows."""
+    from iceberg_kafka_playgroud_spark.operators import temporal
+
+    plan = physical_plan(temporal.orders_open_concurrency(spark, sf_dir))
+    # partial aggregation collapses deltas to days before the sort
+    assert "HashAggregate" in plan
+    win = plan.index("Window")
+    agg = plan.rindex("HashAggregate")
+    assert agg > win, "day aggregation must be below (before) the window"
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_and_audit_no_cartesian(spark, sf_dir):
+    from iceberg_kafka_playgroud_spark.operators import audit, temporal
+
+    for fn in (
+        temporal.time_gapfill_locf,
+        audit.order_reconciliation_audit,
+        audit.dq_constraint_suite,
+    ):
+        assert "CartesianProduct" not in physical_plan(fn(spark, sf_dir))
