@@ -95,7 +95,8 @@ _PRIORITY = [
     "source_csv_roundtrip", "source_jsonl_roundtrip",
     "time_gapfill_locf", "orders_open_concurrency",
     "winsorize_event_values", "order_reconciliation_audit",
-    "dq_constraint_suite",
+    "dq_constraint_suite", "graph_triangle_count", "item_item_cosine",
+    "sketch_kmv_distinct",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

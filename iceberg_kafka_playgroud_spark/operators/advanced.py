@@ -1290,6 +1290,188 @@ def user_behavior_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+PAIR_MIN_SUPPORT = 2  # co-occurrence edges need >= 2 shared orders
+COSINE_TOP = 20
+KMV_K = 32  # k-minimum-values sketch size
+
+
+def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Undirected co-purchase part graph: (pa < pb, n_orders) pairs
+    co-occurring in >= PAIR_MIN_SUPPORT orders. Basket-keyed pair
+    generation (per-order O(items²) with small bounded baskets — see
+    basket_pair_frequency); the support threshold prunes hub noise
+    BEFORE any graph algorithm touches the edge list."""
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= PAIR_MIN_SUPPORT)
+    )
+
+
+def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph with DEGREE-ORDERED
+    orientation (compact-forward): each undirected edge is directed
+    from its lower-(degree, id) endpoint, every triangle is counted
+    exactly once at its minimum-degree corner, and wedge fan-out is
+    bounded by out-degree — O(Σ d_out^{3/2}-ish) instead of the hub-
+    quadratic naive wedge join. The orientation needs NO global rank:
+    (degree, id) tuple comparison is already a total order, so there
+    is no single-partition window anywhere — the whole pipeline is
+    equi-joins on node ids that AQE can re-balance.
+
+    The oracle counts the same triangles with the simple a<b<c
+    formulation — triangle COUNT is orientation-invariant, so the
+    Spark side is free to pick the scalable plan.
+    """
+    e = _copurchase_edges(spark, sf).select("pa", "pb")
+    deg = (
+        e.select(F.col("pa").alias("p"))
+        .unionAll(e.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("p").alias("pa"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("p").alias("pb"), F.col("deg").alias("deg_b"))
+    ed = e.join(da, "pa").join(db, "pb")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
+    )
+    w1 = oriented.select(
+        F.col("src").alias("x"),
+        F.col("dst").alias("y"),
+        F.col("deg_dst").alias("deg_y"),
+    )
+    w2 = oriented.select(
+        F.col("src").alias("x"),
+        F.col("dst").alias("z"),
+        F.col("deg_dst").alias("deg_z"),
+    )
+    wedges = w1.join(w2, "x").filter(
+        (F.col("deg_y") < F.col("deg_z"))
+        | ((F.col("deg_y") == F.col("deg_z")) & (F.col("y") < F.col("z")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("y"), F.col("dst").alias("z")
+    )
+    tri = wedges.join(closing, ["y", "z"]).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    stats = e.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
+        deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    # 1-row × 1-row attaches — constant-cost broadcast joins
+    return stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+def item_item_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: cosine over the
+    binary order×part incidence matrix, cos(a,b) = n_ab/√(n_a·n_b),
+    ranked in EXACT fixed-point — score_ppm = ⌊n_ab²·10⁶/(n_a·n_b)⌋
+    (the square of the cosine in parts-per-million) avoids the √ and
+    keeps the comparison bit-exact across engines. The classic
+    "customers who bought X also bought Y" batch job.
+
+    Plan: co-occurrence counts are basket-keyed (never part×part);
+    item degrees are one map-side-combined aggregate broadcast onto
+    the (support-pruned) pair list; final top-k is TakeOrdered.
+    """
+    pairs = _copurchase_edges(spark, sf)
+    deg = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_item"))
+    )
+    da = deg.select(F.col("l_partkey").alias("pa"), F.col("n_item").alias("n_a"))
+    db = deg.select(F.col("l_partkey").alias("pb"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
+        .select(
+            "pa",
+            "pb",
+            F.col("n_orders").alias("n_both"),
+            "n_a",
+            "n_b",
+            F.floor(
+                F.col("n_orders") * F.col("n_orders") * F.lit(1_000_000)
+                / (F.col("n_a") * F.col("n_b"))
+            )
+            .cast("long")
+            .alias("cos2_ppm"),
+        )
+        .orderBy(F.col("cos2_ppm").desc(), F.col("pa"), F.col("pb"))
+        .limit(COSINE_TOP)
+    )
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch with an exact audit.
+
+    Hashes every user id to 32 bits (md5 prefix — the one hash both
+    engines compute identically), keeps the KMV_K smallest DISTINCT
+    hash values, and estimates |users| = ⌊(k−1)·2³²/h_k⌋ — the KMV
+    estimator (Bar-Yossef et al. 2002), the mergeable-sketch
+    primitive behind theta sketches. Output pins the estimate AND its
+    exact error so a wrong hash, a wrong k-th selection, or a wrong
+    formula all break the oracle.
+
+    Scale: the distinct-hash reduction is map-side-combinable and the
+    k-smallest selection is a TakeOrdered (per-partition top-k, then
+    a k-sized merge on the driver side of the exchange) — no global
+    sort. At 100 TB the same sketch is computed per partition and
+    merged by unioning hash sets and re-truncating to k.
+    """
+    e = load_table(spark, sf, "events").select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    kth = (
+        e.distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+        .agg(F.max("h").alias("kth_hash"), F.count("*").alias("k_used"))
+    )
+    exact = load_table(spark, sf, "events").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    est = F.floor(
+        F.lit((KMV_K - 1) * 4294967296) / F.col("kth_hash")
+    ).cast("long")
+    return (
+        kth.crossJoin(exact)  # 1-row × 1-row
+        .select(
+            F.col("k_used").cast("long").alias("k_used"),
+            F.col("kth_hash").cast("long").alias("kth_hash"),
+            est.alias("est_distinct"),
+            "exact_distinct",
+            F.floor(
+                F.abs(est - F.col("exact_distinct"))
+                * F.lit(1_000_000)
+                / F.col("exact_distinct")
+            )
+            .cast("long")
+            .alias("err_ppm"),
+        )
+    )
+
+
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
     "event_sessionize_batch": event_sessionize_batch,
@@ -1299,6 +1481,9 @@ QUERIES = {
     "events_zscore_normalize": events_zscore_normalize,
     "events_moving_average": events_moving_average,
     "graph_pagerank": graph_pagerank,
+    "graph_triangle_count": graph_triangle_count,
+    "item_item_cosine": item_item_cosine,
+    "sketch_kmv_distinct": sketch_kmv_distinct,
     "fuzzy_join_levenshtein": fuzzy_join_levenshtein,
     "scd2_dimension_join": scd2_dimension_join,
     "merge_scd1_apply": merge_scd1_apply,
@@ -1380,7 +1565,62 @@ def _sessions_cte(extra: str = "") -> str:
         )"""
 
 
+_COPURCHASE_SQL = """
+  li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+  e AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_both
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+"""
+
 ORACLES = {
+    "graph_triangle_count": f"""
+        WITH {_COPURCHASE_SQL},
+        nodes AS (SELECT pa AS p FROM e UNION SELECT pb FROM e),
+        tri AS (
+          SELECT COUNT(*) AS n
+          FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+               (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles
+    """,
+    "item_item_cosine": f"""
+        WITH {_COPURCHASE_SQL},
+        deg AS (SELECT p, COUNT(*) AS n_item FROM li GROUP BY p)
+        SELECT e.pa, e.pb, CAST(e.n_both AS BIGINT) AS n_both,
+               CAST(da.n_item AS BIGINT) AS n_a,
+               CAST(db.n_item AS BIGINT) AS n_b,
+               CAST(floor(e.n_both * e.n_both * 1000000
+                          / (da.n_item * db.n_item)) AS BIGINT) AS cos2_ppm
+        FROM e JOIN deg da ON e.pa = da.p JOIN deg db ON e.pb = db.p
+        ORDER BY cos2_ppm DESC, e.pa, e.pb
+        LIMIT {COSINE_TOP}
+    """,
+    "sketch_kmv_distinct": f"""
+        WITH h AS (
+          SELECT DISTINCT CAST(concat('0x',
+            substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+          FROM events
+        ),
+        kth AS (
+          SELECT CAST(MAX(h) AS BIGINT) AS kth_hash,
+                 CAST(COUNT(*) AS BIGINT) AS k_used
+          FROM (SELECT h FROM h ORDER BY h LIMIT {KMV_K})
+        ),
+        exact AS (
+          SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+          FROM events
+        )
+        SELECT k_used, kth_hash,
+               CAST(floor({(KMV_K - 1) * 4294967296} / kth_hash) AS BIGINT)
+                 AS est_distinct,
+               exact_distinct,
+               CAST(floor(abs(CAST(floor({(KMV_K - 1) * 4294967296} / kth_hash)
+                                   AS BIGINT) - exact_distinct)
+                          * 1000000 / exact_distinct) AS BIGINT) AS err_ppm
+        FROM kth, exact
+    """,
     "join_salted_skew": """
         WITH dim AS (SELECT * FROM (VALUES
             ('O', 'open'), ('F', 'finished'), ('P', 'pending')

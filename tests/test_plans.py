@@ -560,3 +560,19 @@ def test_gapfill_and_audit_no_cartesian(spark, sf_dir):
         audit.dq_constraint_suite,
     ):
         assert "CartesianProduct" not in physical_plan(fn(spark, sf_dir))
+
+
+def test_triangle_count_no_global_window(spark, sf_dir):
+    """Degree orientation must come from (deg, id) tuple comparison,
+    not a global rank — no single-partition Window, no cartesian."""
+    plan = physical_plan(advanced.graph_triangle_count(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_item_cosine_broadcasts_degrees(spark, sf_dir):
+    """Item degree vectors (part-count-sized) broadcast onto the
+    support-pruned pair list; top-k is TakeOrdered, not a global sort."""
+    plan = physical_plan(advanced.item_item_cosine(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
