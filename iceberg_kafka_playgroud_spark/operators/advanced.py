@@ -1290,6 +1290,69 @@ def user_behavior_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+ATTRIB_TOUCH_TYPES = ("view", "click")
+ATTRIB_WINDOW_DAYS = 7
+
+
+def events_last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent preceding view/click within 7 days, else
+    to 'direct' — the standard conversion-credit model, expressed as
+    one user-timeline window pass (no self-join).
+
+    The preceding touch is ``last(CASE … END) IGNORE NULLS`` over the
+    (ts, event_id)-ordered frame ending one row before the purchase;
+    touch ts and type use the SAME null-gate so they always come from
+    the same row. One shuffle keyed by user_id; the final aggregate is
+    channel-cardinality-sized.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf, "events")
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*ATTRIB_TOUCH_TYPES)
+    touch_ts = F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(
+        w_prev
+    )
+    touch_type = F.last(
+        F.when(is_touch, F.col("event_type")), ignorenulls=True
+    ).over(w_prev)
+    purchases = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            touch_ts.alias("touch_ts"),
+            touch_type.alias("touch_type"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("touch_ts")
+                >= F.col("ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_DAYS} DAYS"),
+                F.col("touch_type"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            "cents",
+        )
+    )
+    return (
+        purchases.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
 PAIR_MIN_SUPPORT = 2  # co-occurrence edges need >= 2 shared orders
 COSINE_TOP = 20
 KMV_K = 32  # k-minimum-values sketch size
@@ -1484,6 +1547,7 @@ QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "item_item_cosine": item_item_cosine,
     "sketch_kmv_distinct": sketch_kmv_distinct,
+    "events_last_touch_attribution": events_last_touch_attribution,
     "fuzzy_join_levenshtein": fuzzy_join_levenshtein,
     "scd2_dimension_join": scd2_dimension_join,
     "merge_scd1_apply": merge_scd1_apply,
@@ -1573,6 +1637,29 @@ _COPURCHASE_SQL = """
 """
 
 ORACLES = {
+    "events_last_touch_attribution": f"""
+        WITH t AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 last_value(CASE WHEN event_type IN {ATTRIB_TOUCH_TYPES!r}
+                                 THEN ts END IGNORE NULLS) OVER w AS touch_ts,
+                 last_value(CASE WHEN event_type IN {ATTRIB_TOUCH_TYPES!r}
+                                 THEN event_type END IGNORE NULLS) OVER w
+                   AS touch_type
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        p AS (
+          SELECT CASE WHEN touch_ts >= ts - INTERVAL {ATTRIB_WINDOW_DAYS} DAY
+                      THEN touch_type ELSE 'direct' END AS channel,
+                 cents
+          FROM t WHERE event_type = 'purchase'
+        )
+        SELECT channel, COUNT(*) AS n_purchases,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM p GROUP BY channel ORDER BY channel
+    """,
     "graph_triangle_count": f"""
         WITH {_COPURCHASE_SQL},
         nodes AS (SELECT pa AS p FROM e UNION SELECT pb FROM e),

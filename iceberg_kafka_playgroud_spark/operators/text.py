@@ -453,8 +453,89 @@ def text_keyword_extraction(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+BM25_QUERY_TERMS = ("spark", "join", "query")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10
+BM25_SCALE = 100_000  # fixed-point per-term contribution scale
+
+
+def text_bm25_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25-style sparse retrieval over the corpus for a fixed term
+    set — the classic lexical-recall stage of a RAG / dedup-recall
+    pipeline, expressed as pure relational algebra.
+
+    Per (doc, term): tf-saturation f·(k1+1)/(f + k1·(1−b + b·dl·N/T))
+    (with avgdl expanded to T/N so every input is an integer and the
+    float expression tree is literally identical in both engines),
+    times a rational IDF (N − df + ½)/(df + ½) — the log of classic
+    BM25 replaced by its rational argument so the per-term
+    contribution can be FLOORED to fixed-point and the per-doc sum
+    stays integer-exact (ranking-equivalent for single-term queries;
+    a documented deviation for multi-term).
+
+    Plan: one explode→(doc, term) count over ONLY the query terms
+    (the isin filter prunes before the shuffle), df and the corpus
+    totals (N, T) are term-count/1-row aggregates broadcast back, and
+    the final top-k is a TakeOrdered. Nothing input-sized shuffles
+    twice; at 100 TB the explode is scan-local and the aggregate is
+    map-side combined.
+    """
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    d = d.select("doc_id", "toks", F.size("toks").alias("dl"))
+    totals = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    hits = (
+        d.select(
+            "doc_id", "dl", F.explode("toks").alias("w")
+        )
+        .where(F.col("w").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    dfreq = (
+        hits.groupBy("w")
+        .agg(F.count_distinct("doc_id").cast("long").alias("df"))
+    )
+    tfc = (
+        F.col("f") * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("f")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B)
+                * F.col("dl")
+                * F.col("n_docs")
+                / F.col("total_tokens")
+            )
+        )
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    contrib = F.floor(F.lit(BM25_SCALE) * idf * tfc).cast("long")
+    return (
+        hits.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(totals))  # 1-row corpus stats
+        .select("doc_id", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").cast("long").alias("score_fp"),
+            F.count("*").cast("long").alias("n_terms_matched"),
+        )
+        .orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP)
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
+    "text_bm25_retrieval": text_bm25_retrieval,
     "text_bpe_token_count": text_bpe_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -477,6 +558,34 @@ _NSTOP = (
 )
 
 ORACLES = {
+    "text_bm25_retrieval": f"""
+        WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        d AS (SELECT doc_id, len(toks) AS dl, toks FROM tok),
+        totals AS (
+          SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM d
+        ),
+        hits AS (
+          SELECT doc_id, dl, w, COUNT(*) AS f
+          FROM (SELECT doc_id, dl, unnest(toks) AS w FROM d)
+          WHERE w IN {BM25_QUERY_TERMS!r}
+          GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY w)
+        SELECT h.doc_id,
+               CAST(SUM(CAST(floor(
+                 {BM25_SCALE}
+                 * ((t.n_docs - q.df + 0.5) / (q.df + 0.5))
+                 * (h.f * {BM25_K1 + 1.0!r}
+                    / (h.f + {BM25_K1!r}
+                       * ({1.0 - BM25_B!r}
+                          + {BM25_B!r} * h.dl * t.n_docs / t.total_tokens)))
+               ) AS BIGINT)) AS BIGINT) AS score_fp,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+        FROM hits h JOIN dfreq q ON h.w = q.w, totals t
+        GROUP BY h.doc_id
+        ORDER BY score_fp DESC, h.doc_id ASC
+        LIMIT {BM25_TOP}
+    """,
     "text_bpe_token_count": r"""
         WITH p AS (
           SELECT doc_id,

@@ -567,6 +567,43 @@ def stream_snapshot_ingest(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("snapshot_id")
 
 
+SESSION_GAP = "30 minutes"
+
+
+def stream_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
+    """ST7 (native form): sessionization with Spark's built-in
+    ``session_window`` — dynamic-gap windows merged in the state
+    store, the declarative twin of the ``applyInPandasWithState``
+    sessionizer (``stream_sessionize``). Watermark bounds state;
+    window end = last event + gap (end-exclusive merge: an event
+    landing exactly on the end starts a new session).
+
+    The oracle is the batch gaps-and-islands formulation — new
+    session when the gap to the previous event is >= 30 minutes —
+    which is exactly the semantics the state store implements, so the
+    streaming result must equal it on a bounded replay.
+    """
+    stream = events_file_stream(spark, sf)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("sess_start"),
+        F.col("session_window.end").alias("sess_end"),
+        "n_events",
+        "value_cents",
+    ).orderBy("user_id", "sess_start")
+
+
 def stream_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding (hopping) windows: 1-hour windows advancing every 30
     minutes, so each event lands in exactly two windows. Same
@@ -841,6 +878,7 @@ def stream_dim_enrichment(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sliding_counts": stream_sliding_counts,
+    "stream_session_window_native": stream_session_window_native,
     "stream_dim_enrichment": stream_dim_enrichment,
     "stream_snapshot_ingest": stream_snapshot_ingest,
     "stream_upsert_latest": stream_upsert_latest,
@@ -866,6 +904,35 @@ ORACLES = {
     # to_timestamp) so the oracle emits a NAIVE timestamp — DuckDB's
     # to_timestamp returns TIMESTAMPTZ, which the driver's schema
     # compare rejects against Spark's (UTC-naive-collected) TimestampType.
+    "stream_session_window_native": """
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        m AS (
+          SELECT user_id, ts, event_id, cents,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, ts, cents,
+                 SUM(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess_id
+          FROM m
+        )
+        SELECT user_id, MIN(ts) AS sess_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS value_cents
+        FROM s GROUP BY user_id, sess_id
+        ORDER BY user_id, sess_start
+    """,
     "stream_sliding_counts": """
         WITH expanded AS (
           SELECT event_type,
