@@ -98,6 +98,8 @@ _PRIORITY = [
     "dq_constraint_suite", "graph_triangle_count", "item_item_cosine",
     "sketch_kmv_distinct", "text_bm25_retrieval",
     "events_last_touch_attribution", "stream_session_window_native",
+    "snapshot_changelog_diff", "hybrid_rrf_retrieval",
+    "dedup_lexical_semantic_eval",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

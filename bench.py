@@ -63,6 +63,9 @@ def main() -> None:
         "text_quality_score",
         "text_lang_id",
         "stream_sessionize",
+        "text_bm25_retrieval",
+        "graph_triangle_count",
+        "orders_open_concurrency",
     ):
         if extra not in qs:
             raise SystemExit(f"bench: unknown headline query {extra!r}")

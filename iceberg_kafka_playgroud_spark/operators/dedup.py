@@ -1125,3 +1125,76 @@ ORACLES["embedding_cluster_canonical"] = f"""
       FROM ecc e JOIN nrm n ON e.vec_id = n.vec_id
     ) WHERE rk = 1
 """
+
+
+def dedup_lexical_semantic_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Agreement audit between the two near-dup detectors: the
+    MinHash-LSH (lexical, shingle Jaccard >= 0.5) pair set vs the
+    exact embedding-cosine (semantic, >= 0.45) pair set — the
+    detector-vs-detector A/B a pipeline runs before deciding which
+    dedup stage to trust. Output: both set sizes, the intersection,
+    each side's exclusive count, and the Jaccard agreement of the two
+    PAIR SETS in exact ppm.
+
+    Plan: both generators are the already-bucketed operators (band
+    join / block-pair scan); the comparison itself is one full outer
+    join on (d1, d2) — pair-set-sized, tiny next to candidate
+    generation — folded to a single audit row.
+    """
+    from .similarity import embedding_near_dup_pairs
+
+    lex = dedup_minhash_lsh(spark, sf).select(
+        "d1", "d2", F.lit(1).alias("in_lex")
+    )
+    sem = embedding_near_dup_pairs(spark, sf).select(
+        "d1", "d2", F.lit(1).alias("in_sem")
+    )
+    f = lex.join(sem, ["d1", "d2"], "full").select(
+        F.coalesce("in_lex", F.lit(0)).alias("in_lex"),
+        F.coalesce("in_sem", F.lit(0)).alias("in_sem"),
+    )
+    agg = f.agg(
+        F.sum("in_lex").cast("long").alias("n_lexical"),
+        F.sum("in_sem").cast("long").alias("n_semantic"),
+        F.sum(F.col("in_lex") * F.col("in_sem")).cast("long").alias("n_both"),
+    )
+    union_n = F.col("n_lexical") + F.col("n_semantic") - F.col("n_both")
+    return agg.select(
+        "n_lexical",
+        "n_semantic",
+        "n_both",
+        (F.col("n_lexical") - F.col("n_both")).alias("n_lexical_only"),
+        (F.col("n_semantic") - F.col("n_both")).alias("n_semantic_only"),
+        F.when(
+            union_n > 0, F.floor(F.col("n_both") * F.lit(1_000_000) / union_n)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("agreement_ppm"),
+    )
+
+
+QUERIES["dedup_lexical_semantic_eval"] = dedup_lexical_semantic_eval
+ORACLES["dedup_lexical_semantic_eval"] = f"""
+WITH lex AS (SELECT d1, d2 FROM ({ORACLES["dedup_minhash_lsh"]})),
+sem AS (SELECT d1, d2 FROM ({_SIM_ORACLES["embedding_near_dup_pairs"]})),
+f AS (
+  SELECT CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_lex,
+         CASE WHEN s.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_sem
+  FROM lex l FULL JOIN sem s ON l.d1 = s.d1 AND l.d2 = s.d2
+),
+agg AS (
+  SELECT CAST(SUM(in_lex) AS BIGINT) AS n_lexical,
+         CAST(SUM(in_sem) AS BIGINT) AS n_semantic,
+         CAST(SUM(in_lex * in_sem) AS BIGINT) AS n_both
+  FROM f
+)
+SELECT n_lexical, n_semantic, n_both,
+       n_lexical - n_both AS n_lexical_only,
+       n_semantic - n_both AS n_semantic_only,
+       CASE WHEN n_lexical + n_semantic - n_both > 0
+            THEN CAST(floor(n_both * 1000000
+                            / (n_lexical + n_semantic - n_both)) AS BIGINT)
+            ELSE 0 END AS agreement_ppm
+FROM agg
+"""

@@ -899,7 +899,76 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+RRF_K = 60  # standard reciprocal-rank-fusion constant
+RRF_SCALE = 10**9  # fixed-point contribution scale
+HYBRID_QUERY_DOC = 0  # query = document 0's embedding + the BM25 terms
+HYBRID_TOP = 10
+
+
+def hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval with reciprocal-rank fusion —
+    the two-tower RAG recall stage: BM25 ranks docs for the fixed
+    query terms, cosine similarity to the query document's embedding
+    ranks them semantically, and RRF fuses the two lists:
+    score = Σ ⌊10⁹/(K + rank)⌋ with K = 60, integer-exact so the
+    fused ordering is bit-stable across engines. A doc missing from
+    one list simply contributes nothing for it (the standard RRF
+    treatment).
+
+    Plan: the lexical side reuses the BM25 pipeline (one pruned
+    shuffle); the semantic side is a broadcast of the single query
+    vector over the embedding scan. Rank assignment is a global
+    row_number over each CANDIDATE list (matched docs / corpus) —
+    at 100 TB both lists are first truncated to the fusion horizon
+    (ranks beyond ~1000 contribute < 0.1% of a top rank) with
+    TakeOrdered, bounding the single-partition window to the horizon.
+    """
+    from .text import _bm25_scores
+
+    lex = _bm25_scores(spark, sf)
+    wlex = W.orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
+    lex_rank = lex.select(
+        "doc_id", F.row_number().over(wlex).alias("rank_lex")
+    )
+    em = load_table(spark, sf, "embeddings").select(
+        "vec_id", _to_double(F.col("embedding")).alias("vec")
+    )
+    q = em.filter(F.col("vec_id") == HYBRID_QUERY_DOC).select(
+        F.col("vec").alias("qvec")
+    )
+    sims = (
+        em.filter(F.col("vec_id") != HYBRID_QUERY_DOC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
+        )
+    )
+    wsem = W.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+    sem_rank = sims.select(
+        "doc_id", F.row_number().over(wsem).alias("rank_sem")
+    )
+    contrib = lambda rank: F.coalesce(  # noqa: E731
+        F.floor(F.lit(RRF_SCALE) / (F.lit(RRF_K) + rank)).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        lex_rank.join(sem_rank, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.col("rank_lex").cast("long").alias("rank_lex"),
+            F.col("rank_sem").cast("long").alias("rank_sem"),
+            (contrib(F.col("rank_lex")) + contrib(F.col("rank_sem")))
+            .cast("long")
+            .alias("rrf_fp"),
+        )
+        .orderBy(F.col("rrf_fp").desc(), F.col("doc_id").asc())
+        .limit(HYBRID_TOP)
+    )
+
+
 QUERIES = {
+    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_blocked": ann_topk_blocked,
     "ann_topk_ivf": ann_topk_ivf,
@@ -1161,7 +1230,42 @@ _QUANT_ORACLE = """
     FROM s
 """
 
+from .text import BM25_SCORES_SQL as _BM25_SCORES_SQL  # noqa: E402
+
+_HYBRID_ORACLE = f"""
+WITH {_BM25_SCORES_SQL},
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rank_lex
+  FROM bmscores
+),
+q AS (SELECT embedding AS qe FROM embeddings
+      WHERE vec_id = {HYBRID_QUERY_DOC}),
+sims AS (
+  SELECT e.vec_id AS doc_id,
+         round({_DOT.format(a='q.qe', b='e.embedding')}
+               / ({_NORM.format(a='q.qe')} * {_NORM.format(a='e.embedding')}),
+               6) AS sim
+  FROM q, embeddings e WHERE e.vec_id != {HYBRID_QUERY_DOC}
+),
+semr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sim DESC, doc_id) AS rank_sem
+  FROM sims
+)
+SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       CAST(l.rank_lex AS BIGINT) AS rank_lex,
+       CAST(s.rank_sem AS BIGINT) AS rank_sem,
+       COALESCE(CAST(floor({RRF_SCALE} / ({RRF_K} + l.rank_lex)) AS BIGINT), 0)
+         + COALESCE(CAST(floor({RRF_SCALE} / ({RRF_K} + s.rank_sem))
+                    AS BIGINT), 0) AS rrf_fp
+FROM lexr l FULL JOIN semr s ON l.doc_id = s.doc_id
+ORDER BY rrf_fp DESC, doc_id ASC
+LIMIT {HYBRID_TOP}
+"""
+
 ORACLES = {
+    "hybrid_rrf_retrieval": _HYBRID_ORACLE,
     "ann_topk_bruteforce": _TOPK_ORACLE,
     "embedding_quantize_int8": _QUANT_ORACLE,
     "embedding_top_component": _TOP_COMPONENT_ORACLE,

@@ -481,6 +481,16 @@ def text_bm25_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     twice; at 100 TB the explode is scan-local and the aggregate is
     map-side combined.
     """
+    return (
+        _bm25_scores(spark, sf)
+        .orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP)
+    )
+
+
+def _bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Full (unranked) BM25 score list — shared by the top-k query and
+    the hybrid RRF fusion (similarity.hybrid_rrf_retrieval)."""
     d = load_table(spark, sf, "documents").select(
         "doc_id", tokens(F.col("text")).alias("toks")
     )
@@ -528,8 +538,6 @@ def text_bm25_retrieval(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("contrib").cast("long").alias("score_fp"),
             F.count("*").cast("long").alias("n_terms_matched"),
         )
-        .orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
-        .limit(BM25_TOP)
     )
 
 
@@ -557,9 +565,11 @@ _NSTOP = (
     "['the','a','an','and','of','to','in','is','it','for'], lower(w))))"
 )
 
-ORACLES = {
-    "text_bm25_retrieval": f"""
-        WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# BM25 score CTE chain ending in `bmscores(doc_id, score_fp,
+# n_terms_matched)` — shared by the top-k oracle here and the hybrid
+# RRF oracle in operators/similarity.py
+BM25_SCORES_SQL = f"""
+        tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         d AS (SELECT doc_id, len(toks) AS dl, toks FROM tok),
         totals AS (
           SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM d
@@ -570,20 +580,27 @@ ORACLES = {
           WHERE w IN {BM25_QUERY_TERMS!r}
           GROUP BY 1, 2, 3
         ),
-        dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY w)
-        SELECT h.doc_id,
-               CAST(SUM(CAST(floor(
-                 {BM25_SCALE}
-                 * ((t.n_docs - q.df + 0.5) / (q.df + 0.5))
-                 * (h.f * {BM25_K1 + 1.0!r}
-                    / (h.f + {BM25_K1!r}
-                       * ({1.0 - BM25_B!r}
-                          + {BM25_B!r} * h.dl * t.n_docs / t.total_tokens)))
-               ) AS BIGINT)) AS BIGINT) AS score_fp,
-               CAST(COUNT(*) AS BIGINT) AS n_terms_matched
-        FROM hits h JOIN dfreq q ON h.w = q.w, totals t
-        GROUP BY h.doc_id
-        ORDER BY score_fp DESC, h.doc_id ASC
+        dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY w),
+        bmscores AS (
+          SELECT h.doc_id,
+                 CAST(SUM(CAST(floor(
+                   {BM25_SCALE}
+                   * ((t.n_docs - q.df + 0.5) / (q.df + 0.5))
+                   * (h.f * {BM25_K1 + 1.0!r}
+                      / (h.f + {BM25_K1!r}
+                         * ({1.0 - BM25_B!r}
+                            + {BM25_B!r} * h.dl * t.n_docs / t.total_tokens)))
+                 ) AS BIGINT)) AS BIGINT) AS score_fp,
+                 CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+          FROM hits h JOIN dfreq q ON h.w = q.w, totals t
+          GROUP BY h.doc_id
+        )"""
+
+ORACLES = {
+    "text_bm25_retrieval": f"""
+        WITH {BM25_SCORES_SQL}
+        SELECT doc_id, score_fp, n_terms_matched FROM bmscores
+        ORDER BY score_fp DESC, doc_id ASC
         LIMIT {BM25_TOP}
     """,
     "text_bpe_token_count": r"""

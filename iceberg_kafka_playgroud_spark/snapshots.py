@@ -515,7 +515,60 @@ def snapshot_incremental_read(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def snapshot_changelog_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC changelog between two snapshots (Iceberg
+    ``create_changelog_view`` / ``table_changes`` analog): row-level
+    INSERT/DELETE sets from snapshot 2 (second append) to snapshot 5
+    (post-COW-delete), aggregated per (change_type, bucket).
+
+    The diff is MANIFEST-PRUNED: files present in both snapshots'
+    manifests are dropped before any data is read — only the
+    symmetric difference of the file lists is scanned, which is how a
+    changelog read stays O(changed files) instead of O(table) at
+    100 TB. (This demo's delete rewrites every file, so the pruning
+    keeps all of them — the worst case — but the plan shape is the
+    scalable one.) Row-level changes then come from two exceptAll
+    diffs over the changed-file rows; identical rows appearing in
+    rewritten files cancel out, exposing the true inserts (append 3's
+    rows, minus the deleted user's) and deletes (user_0's pre-delete
+    rows).
+    """
+    table_dir = _build_demo_table(spark)  # snapshots 1-3 append, 4 replace
+    delete_where(spark, table_dir, F.col("user_id") == "user_0")  # 5
+    sid_a, sid_b = 2, 5
+    ma, mb = load_manifest(table_dir, sid_a), load_manifest(table_dir, sid_b)
+    fa = {f["path"] for f in ma["files"]}
+    fb = {f["path"] for f in mb["files"]}
+
+    def _rows(paths: set[str]) -> DataFrame:
+        full = [os.path.join(table_dir, DATA_DIR, p) for p in sorted(paths)]
+        return spark.read.parquet(*full).select(
+            "user_id", "timestamp", "amount"
+        )
+
+    ra, rb = _rows(fa - fb), _rows(fb - fa)
+    ins = rb.exceptAll(ra).withColumn("change_type", F.lit("INSERT"))
+    dels = ra.exceptAll(rb).withColumn("change_type", F.lit("DELETE"))
+    base = 1740787200000
+    idx = ((F.col("timestamp") - base) / 5000).cast("long")
+    return (
+        ins.unionAll(dels)
+        .select(
+            "change_type",
+            (idx % N_BUCKETS).alias("bucket"),
+            F.round(F.col("amount") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("change_type", "bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("long").alias("amount_cents"),
+        )
+        .orderBy("change_type", "bucket")
+    )
+
+
 QUERIES = {
+    "snapshot_changelog_diff": snapshot_changelog_diff,
     "snapshot_delete_rows": snapshot_delete_rows,
     "snapshot_rollback": snapshot_rollback,
     "snapshot_time_travel": snapshot_time_travel,
@@ -545,6 +598,24 @@ fab AS (
 """
 
 ORACLES = {
+    # diff snapshot 2 (ids < 800) -> snapshot 5 (ids < 1200 minus
+    # user_0 = ids {0, 1000}): inserts are append 3's surviving rows,
+    # deletes are user_0's rows that existed at snapshot 2
+    "snapshot_changelog_diff": f"""
+        WITH {_FAB},
+        ch AS (
+          SELECT 'INSERT' AS change_type, bucket, cents FROM fab
+          WHERE id >= 800 AND id < 1200 AND id % 1000 != 0
+          UNION ALL
+          SELECT 'DELETE', bucket, cents FROM fab
+          WHERE id < 800 AND id % 1000 = 0
+        )
+        SELECT change_type, CAST(bucket AS BIGINT) AS bucket,
+               COUNT(*) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS amount_cents
+        FROM ch GROUP BY change_type, bucket
+        ORDER BY change_type, bucket
+    """,
     "snapshot_time_travel": f"""
         WITH {_FAB},
         snaps AS (
