@@ -99,7 +99,9 @@ _PRIORITY = [
     "sketch_kmv_distinct", "text_bm25_retrieval",
     "events_last_touch_attribution", "stream_session_window_native",
     "snapshot_changelog_diff", "hybrid_rrf_retrieval",
-    "dedup_lexical_semantic_eval",
+    "dedup_lexical_semantic_eval", "bloom_filter_probe",
+    "events_rolling_distinct_users", "events_median_abs_deviation",
+    "snapshot_partition_evolution",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -1022,6 +1022,120 @@ def sketch_countmin_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+BLOOM_BITS = 65536  # m
+BLOOM_HASHES = 4  # k
+
+
+def _bloom_pos(col, i: int):
+    """Hash i of a key: md5("i:key") first 8 hex chars as a 32-bit int
+    mod m — the one hash family both engines compute identically."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_BITS
+    )
+
+
+def bloom_filter_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter semi-join pruning with an EXACT false-positive
+    audit — the runtime-filter primitive (Spark's own
+    InjectRuntimeFilter / Iceberg's bloom row-group filters) built
+    deterministically so both engines replay it bit-for-bit: k=4 md5
+    hash positions over an m=65536-bit filter on the BUILDING-segment
+    customer keys, probed by every order.
+
+    Output pins the whole contract in one row: build-key count, set
+    bit count, probe pass count, true member count, false positives,
+    and the measured FPR in ppm — so a wrong hash, a wrong k, or a
+    broken membership test all break the oracle. Bloom soundness
+    (zero false NEGATIVES) is implied by n_true_members counting only
+    bloom-passing rows and separately verified in the property tests.
+
+    Plan: the build side collapses to ≤ m distinct positions
+    (collect_set in a 1-row aggregate, broadcast); the probe is a
+    narrow per-row membership check against the broadcast array plus
+    one broadcast semi-join for ground truth — the big side never
+    shuffles. At scale the array membership becomes a real bitset
+    (Spark's BloomFilterAggregate); the plan shape is identical.
+    """
+    cust = load_table(spark, sf, "customer")
+    build = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    positions = build.select(
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col("key"), i) for i in range(BLOOM_HASHES)]
+            )
+        ).alias("pos")
+    )
+    bloom = positions.agg(
+        F.array_sort(F.collect_set("pos")).alias("bits"),
+        F.count_distinct(F.col("pos")).cast("long").alias("n_bits_set"),
+    )
+    n_build = build.agg(F.count("*").cast("long").alias("n_build_keys"))
+
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("key")
+    )
+    probed = (
+        o.crossJoin(F.broadcast(bloom))
+        .select(
+            "key",
+            "n_bits_set",
+            "bits",
+            *[
+                _bloom_pos(F.col("key"), i).alias(f"pos{i}")
+                for i in range(BLOOM_HASHES)
+            ],
+        )
+        .select(
+            "key",
+            "n_bits_set",
+            F.expr(
+                " AND ".join(
+                    f"array_contains(bits, pos{i})"
+                    for i in range(BLOOM_HASHES)
+                )
+            ).alias("passed"),
+        )
+    )
+    truth = probed.join(
+        F.broadcast(build.distinct().withColumn("is_member", F.lit(1))),
+        "key",
+        "left",
+    )
+    agg = truth.agg(
+        F.max("n_bits_set").alias("n_bits_set"),
+        F.count("*").cast("long").alias("n_probed"),
+        F.sum(F.col("passed").cast("long")).cast("long").alias("n_passed_bloom"),
+        F.sum(
+            (F.col("is_member").isNotNull() & F.col("passed")).cast("long")
+        )
+        .cast("long")
+        .alias("n_true_members"),
+    )
+    fp = F.col("n_passed_bloom") - F.col("n_true_members")
+    non_members = F.col("n_probed") - F.col("n_true_members")
+    return agg.crossJoin(F.broadcast(n_build)).select(
+        "n_build_keys",
+        "n_bits_set",
+        "n_probed",
+        "n_passed_bloom",
+        "n_true_members",
+        fp.alias("n_false_positives"),
+        F.when(non_members > 0, F.floor(fp * F.lit(1_000_000) / non_members))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fpr_ppm"),
+    )
+
+
 BASKET_TOP = 20
 
 
@@ -1514,8 +1628,10 @@ def sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     exact = load_table(spark, sf, "events").agg(
         F.countDistinct("user_id").cast("long").alias("exact_distinct")
     )
-    est = F.floor(
-        F.lit((KMV_K - 1) * 4294967296) / F.col("kth_hash")
+    # fewer than k distinct hashes → the sketch holds the whole set
+    # and IS the exact count (the textbook small-cardinality case)
+    est = F.when(F.col("k_used") < KMV_K, F.col("k_used")).otherwise(
+        F.floor(F.lit((KMV_K - 1) * 4294967296) / F.col("kth_hash"))
     ).cast("long")
     return (
         kth.crossJoin(exact)  # 1-row × 1-row
@@ -1548,6 +1664,7 @@ QUERIES = {
     "item_item_cosine": item_item_cosine,
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "events_last_touch_attribution": events_last_touch_attribution,
+    "bloom_filter_probe": bloom_filter_probe,
     "fuzzy_join_levenshtein": fuzzy_join_levenshtein,
     "scd2_dimension_join": scd2_dimension_join,
     "merge_scd1_apply": merge_scd1_apply,
@@ -1636,7 +1753,53 @@ _COPURCHASE_SQL = """
         GROUP BY 1, 2 HAVING COUNT(*) >= 2)
 """
 
+_BLOOM_POS_SQL = (
+    "(CAST(concat('0x', substring(md5({i} || ':' || CAST({key} AS VARCHAR)),"
+    " 1, 8)) AS BIGINT) % " + str(BLOOM_BITS) + ")"
+)
+
 ORACLES = {
+    "bloom_filter_probe": f"""
+        WITH build AS (
+          SELECT c_custkey AS key FROM customer
+          WHERE c_mktsegment = 'BUILDING'
+        ),
+        pos AS (
+          SELECT DISTINCT
+            {_BLOOM_POS_SQL.format(i="i", key="key")} AS pos
+          FROM build,
+               (SELECT unnest(generate_series(0, {BLOOM_HASHES - 1})) AS i)
+        ),
+        flags AS (
+          SELECT o.o_custkey AS key,
+                 {" AND ".join(
+                     _BLOOM_POS_SQL.format(i=str(i), key="o.o_custkey")
+                     + " IN (SELECT pos FROM pos)"
+                     for i in range(BLOOM_HASHES)
+                 )} AS passed,
+                 o.o_custkey IN (SELECT key FROM build) AS is_member
+          FROM orders o
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+                 CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_passed_bloom,
+                 CAST(SUM(CASE WHEN is_member AND passed THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_true_members
+          FROM flags
+        )
+        SELECT b.n_build_keys, p.n_bits_set, a.n_probed, a.n_passed_bloom,
+               a.n_true_members,
+               a.n_passed_bloom - a.n_true_members AS n_false_positives,
+               CASE WHEN a.n_probed - a.n_true_members > 0
+                    THEN CAST(floor((a.n_passed_bloom - a.n_true_members)
+                              * 1000000 / (a.n_probed - a.n_true_members))
+                         AS BIGINT)
+                    ELSE 0 END AS fpr_ppm
+        FROM agg a,
+             (SELECT CAST(COUNT(*) AS BIGINT) AS n_build_keys FROM build) b,
+             (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM pos) p
+    """,
     "events_last_touch_attribution": f"""
         WITH t AS (
           SELECT user_id, ts, event_id, event_type,
@@ -1699,14 +1862,17 @@ ORACLES = {
           SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
           FROM events
         )
-        SELECT k_used, kth_hash,
-               CAST(floor({(KMV_K - 1) * 4294967296} / kth_hash) AS BIGINT)
-                 AS est_distinct,
-               exact_distinct,
-               CAST(floor(abs(CAST(floor({(KMV_K - 1) * 4294967296} / kth_hash)
-                                   AS BIGINT) - exact_distinct)
+        , est AS (
+          SELECT k_used, kth_hash, exact_distinct,
+                 CASE WHEN k_used < {KMV_K} THEN k_used
+                      ELSE CAST(floor({(KMV_K - 1) * 4294967296} / kth_hash)
+                           AS BIGINT) END AS est_distinct
+          FROM kth, exact
+        )
+        SELECT k_used, kth_hash, est_distinct, exact_distinct,
+               CAST(floor(abs(est_distinct - exact_distinct)
                           * 1000000 / exact_distinct) AS BIGINT) AS err_ppm
-        FROM kth, exact
+        FROM est
     """,
     "join_salted_skew": """
         WITH dim AS (SELECT * FROM (VALUES

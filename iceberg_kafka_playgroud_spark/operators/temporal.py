@@ -187,13 +187,161 @@ def winsorize_event_values(spark: SparkSession, sf: str) -> DataFrame:
     return clipped
 
 
+ROLLING_DAYS = 7
+
+
+def events_rolling_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (the DAU/WAU
+    metric) — COUNT(DISTINCT) over a sliding window, which no engine's
+    window function computes directly. The scalable formulation:
+    collapse to distinct (user, day) presence first (map-side
+    combinable, the only input-sized shuffle), then explode each
+    presence row to the ≤7 target days it contributes to and count
+    distinct users per target day. Shuffle volume is 7× the PRESENCE
+    table (users × active days), never 7× raw events — at 100 TB the
+    presence collapse is the win, and the window width is a bounded
+    constant multiplier.
+
+    Only target days that exist in the data are reported (no calendar
+    densification — compose with time_gapfill_locf for that).
+    """
+    e = load_table(spark, sf, "events")
+    presence = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    contrib = presence.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add("day", ROLLING_DAYS - 1),
+            )
+        ).alias("target_day"),
+    )
+    days = presence.select(F.col("day").alias("target_day")).distinct()
+    return (
+        contrib.join(days, "target_day")
+        .groupBy("target_day")
+        .agg(F.count_distinct("user_id").cast("long").alias("rolling_users"))
+        .orderBy("target_day")
+    )
+
+
+def events_median_abs_deviation(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust dispersion per event type: median absolute deviation
+    (MAD) on exact cents — the outlier-resistant scale estimate that
+    pairs with winsorization. Both medians are DISCRETE index-based
+    (element at ⌊(n−1)/2⌋ in value order), so both engines pick the
+    same int64 value with no interpolation.
+
+    Plan: two ranking passes partitioned by event_type (rank values →
+    lower median, broadcast back; rank |x − med| → MAD). Same skew
+    posture as winsorize_event_values: per-type range partitions,
+    AQE-splittable.
+    """
+    e = load_table(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+
+    def _discrete_median(df: DataFrame, col: str) -> DataFrame:
+        w = W.partitionBy("event_type").orderBy(col, "event_id")
+        ranked = df.select(
+            "event_type",
+            F.col(col),
+            (F.row_number().over(w) - 1).alias("idx"),
+            F.count("*").over(W.partitionBy("event_type")).alias("n"),
+        )
+        return (
+            ranked.where(F.col("idx") == F.floor((F.col("n") - 1) / 2))
+            .groupBy("event_type")
+            .agg(F.min(col).cast("long").alias(f"med_{col}"))
+        )
+
+    med = _discrete_median(e, "vc")
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("vc") - F.col("med_vc")).alias("ad"),
+    )
+    mad = _discrete_median(dev, "ad")
+    return (
+        med.join(mad, "event_type")
+        .select(
+            "event_type",
+            F.col("med_vc").alias("median_cents"),
+            F.col("med_ad").alias("mad_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "events_rolling_distinct_users": events_rolling_distinct_users,
+    "events_median_abs_deviation": events_median_abs_deviation,
     "time_gapfill_locf": time_gapfill_locf,
     "orders_open_concurrency": orders_open_concurrency,
     "winsorize_event_values": winsorize_event_values,
 }
 
 ORACLES = {
+    "events_rolling_distinct_users": f"""
+        WITH presence AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        contrib AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(day,
+                   day + INTERVAL {ROLLING_DAYS - 1} DAY,
+                   INTERVAL 1 DAY)) AS DATE) AS target_day
+          FROM presence
+        ),
+        days AS (SELECT DISTINCT day AS target_day FROM presence)
+        SELECT c.target_day,
+               CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS rolling_users
+        FROM contrib c JOIN days d ON c.target_day = d.target_day
+        GROUP BY c.target_day
+        ORDER BY c.target_day
+    """,
+    "events_median_abs_deviation": """
+        WITH v AS (
+          SELECT event_type, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS vc
+          FROM events
+        ),
+        r1 AS (
+          SELECT event_type, vc,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY vc, event_id) - 1 AS idx,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM v
+        ),
+        med AS (
+          SELECT event_type, CAST(MIN(vc) AS BIGINT) AS med_vc
+          FROM r1 WHERE idx = floor((n - 1) / 2) GROUP BY event_type
+        ),
+        dev AS (
+          SELECT v.event_type, v.event_id,
+                 abs(v.vc - m.med_vc) AS ad
+          FROM v JOIN med m ON v.event_type = m.event_type
+        ),
+        r2 AS (
+          SELECT event_type, ad,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY ad, event_id) - 1 AS idx,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM dev
+        ),
+        mad AS (
+          SELECT event_type, CAST(MIN(ad) AS BIGINT) AS med_ad
+          FROM r2 WHERE idx = floor((n - 1) / 2) GROUP BY event_type
+        )
+        SELECT m.event_type, m.med_vc AS median_cents,
+               d.med_ad AS mad_cents
+        FROM med m JOIN mad d ON m.event_type = d.event_type
+        ORDER BY m.event_type
+    """,
     "time_gapfill_locf": """
         WITH rev AS (
           SELECT CAST(ts AS DATE) AS day,

@@ -515,6 +515,102 @@ def snapshot_incremental_read(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+BAND_CENTS = 250  # spec-2 partition transform: band = cents // 250
+
+
+def snapshot_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg partition-spec EVOLUTION analog: the table starts
+    bucket-partitioned (spec 1, appends 1-2), then switches to
+    amount-band partitioning (spec 2, append 3) WITHOUT rewriting old
+    data — each file keeps the spec it was written under, exactly
+    Iceberg's contract (spec-id per manifest entry).
+
+    The audit read proves the planner consequence: a predicate on the
+    NEW partition column (band = 2) prunes spec-2 files to the one
+    matching band directory but must still scan every spec-1 file
+    (their layout knows nothing of bands) — output pins both file
+    counts, the pruned-read file count, and the exact matching
+    row/cents totals so a wrong merge of specs breaks the oracle.
+    At 100 TB this is why evolving a spec is metadata-cheap but only
+    accelerates NEW data until old files are rewritten.
+    """
+    import atexit
+    import shutil
+
+    table_dir = tempfile.mkdtemp(prefix="snap_evo_")
+    atexit.register(shutil.rmtree, table_dir, ignore_errors=True)
+    commit_append(spark, table_dir, _fabric_slice(spark, 0, N_PER_APPEND))
+    commit_append(
+        spark, table_dir, _fabric_slice(spark, N_PER_APPEND, 2 * N_PER_APPEND)
+    )
+    spec1_files = load_manifest(table_dir, 2)["files"]
+
+    cents = F.round(F.col("amount") * 100).cast("long")
+    df3 = (
+        _fabric_slice(spark, 2 * N_PER_APPEND, 3 * N_PER_APPEND)
+        .drop(BUCKET_COL)
+        .withColumn("band", F.floor(cents / BAND_CENTS).cast("long"))
+    )
+    counts = {
+        r["band"]: r["cnt"]
+        for r in df3.groupBy("band").agg(F.count("*").alias("cnt")).collect()
+    }
+    out = os.path.join(table_dir, DATA_DIR, "s3")
+    df3.repartition(1).write.partitionBy("band").parquet(out)
+    spec2_files = []
+    for f in sorted(_glob.glob(f"{out}/band=*/part-*.parquet")):
+        band = int(f.split("band=")[1].split("/")[0])
+        spec2_files.append(
+            {
+                "path": os.path.relpath(f, os.path.join(table_dir, DATA_DIR)),
+                "spec": "band",
+                "band": band,
+                "record_count": counts[band],
+            }
+        )
+    _write_manifest(
+        table_dir,
+        {
+            "snapshot_id": 3,
+            "parent_id": 2,
+            "operation": "append",
+            "schema": _schema_json(df3.drop("band")),
+            "files": spec1_files + spec2_files,
+            "added_files": len(spec2_files),
+            "total_records": sum(
+                f["record_count"] for f in spec1_files + spec2_files
+            ),
+        },
+    )
+
+    # pruned read under band = 2: all spec-1 files + only the matching
+    # spec-2 band directory
+    pruned = [f for f in spec1_files] + [
+        f for f in spec2_files if f["band"] == 2
+    ]
+    paths = [os.path.join(table_dir, DATA_DIR, f["path"]) for f in pruned]
+    scanned = spark.read.parquet(*paths).where(
+        F.floor(cents / BAND_CENTS) == 2
+    )
+    agg = scanned.agg(
+        F.count("*").cast("long").alias("n_rows_matching"),
+        F.sum(cents).cast("long").alias("amount_cents_matching"),
+    )
+    total = spark.createDataFrame(
+        [
+            (
+                len(spec1_files),
+                len(spec2_files),
+                len(pruned),
+                sum(f["record_count"] for f in spec1_files + spec2_files),
+            )
+        ],
+        "n_spec1_files long, n_spec2_files long, "
+        "n_pruned_files long, n_total_rows long",
+    )
+    return total.crossJoin(agg)  # 1-row × 1-row
+
+
 def snapshot_changelog_diff(spark: SparkSession, sf: str) -> DataFrame:
     """CDC changelog between two snapshots (Iceberg
     ``create_changelog_view`` / ``table_changes`` analog): row-level
@@ -568,6 +664,7 @@ def snapshot_changelog_diff(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "snapshot_partition_evolution": snapshot_partition_evolution,
     "snapshot_changelog_diff": snapshot_changelog_diff,
     "snapshot_delete_rows": snapshot_delete_rows,
     "snapshot_rollback": snapshot_rollback,
@@ -598,6 +695,25 @@ fab AS (
 """
 
 ORACLES = {
+    # spec 1 = 2 appends x 4 buckets = 8 files; spec 2 = one file per
+    # distinct amount band in append 3 (ids 800..1200); pruned read =
+    # every spec-1 file + the band-2 directory
+    "snapshot_partition_evolution": f"""
+        WITH {_FAB}
+        SELECT CAST(8 AS BIGINT) AS n_spec1_files,
+               (SELECT CAST(COUNT(DISTINCT cents // {BAND_CENTS}) AS BIGINT)
+                FROM fab WHERE id >= 800) AS n_spec2_files,
+               CAST(8 AS BIGINT)
+                 + (SELECT CAST(COUNT(DISTINCT cents // {BAND_CENTS})
+                        AS BIGINT)
+                    FROM fab WHERE id >= 800
+                      AND cents // {BAND_CENTS} = 2) AS n_pruned_files,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM fab) AS n_total_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM fab
+                WHERE cents // {BAND_CENTS} = 2) AS n_rows_matching,
+               (SELECT CAST(SUM(cents) AS BIGINT) FROM fab
+                WHERE cents // {BAND_CENTS} = 2) AS amount_cents_matching
+    """,
     # diff snapshot 2 (ids < 800) -> snapshot 5 (ids < 1200 minus
     # user_0 = ids {0, 1000}): inserts are append 3's surviving rows,
     # deletes are user_0's rows that existed at snapshot 2

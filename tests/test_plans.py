@@ -576,3 +576,24 @@ def test_item_cosine_broadcasts_degrees(spark, sf_dir):
     plan = physical_plan(advanced.item_item_cosine(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rolling_distinct_presence_collapse_first(spark, sf_dir):
+    """The 7x calendar expansion must happen AFTER the (user, day)
+    presence dedup — the explode feeds on an aggregated input, so
+    shuffle volume is 7x presence, never 7x raw events."""
+    from iceberg_kafka_playgroud_spark.operators import temporal
+
+    import re
+
+    plan = physical_plan(
+        temporal.events_rolling_distinct_users(spark, sf_dir)
+    )
+    nodes = re.findall(r"\((\d+)\) (\w+)", plan)
+    first = {}
+    for nid, name in nodes:
+        first.setdefault(name, int(nid))
+    # numbered nodes run leaf-first: the explode (Generate) must come
+    # AFTER the presence-dedup aggregate
+    assert first["HashAggregate"] < first["Generate"]
+    assert "CartesianProduct" not in plan

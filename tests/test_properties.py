@@ -507,3 +507,58 @@ def test_zorder_interleave_is_bijective_and_bounded(spark, pairs):
         da = sum(((zv >> (2 * i)) & 1) << i for i in range(ZORDER_BITS))
         db = sum(((zv >> (2 * i + 1)) & 1) << i for i in range(ZORDER_BITS))
         assert (da, db) == (a, b)
+
+
+def test_bloom_has_zero_false_negatives(spark, sf_dir):
+    """Bloom soundness: EVERY true member must pass the filter — the
+    operator's n_true_members (members that passed) must equal the
+    independent member count, and set-bit count is bounded by k·|S|."""
+    from iceberg_kafka_playgroud_spark.operators import advanced
+    from iceberg_kafka_playgroud_spark.schema import load_table
+
+    row = advanced.bloom_filter_probe(spark, sf_dir).collect()[0]
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    n_members = orders.join(build, "o_custkey", "semi").count()
+    assert row["n_true_members"] == n_members, "false negative detected"
+    assert row["n_passed_bloom"] >= row["n_true_members"]
+    assert (
+        row["n_bits_set"]
+        <= advanced.BLOOM_HASHES * row["n_build_keys"]
+    )
+    assert row["n_bits_set"] <= advanced.BLOOM_BITS
+
+
+def test_triangle_count_matches_naive(spark, sf_dir):
+    """Degree-ordered compact-forward must count exactly the triangles
+    the naive id-ordered enumeration finds."""
+    from iceberg_kafka_playgroud_spark.operators import advanced
+
+    row = advanced.graph_triangle_count(spark, sf_dir).collect()[0]
+    e = advanced._copurchase_edges(spark, sf_dir).select("pa", "pb").cache()
+    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    naive = e1.join(e2, "b").join(e3, ["a", "c"]).count()
+    e.unpersist()
+    assert row["n_triangles"] == naive
+
+
+def test_kmv_estimate_within_theory_bound(spark, sf_dir):
+    """KMV relative error concentrates around 1/sqrt(k-1); assert the
+    fixture estimate is within 5 standard errors of exact — loose
+    enough to never flake, tight enough to catch a broken estimator
+    (k_used must equal K when the corpus has >= K distinct hashes)."""
+    from iceberg_kafka_playgroud_spark.operators import advanced
+
+    row = advanced.sketch_kmv_distinct(spark, sf_dir).collect()[0]
+    if row["k_used"] < advanced.KMV_K:
+        # sketch holds the whole hash set -> exact by construction
+        assert row["est_distinct"] == row["exact_distinct"]
+        assert row["err_ppm"] == 0
+    else:
+        rel_bound = 5.0 / (advanced.KMV_K - 1) ** 0.5
+        assert row["err_ppm"] <= rel_bound * 1_000_000
