@@ -1474,23 +1474,43 @@ KMV_K = 32  # k-minimum-values sketch size
 
 def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Undirected co-purchase part graph: (pa < pb, n_orders) pairs
-    co-occurring in >= PAIR_MIN_SUPPORT orders. Basket-keyed pair
-    generation (per-order O(items²) with small bounded baskets — see
-    basket_pair_frequency); the support threshold prunes hub noise
-    BEFORE any graph algorithm touches the edge list."""
-    li = (
+    co-occurring in >= PAIR_MIN_SUPPORT orders.
+
+    Pair generation is ONE basket-keyed shuffle: collect_set per order
+    (which also dedups repeated parts — no separate distinct pass),
+    then the ordered pairs come from an array-combinations expression
+    executor-side (sorted set → pa < pb for free). Baskets are small
+    and bounded, so per-row fan-out is O(basket²) with no join — half
+    the shuffles of the a×b self-join formulation and the same result.
+
+    Cache: the support-pruned edge list is tiny next to the basket
+    pass, and it has FOUR consumers (degrees, the oriented wedge join,
+    the stats row, item_item_cosine in the same session) — same
+    session-level reuse pattern as the minhash pair cache (dedup.py).
+    At 100 TB the pruned edge list is the node-pair graph, orders of
+    magnitude smaller than lineitem.
+    """
+    baskets = (
         load_table(spark, sf, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS pa, y AS pb)))"
+                )
+            )
+        ).alias("pr")
+    ).select("pr.pa", "pr.pb")
     return (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
+        pairs.groupBy("pa", "pb")
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= PAIR_MIN_SUPPORT)
+        .cache()
     )
 
 
@@ -1518,7 +1538,10 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     )
     da = deg.select(F.col("p").alias("pa"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("p").alias("pb"), F.col("deg").alias("deg_b"))
-    ed = e.join(da, "pa").join(db, "pb")
+    # every frame below is edge-list-sized (support-pruned) —
+    # broadcast them all so the whole triangle pipeline runs without
+    # a single downstream exchange
+    ed = e.join(F.broadcast(da), "pa").join(F.broadcast(db), "pb")
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("pa") < F.col("pb"))
     )
@@ -1537,14 +1560,14 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         F.col("dst").alias("z"),
         F.col("deg_dst").alias("deg_z"),
     )
-    wedges = w1.join(w2, "x").filter(
+    wedges = w1.join(F.broadcast(w2), "x").filter(
         (F.col("deg_y") < F.col("deg_z"))
         | ((F.col("deg_y") == F.col("deg_z")) & (F.col("y") < F.col("z")))
     )
     closing = oriented.select(
         F.col("src").alias("y"), F.col("dst").alias("z")
     )
-    tri = wedges.join(closing, ["y", "z"]).agg(
+    tri = wedges.join(F.broadcast(closing), ["y", "z"]).agg(
         F.count("*").cast("long").alias("n_triangles")
     )
     stats = e.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(

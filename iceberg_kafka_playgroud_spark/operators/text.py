@@ -541,9 +541,122 @@ def _bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 3
+
+
+def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-style merge TRAINING over the corpus (word-pair variant):
+    3 iterations of count-adjacent-pairs → pick the most frequent
+    (ties broken lexicographically) → merge every non-overlapping
+    occurrence left-to-right → recount. The tokenizer-training loop
+    every LLM data pipeline runs, expressed as pure relational
+    algebra — no UDFs, no driver-side token lists.
+
+    Merge semantics are the standard greedy scan: when the winning
+    pair is self-adjacent (w1 = w2 repeated, "a a a"), occurrences at
+    odd offsets within a run are consumed by their left neighbor —
+    implemented engine-portably as islands of consecutive candidate
+    positions keeping every other one.
+
+    Plan per iteration: one doc-keyed window (adjacent pairs via
+    lead), one map-side-combined pair count, a 1-row TakeOrdered for
+    the winner broadcast back, and a doc-keyed rebuild — the doc_id
+    partitioning is reused across all three iterations, so at 100 TB
+    each round is one partition-local pass plus a tiny global top-1.
+    The oracle unrolls the identical three rounds in SQL
+    (embedding_kmeans_lloyd precedent).
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    toks = d.select("doc_id", F.posexplode("toks").alias("pos", "t"))
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    out = None
+    for r in range(1, BPE_MERGES + 1):
+        p = toks.select(
+            "doc_id", "pos", "t", F.lead("t").over(wdoc).alias("tn")
+        )
+        pairs = p.where(F.col("tn").isNotNull())
+        top = (
+            pairs.groupBy("t", "tn")
+            .agg(F.count("*").cast("long").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(), F.col("t").asc(), F.col("tn").asc()
+            )
+            .limit(1)
+            .select(
+                F.col("t").alias("w1"), F.col("tn").alias("w2"), "pair_count"
+            )
+        )
+        row = top.select(
+            F.lit(r).cast("int").alias("merge_rank"), "w1", "w2", "pair_count"
+        )
+        out = row if out is None else out.unionAll(row)
+
+        cand = pairs.join(
+            F.broadcast(top.select("w1", "w2")),
+            (F.col("t") == F.col("w1")) & (F.col("tn") == F.col("w2")),
+        ).select("doc_id", "pos")
+        grp = (F.col("pos") - F.row_number().over(wdoc)).alias("grp")
+        keep = (
+            cand.select("doc_id", "pos", grp)
+            .withColumn(
+                "irn",
+                F.row_number().over(
+                    W.partitionBy("doc_id", "grp").orderBy("pos")
+                ),
+            )
+            .where(F.col("irn") % 2 == 1)
+            .select("doc_id", "pos")
+        )
+        # rename the keep-frame keys: k1/k2 share lineage with p (all
+        # derive from the same pair frame), so joins must reference
+        # globally-unique column names to avoid self-join ambiguity
+        k1 = keep.select(
+            F.col("doc_id").alias("m_doc"), F.col("pos").alias("m_pos")
+        )
+        k2 = keep.select(
+            F.col("doc_id").alias("c_doc"), (F.col("pos") + 1).alias("c_pos")
+        )
+        rebuilt = (
+            p.join(
+                k1,
+                (F.col("doc_id") == F.col("m_doc"))
+                & (F.col("pos") == F.col("m_pos")),
+                "left",
+            )
+            .join(
+                k2,
+                (F.col("doc_id") == F.col("c_doc"))
+                & (F.col("pos") == F.col("c_pos")),
+                "left",
+            )
+            .where(F.col("c_pos").isNull())
+            .select(
+                "doc_id",
+                "pos",
+                F.when(
+                    F.col("m_pos").isNotNull(),
+                    F.concat(F.col("t"), F.lit("_"), F.col("tn")),
+                )
+                .otherwise(F.col("t"))
+                .alias("t"),
+            )
+        )
+        toks = rebuilt.select(
+            "doc_id",
+            (F.row_number().over(wdoc) - 1).alias("pos"),
+            "t",
+        )
+    return out.orderBy("merge_rank")
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_bm25_retrieval": text_bm25_retrieval,
+    "bpe_train_merges": bpe_train_merges,
     "text_bpe_token_count": text_bpe_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -596,7 +709,79 @@ BM25_SCORES_SQL = f"""
           GROUP BY h.doc_id
         )"""
 
+def _bpe_iteration_sql(r: int) -> str:
+    """One unrolled BPE round (pairs → top-1 → island-respecting merge
+    → renumber), mirroring ``bpe_train_merges`` exactly."""
+    return f"""
+        p{r} AS (
+          SELECT a.doc_id, a.pos, a.t, b.t AS tn
+          FROM t{r - 1} a JOIN t{r - 1} b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        top{r} AS (
+          SELECT t AS w1, tn AS w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+          FROM p{r} GROUP BY t, tn
+          ORDER BY pair_count DESC, w1 ASC, w2 ASC LIMIT 1
+        ),
+        cand{r} AS (
+          SELECT p.doc_id, p.pos,
+                 row_number() OVER (PARTITION BY p.doc_id
+                                    ORDER BY p.pos) AS rn
+          FROM p{r} p, top{r} q WHERE p.t = q.w1 AND p.tn = q.w2
+        ),
+        keep{r} AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY doc_id, pos - rn
+                                      ORDER BY pos) AS irn
+            FROM cand{r}
+          ) WHERE irn % 2 = 1
+        ),
+        n{r} AS (
+          SELECT p.doc_id, p.pos,
+                 CASE WHEN k1.pos IS NOT NULL
+                      THEN p.t || '_' || p.tn ELSE p.t END AS t
+          FROM (SELECT a.doc_id, a.pos, a.t,
+                       b.t AS tn
+                FROM t{r - 1} a LEFT JOIN t{r - 1} b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1) p
+          LEFT JOIN keep{r} k1
+            ON p.doc_id = k1.doc_id AND p.pos = k1.pos
+          LEFT JOIN keep{r} k2
+            ON p.doc_id = k2.doc_id AND p.pos = k2.pos + 1
+          WHERE k2.pos IS NULL
+        ),
+        t{r} AS (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                   AS pos,
+                 t
+          FROM n{r}
+        )"""
+
+
+_BPE_ORACLE = (
+    f"""
+        WITH b AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        idx AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks))) AS i
+          FROM b
+        ),
+        t0 AS (SELECT doc_id, i - 1 AS pos, toks[i] AS t FROM idx),
+        """
+    + ",\n".join(_bpe_iteration_sql(r) for r in range(1, BPE_MERGES + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, w1, w2, pair_count "
+        f"FROM top{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    + "\nORDER BY merge_rank"
+)
+
 ORACLES = {
+    "bpe_train_merges": _BPE_ORACLE,
     "text_bm25_retrieval": f"""
         WITH {BM25_SCORES_SQL}
         SELECT doc_id, score_fp, n_terms_matched FROM bmscores
