@@ -102,6 +102,7 @@ _PRIORITY = [
     "dedup_lexical_semantic_eval", "bloom_filter_probe",
     "events_rolling_distinct_users", "events_median_abs_deviation",
     "snapshot_partition_evolution", "bpe_train_merges",
+    "chunk_exact_dedup", "window_range_time", "user_activity_streaks",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -1404,6 +1404,44 @@ def user_behavior_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def user_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (gaps-and-islands on
+    the calendar): longest streak, streak count, and total active
+    days — the engagement metric behind every retention dashboard.
+    Island key = day − row_number() in day order (consecutive days
+    share it); both engines compute the identical integer key via
+    epoch-day arithmetic.
+
+    Plan: one distinct (user, day) collapse (map-side combinable),
+    one user-keyed window for the island key, then two user-keyed
+    aggregates — active-days-sized, never event-sized.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf, "events")
+    presence = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    islands = presence.select(
+        "user_id",
+        (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+         - F.row_number().over(w)).alias("grp"),
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak"),
+            F.count("*").cast("long").alias("n_streaks"),
+            F.sum("len").cast("long").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
 ATTRIB_TOUCH_TYPES = ("view", "click")
 ATTRIB_WINDOW_DAYS = 7
 
@@ -1688,6 +1726,7 @@ QUERIES = {
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "events_last_touch_attribution": events_last_touch_attribution,
     "bloom_filter_probe": bloom_filter_probe,
+    "user_activity_streaks": user_activity_streaks,
     "fuzzy_join_levenshtein": fuzzy_join_levenshtein,
     "scd2_dimension_join": scd2_dimension_join,
     "merge_scd1_apply": merge_scd1_apply,
@@ -1782,6 +1821,27 @@ _BLOOM_POS_SQL = (
 )
 
 ORACLES = {
+    "user_activity_streaks": """
+        WITH presence AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        islands AS (
+          SELECT user_id,
+                 CAST(day - DATE '1970-01-01' AS BIGINT)
+                   - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS grp
+          FROM presence
+        ),
+        streaks AS (
+          SELECT user_id, grp, COUNT(*) AS len
+          FROM islands GROUP BY user_id, grp
+        )
+        SELECT user_id,
+               CAST(MAX(len) AS BIGINT) AS longest_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(SUM(len) AS BIGINT) AS n_active_days
+        FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
     "bloom_filter_probe": f"""
         WITH build AS (
           SELECT c_custkey AS key FROM customer

@@ -183,6 +183,53 @@ CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
 
 
+def chunk_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph-level (chunk-level) exact dedup — the pass real
+    pretraining pipelines run BETWEEN document dedup and training:
+    boilerplate paragraphs (headers, licenses, navigation) repeat
+    across otherwise-distinct documents, so dedup at chunk
+    granularity removes what document-level hashing can't see.
+
+    Keeps the FIRST occurrence of each chunk hash in (doc_id,
+    chunk_idx) order and reports per-source removal stats. One hash
+    shuffle over the chunk set (chunking itself is narrow); the
+    keep-rank window is partitioned by chunk_md5 — key cardinality ≈
+    distinct chunks, the scalable partitioning.
+    """
+    from pyspark.sql import Window as W
+
+    chunks = doc_chunking(spark, sf)
+    src = load_table(spark, sf, "documents").select("doc_id", "source")
+    w = W.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("rk", F.row_number().over(w)).join(
+        F.broadcast(src), "doc_id"
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum((F.col("rk") > 1).cast("long"))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(F.col("chunk_tokens")).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("rk") > 1, F.col("chunk_tokens")))
+            .cast("long")
+            .alias("tokens_removed"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_removed",
+            "n_tokens",
+            F.coalesce("tokens_removed", F.lit(0)).alias("tokens_removed"),
+            F.floor(F.col("n_removed") * F.lit(1_000_000) / F.col("n_chunks"))
+            .cast("long")
+            .alias("removed_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 def doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
     """RAG-style document chunking: overlapping token windows (64
     tokens, stride 48) with per-chunk ids and content hashes — the
@@ -583,6 +630,7 @@ QUERIES = {
     "mixture_resample_balanced": mixture_resample_balanced,
     "quality_weighted_sample": quality_weighted_sample,
     "doc_chunking": doc_chunking,
+    "chunk_exact_dedup": chunk_exact_dedup,
     "sequence_pack_contiguous": sequence_pack_contiguous,
     "vocab_top_terms": vocab_top_terms,
     "contamination_ngram_overlap": contamination_ngram_overlap,
@@ -804,3 +852,23 @@ ORACLES = {
         "FROM bucketed GROUP BY source, bucket ORDER BY source, bucket"
     ),
 }
+
+
+ORACLES["chunk_exact_dedup"] = f"""
+WITH ch AS ({ORACLES["doc_chunking"]}),
+ranked AS (
+  SELECT c.doc_id, c.chunk_tokens, d.source,
+         row_number() OVER (PARTITION BY c.chunk_md5
+                            ORDER BY c.doc_id, c.chunk_idx) AS rk
+  FROM ch c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(chunk_tokens) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(CASE WHEN rk > 1 THEN chunk_tokens END), 0)
+         AS BIGINT) AS tokens_removed,
+       CAST(floor(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END)
+                  * 1000000 / COUNT(*)) AS BIGINT) AS removed_ppm
+FROM ranked GROUP BY source ORDER BY source
+"""

@@ -784,6 +784,36 @@ def window_range_numeric(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def window_range_time(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-interval RANGE frame: per-user trailing 1-hour activity
+    (event count + cents sum) — the sliding-window-on-event-time shape
+    telemetry queries run constantly. Spark's rangeBetween needs a
+    numeric order key, so the frame runs on floor(epoch seconds); the
+    oracle uses the identical integer key, making the inclusive
+    [t−3600, t] bound engine-exact (ties at the same second are all
+    in-frame by RANGE semantics in both engines).
+
+    One shuffle keyed by user_id; the frame scan is partition-local.
+    """
+    e = load_table(spark, sf, "events")
+    epoch = F.unix_timestamp("ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("long").alias("n_trailing_1h"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(w)
+        .cast("long")
+        .alias("cents_trailing_1h"),
+    )
+
+
 def top_k_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Canonical top-k-per-group (window + filter → no global sort)."""
     o = load_table(spark, sf, "orders")
@@ -1678,6 +1708,7 @@ QUERIES = {
     "window_running_sum": window_running_sum,
     "window_moving_avg": window_moving_avg,
     "window_range_numeric": window_range_numeric,
+    "window_range_time": window_range_time,
     "top_k_per_group": top_k_per_group,
     "set_union_all": set_union_all,
     "set_intersect": set_intersect,
@@ -2040,6 +2071,15 @@ ORACLES = {
         "SELECT o_orderkey, o_orderstatus, o_custkey, COUNT(*) OVER w AS n_near "
         "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_custkey "
         "RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)"
+    ),
+    "window_range_time": (
+        "SELECT event_id, user_id, ts, "
+        "CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h, "
+        "CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+        "  AS cents_trailing_1h "
+        "FROM events WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"
     ),
     "top_k_per_group": (
         "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
