@@ -32,7 +32,7 @@ from iceberg_kafka_playgroud_spark.operators import (  # noqa: E402
     text,
 )
 from iceberg_kafka_playgroud_spark import catalog, snapshots  # noqa: E402
-from iceberg_kafka_playgroud_spark.sources import kafka_avro  # noqa: E402
+from iceberg_kafka_playgroud_spark.sources import kafka_avro, python_datasource  # noqa: E402
 from iceberg_kafka_playgroud_spark.streaming import ingest  # noqa: E402
 
 _MODULES = [
@@ -48,6 +48,7 @@ _MODULES = [
     advanced,
     ingest,
     kafka_avro,
+    python_datasource,
     catalog,
     snapshots,
 ]
@@ -103,6 +104,7 @@ _PRIORITY = [
     "events_rolling_distinct_users", "events_median_abs_deviation",
     "snapshot_partition_evolution", "bpe_train_merges",
     "chunk_exact_dedup", "window_range_time", "user_activity_streaks",
+    "source_python_datasource",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

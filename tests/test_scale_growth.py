@@ -68,7 +68,18 @@ def _ops():
         "text_lang_id": text.text_lang_id,
         "text_bigram_logprob": text.text_bigram_logprob,
         "multimodal_phash_near_dup": multimodal.multimodal_phash_near_dup,
+        # round-6 continuation heavies (documents-only, so they run
+        # against the same scaled fixture)
+        "text_bm25_retrieval": text.text_bm25_retrieval,
+        "bpe_train_merges": text.bpe_train_merges,
+        "chunk_exact_dedup": _chunk_dedup,
     }
+
+
+def _chunk_dedup(spark, sf):
+    from iceberg_kafka_playgroud_spark.operators import curation
+
+    return curation.chunk_exact_dedup(spark, sf)
 
 
 def _best_of(fn, spark, sf_dir, n=2):
