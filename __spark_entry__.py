@@ -104,7 +104,8 @@ _PRIORITY = [
     "events_rolling_distinct_users", "events_median_abs_deviation",
     "snapshot_partition_evolution", "bpe_train_merges",
     "chunk_exact_dedup", "window_range_time", "user_activity_streaks",
-    "source_python_datasource",
+    "source_python_datasource", "basket_association_rules",
+    "multimodal_audio_fingerprint",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -1658,6 +1658,68 @@ def item_item_cosine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+RULES_TOP = 20
+
+
+def basket_association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Association rules over the co-purchase graph: for each directed
+    rule a→b, exact fixed-point confidence ⌊n_ab·10⁶/n_a⌋ and lift
+    ⌊n_ab·N·10⁶/(n_a·n_b)⌋ — the metrics layer on top of A-priori
+    support counting (basket_pair_frequency / _copurchase_edges).
+    Both directions of every supported pair are scored; top-k by
+    (lift, confidence, a, b) is a TakeOrdered.
+
+    Plan: reuses the cached support-pruned edge list; item counts and
+    the 1-row basket total broadcast onto it — nothing input-sized
+    moves after the basket pass.
+    """
+    pairs = _copurchase_edges(spark, sf)
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    deg = li.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    n_baskets = li.select("l_orderkey").distinct().agg(
+        F.count("*").cast("long").alias("n_baskets")
+    )
+    fwd = pairs.select(
+        F.col("pa").alias("a"), F.col("pb").alias("b"), "n_orders"
+    )
+    rev = pairs.select(
+        F.col("pb").alias("a"), F.col("pa").alias("b"), "n_orders"
+    )
+    da = deg.select(F.col("l_partkey").alias("a"), F.col("n_item").alias("n_a"))
+    db = deg.select(F.col("l_partkey").alias("b"), F.col("n_item").alias("n_b"))
+    rules = (
+        fwd.unionAll(rev)
+        .join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .crossJoin(F.broadcast(n_baskets))  # 1-row total
+        .select(
+            "a",
+            "b",
+            F.col("n_orders").alias("n_ab"),
+            "n_a",
+            "n_b",
+            "n_baskets",
+            F.floor(F.col("n_orders") * F.lit(1_000_000) / F.col("n_a"))
+            .cast("long")
+            .alias("confidence_ppm"),
+            F.floor(
+                F.col("n_orders") * F.col("n_baskets") * F.lit(1_000_000)
+                / (F.col("n_a") * F.col("n_b"))
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+    return rules.orderBy(
+        F.col("lift_ppm").desc(),
+        F.col("confidence_ppm").desc(),
+        F.col("a").asc(),
+        F.col("b").asc(),
+    ).limit(RULES_TOP)
+
+
 def sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """K-minimum-values distinct-count sketch with an exact audit.
 
@@ -1727,6 +1789,7 @@ QUERIES = {
     "events_last_touch_attribution": events_last_touch_attribution,
     "bloom_filter_probe": bloom_filter_probe,
     "user_activity_streaks": user_activity_streaks,
+    "basket_association_rules": basket_association_rules,
     "fuzzy_join_levenshtein": fuzzy_join_levenshtein,
     "scd2_dimension_join": scd2_dimension_join,
     "merge_scd1_apply": merge_scd1_apply,
@@ -1905,6 +1968,27 @@ ORACLES = {
         SELECT channel, COUNT(*) AS n_purchases,
                CAST(SUM(cents) AS BIGINT) AS revenue_cents
         FROM p GROUP BY channel ORDER BY channel
+    """,
+    "basket_association_rules": f"""
+        WITH {_COPURCHASE_SQL},
+        deg AS (SELECT p, COUNT(*) AS n_item FROM li GROUP BY p),
+        nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM li),
+        dirs AS (
+          SELECT pa AS a, pb AS b, n_both FROM e
+          UNION ALL
+          SELECT pb, pa, n_both FROM e
+        )
+        SELECT d.a, d.b, CAST(d.n_both AS BIGINT) AS n_ab,
+               CAST(da.n_item AS BIGINT) AS n_a,
+               CAST(db.n_item AS BIGINT) AS n_b,
+               nb.n_baskets,
+               CAST(floor(d.n_both * 1000000 / da.n_item) AS BIGINT)
+                 AS confidence_ppm,
+               CAST(floor(d.n_both * nb.n_baskets * 1000000
+                          / (da.n_item * db.n_item)) AS BIGINT) AS lift_ppm
+        FROM dirs d JOIN deg da ON d.a = da.p JOIN deg db ON d.b = db.p, nb
+        ORDER BY lift_ppm DESC, confidence_ppm DESC, d.a ASC, d.b ASC
+        LIMIT {RULES_TOP}
     """,
     "graph_triangle_count": f"""
         WITH {_COPURCHASE_SQL},

@@ -219,6 +219,69 @@ def multimodal_audio_rms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+AF_WIN = 64  # fingerprint window (samples)
+AF_MAX_DF = 50  # drop non-discriminative hashes present in > 50 docs
+AF_MIN_SHARED = 3  # docs must share >= 3 fingerprints to match
+AF_TOP = 20
+
+
+def multimodal_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-fingerprint matching (Shazam shape): per 64-sample window
+    take the PEAK (max byte, first position on ties), hash consecutive
+    peak pairs into landmark fingerprints (value₁, value₂, position
+    delta), and match documents sharing >= 3 distinct fingerprints via
+    an inverted hash index — candidate generation is the hash-bucket
+    join, never an all-pairs compare, with non-discriminative hashes
+    (document frequency > 50) pruned exactly like the df pruning in
+    dedup_ngram_jaccard. The fake-PCM payload keeps everything
+    deterministic; swap the byte source for real audio frames in
+    production.
+
+    Plan: fingerprinting is a narrow mapInPandas pass (argmax per
+    window in NumPy); one shuffle dedups (doc, hash); the bucket join
+    runs on the df-pruned index. Same scale posture as MinHash-LSH.
+    """
+    import numpy as np
+
+    src = with_payload(load_table(spark, sf, "documents"))
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fh": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                peaks = []
+                for j in range(0, (len(b) - 1) // AF_WIN + 1):
+                    w = b[AF_WIN * j : AF_WIN * (j + 1)]
+                    off = int(np.argmax(w))  # first max on ties
+                    peaks.append((int(w[off]), off))
+                for (v1, o1), (v2, o2) in zip(peaks, peaks[1:]):
+                    out["doc_id"].append(doc_id)
+                    out["fh"].append(
+                        (v1 * 256 + v2) * AF_WIN + ((o1 - o2 + AF_WIN) % AF_WIN)
+                    )
+            yield pd.DataFrame(out)
+
+    idx = src.mapInPandas(fps, schema="doc_id long, fh long").distinct()
+    keep = idx.groupBy("fh").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= AF_MAX_DF
+    )
+    pruned = idx.join(F.broadcast(keep.select("fh")), "fh")
+    a = pruned.select(F.col("fh"), F.col("doc_id").alias("d1"))
+    b = pruned.select(F.col("fh"), F.col("doc_id").alias("d2"))
+    return (
+        a.join(b, "fh")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= AF_MIN_SHARED)
+        .orderBy(F.col("n_shared").desc(), F.col("d1").asc(), F.col("d2").asc())
+        .limit(AF_TOP)
+    )
+
+
 def payload_dedup(src: DataFrame) -> DataFrame:
     """Exact dedup over a (doc_id, payload binary) frame: content-hash
     each blob inside Arrow batches (bytes never leave executors), then
@@ -362,6 +425,7 @@ def multimodal_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "multimodal_audio_rms": multimodal_audio_rms,
+    "multimodal_audio_fingerprint": multimodal_audio_fingerprint,
     "multimodal_phash_near_dup": multimodal_phash_near_dup,
     "multimodal_payload_dedup": multimodal_payload_dedup,
     "multimodal_features": multimodal_features,
@@ -439,6 +503,52 @@ ORACLES = {
     # byte values come from hex pairs of the encoded blob (byte-based,
     # not char-based — valid for any payload); Σb² is integer-exact and
     # the RMS expression matches the Spark side token for token
+    # peak key = byte*64 + (64 - i): max byte wins, ties -> smallest
+    # in-window position (numpy argmax-first); offset = 63 - key % 64
+    "multimodal_audio_fingerprint": f"""
+        WITH docs AS (
+          SELECT doc_id, hex(encode(text)) AS h,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        ),
+        wins AS (
+          SELECT doc_id, h, n,
+                 unnest(generate_series(0,
+                     CAST(ceil(CAST(n AS DOUBLE) / {AF_WIN}) - 1 AS BIGINT)))
+                   AS j
+          FROM docs
+        ),
+        peaks AS (
+          SELECT doc_id, j,
+                 list_aggregate(list_transform(
+                     generate_series(1, least({AF_WIN}, n - {AF_WIN} * j)),
+                     i -> CAST(CAST(concat('0x',
+                              substring(h, CAST({2 * AF_WIN} * j + 2*i - 1
+                                        AS INT), 2)) AS INTEGER) AS BIGINT)
+                          * {AF_WIN} + ({AF_WIN} - i)), 'max')
+                   AS key
+          FROM wins
+        ),
+        fp AS (
+          SELECT a.doc_id,
+                 ((a.key // {AF_WIN}) * 256 + (b.key // {AF_WIN}))
+                   * {AF_WIN}
+                 + ((b.key % {AF_WIN} - a.key % {AF_WIN} + {AF_WIN})
+                    % {AF_WIN}) AS fh
+          FROM peaks a JOIN peaks b
+            ON a.doc_id = b.doc_id AND b.j = a.j + 1
+        ),
+        dfp AS (SELECT DISTINCT doc_id, fh FROM fp),
+        keep AS (
+          SELECT fh FROM dfp GROUP BY fh HAVING COUNT(*) <= {AF_MAX_DF}
+        )
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM dfp a JOIN dfp b ON a.fh = b.fh AND a.doc_id < b.doc_id
+             JOIN keep k ON a.fh = k.fh
+        GROUP BY 1, 2 HAVING COUNT(*) >= {AF_MIN_SHARED}
+        ORDER BY n_shared DESC, d1, d2 LIMIT {AF_TOP}
+    """,
     "multimodal_audio_rms": """
         WITH docs AS (
           SELECT doc_id, hex(encode(text)) AS h,
