@@ -106,6 +106,7 @@ _PRIORITY = [
     "chunk_exact_dedup", "window_range_time", "user_activity_streaks",
     "source_python_datasource", "basket_association_rules",
     "multimodal_audio_fingerprint",
+    "recursive_cte_hierarchy", "lateral_join_topk",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

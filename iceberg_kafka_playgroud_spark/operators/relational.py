@@ -945,6 +945,62 @@ def cte_query(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_CTE_SQL)
 
 
+def recursive_cte_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 recursive CTE support): walk the
+    decimal-prefix hierarchy over customer keys (parent = key div 10 —
+    a deterministic org-chart/BOM stand-in), computing each node's
+    depth iteratively, then fold to a depth histogram with exact key
+    sums. Recursion is the one relational shape pre-4.0 Spark could
+    not express declaratively; the engine now runs it natively (the
+    iterative-join loop Catalyst unrolls is the same shape as the
+    hand-built label-propagation in dedup_connected_components).
+
+    Each recursion step is one join keyed on the parent key — at
+    scale, depth-many joins over the (shrinking) frontier, the
+    standard transitive-closure cost model.
+    """
+    _views(spark, sf, "customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE h AS (
+          SELECT c_custkey, 0 AS depth FROM customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, h.depth + 1
+          FROM customer c JOIN h ON c.c_custkey DIV 10 = h.c_custkey
+          WHERE c.c_custkey >= 10
+        )
+        SELECT depth, COUNT(*) AS n_customers,
+               CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        FROM h GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+def lateral_join_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 3.2+ SQL surface): for each
+    order status, the top-2 orders by (price, key) via a per-row
+    dependent subquery — the SQL-standard alternative to the window
+    top-k (top_k_per_group), exercising Catalyst's
+    DecorrelateInnerQuery path. Compiles to the same
+    window/aggregate shapes; the surface is what's under test.
+    """
+    _views(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT s.o_orderstatus, t.o_orderkey, t.hdr_cents
+        FROM (SELECT DISTINCT o_orderstatus FROM orders) s,
+        LATERAL (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS hdr_cents
+          FROM orders o
+          WHERE o.o_orderstatus = s.o_orderstatus
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) t
+        ORDER BY s.o_orderstatus, t.hdr_cents DESC, t.o_orderkey
+        """
+    )
+
+
 def window_ntile_first_last(spark: SparkSession, sf: str) -> DataFrame:
     """ntile / first_value / last_value with an explicit full frame —
     completes the analytic-window family. Total order (unique
@@ -1718,6 +1774,8 @@ QUERIES = {
     "subquery_in": subquery_in,
     "subquery_exists": subquery_exists,
     "cte_query": cte_query,
+    "recursive_cte_hierarchy": recursive_cte_hierarchy,
+    "lateral_join_topk": lateral_join_topk,
     "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -2071,6 +2129,30 @@ ORACLES = {
         "SELECT o_orderkey, o_orderstatus, o_custkey, COUNT(*) OVER w AS n_near "
         "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_custkey "
         "RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)"
+    ),
+    "recursive_cte_hierarchy": (
+        "WITH RECURSIVE h AS ("
+        "  SELECT c_custkey, 0 AS depth FROM customer WHERE c_custkey < 10"
+        "  UNION ALL"
+        "  SELECT c.c_custkey, h.depth + 1"
+        "  FROM customer c JOIN h ON c.c_custkey // 10 = h.c_custkey"
+        "  WHERE c.c_custkey >= 10"
+        ") "
+        "SELECT depth, COUNT(*) AS n_customers, "
+        "CAST(SUM(c_custkey) AS BIGINT) AS key_sum "
+        "FROM h GROUP BY depth ORDER BY depth"
+    ),
+    "lateral_join_topk": (
+        "SELECT s.o_orderstatus, t.o_orderkey, t.hdr_cents "
+        "FROM (SELECT DISTINCT o_orderstatus FROM orders) s, "
+        "LATERAL ("
+        "  SELECT o_orderkey, "
+        "         CAST(round(o_totalprice * 100) AS BIGINT) AS hdr_cents "
+        "  FROM orders o "
+        "  WHERE o.o_orderstatus = s.o_orderstatus "
+        "  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2"
+        ") t "
+        "ORDER BY s.o_orderstatus, t.hdr_cents DESC, t.o_orderkey"
     ),
     "window_range_time": (
         "SELECT event_id, user_id, ts, "
