@@ -78,22 +78,15 @@ _PRIORITY = [
     "dedup_cluster_stats", "text_ngram_novelty", "join_asof_nearest",
     # -- new round-6 operators (no driver row yet) --
     "stream_incremental_dedup", "multimodal_phash_near_dup",
-    "dedup_cluster_canonical", "mixture_resample_balanced",
-    "text_unigram_logprob",
-    "embedding_kmeans_lloyd", "graph_pagerank",
+    "dedup_cluster_canonical", "embedding_kmeans_lloyd", "graph_pagerank",
     "fuzzy_join_levenshtein",
     "scd2_dimension_join", "merge_scd1_apply", "stream_quality_gate",
     "zorder_layout_audit",
     "sketch_countmin_terms", "basket_pair_frequency",
     "ann_index_persist_probe",
-    "orders_abc_analysis",
-    "quality_weighted_sample", "snapshot_rollback",
-    "events_throttle_dedup", "text_bigram_logprob",
-    "embedding_norm_outliers", "rollup_serving_equivalence",
-    "dedup_containment_pairs", "doc_chunking", "embedding_cluster_components",
-    "embedding_cluster_canonical", "text_keyword_extraction",
-    "snapshot_delete_rows", "multimodal_scene_changes",
-    "source_csv_roundtrip", "source_jsonl_roundtrip",
+    "snapshot_rollback",
+    "embedding_norm_outliers", "dedup_containment_pairs", "embedding_cluster_components",
+    "embedding_cluster_canonical", "snapshot_delete_rows", "multimodal_scene_changes",
     "time_gapfill_locf", "orders_open_concurrency",
     "winsorize_event_values", "order_reconciliation_audit",
     "dq_constraint_suite", "graph_triangle_count", "item_item_cosine",
@@ -107,6 +100,10 @@ _PRIORITY = [
     "source_python_datasource", "basket_association_rules",
     "multimodal_audio_fingerprint",
     "recursive_cte_hierarchy", "lateral_join_topk",
+    # -- demoted round-6 plain-SQL shapes (window rebalance: the
+    #    complex second-window ops carry more driver-row information;
+    #    these front the r7 window if still unchecked) --
+    "mixture_resample_balanced", "text_unigram_logprob", "orders_abc_analysis", "quality_weighted_sample", "events_throttle_dedup", "text_bigram_logprob", "rollup_serving_equivalence", "doc_chunking", "text_keyword_extraction", "source_csv_roundtrip", "source_jsonl_roundtrip",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",
