@@ -872,3 +872,107 @@ SELECT source,
                   * 1000000 / COUNT(*)) AS BIGINT) AS removed_ppm
 FROM ranked GROUP BY source ORDER BY source
 """
+
+
+def corpus_report_card(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source dataset report card — the one-table summary a
+    training-data team publishes with every corpus release (HF dataset
+    card "statistics" section): volume (docs/chars/tokens), language
+    profile (count + deterministic mode), exact-duplicate load, and
+    mean quality — composed from the same engine primitives the
+    pipeline itself runs, in three shuffles total.
+
+    Exactness: quality is floored to per-doc milli units BEFORE
+    summing (float sums are association-order-dependent; int64 sums
+    are not); the dominant language tie-breaks lexicographically; dup
+    marking is keep-first on md5(normalized text) — all bit-stable
+    across engines and cluster sizes.
+    """
+    from .text import normalized, text_quality_score, tokens as _toks
+
+    d = load_table(spark, sf, "documents")
+    q = text_quality_score(spark, sf).select(
+        "doc_id", F.floor(F.col("quality_score") * 1000).alias("qm")
+    )
+    base = (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.size(_toks(F.col("text"))).alias("n_tokens"),
+            F.md5(normalized(F.col("text"))).alias("h"),
+        )
+        .join(q, "doc_id")
+        .withColumn(
+            "is_dup",
+            (
+                F.row_number().over(
+                    W.partitionBy("h").orderBy("doc_id")
+                )
+                > 1
+            ).cast("long"),
+        )
+    )
+    lang_mode = (
+        base.groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(
+                    F.col("n").desc(), F.col("lang").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+            F.sum("is_dup").cast("long").alias("n_exact_dups"),
+            F.sum("qm").cast("long").alias("sum_quality_milli"),
+        )
+        .join(F.broadcast(lang_mode), "source")
+        .orderBy("source")
+    )
+
+
+QUERIES["corpus_report_card"] = corpus_report_card
+ORACLES["corpus_report_card"] = f"""
+WITH q AS ({_TEXT_ORACLES["text_quality_score"]}),
+base AS (
+  SELECT d.doc_id, d.source, d.lang, d.n_chars,
+         len(list_filter(string_split(d.text, ' '), x -> x != ''))
+           AS n_tokens,
+         CAST(floor(q.quality_score * 1000) AS BIGINT) AS qm,
+         CASE WHEN row_number() OVER (
+                PARTITION BY md5({_NORM})
+                ORDER BY d.doc_id) > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+),
+lang_mode AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY COUNT(*) DESC, lang ASC) AS rk
+    FROM base GROUP BY source, lang
+  ) WHERE rk = 1
+)
+SELECT b.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(b.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT b.lang) AS BIGINT) AS n_langs,
+       CAST(SUM(b.is_dup) AS BIGINT) AS n_exact_dups,
+       CAST(SUM(b.qm) AS BIGINT) AS sum_quality_milli,
+       m.top_lang
+FROM base b JOIN lang_mode m ON b.source = m.source
+GROUP BY b.source, m.top_lang
+ORDER BY b.source
+"""

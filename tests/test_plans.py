@@ -597,3 +597,27 @@ def test_rolling_distinct_presence_collapse_first(spark, sf_dir):
     # AFTER the presence-dedup aggregate
     assert first["HashAggregate"] < first["Generate"]
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_and_takeordered(spark, sf_dir):
+    """BM25: df + corpus totals broadcast onto the pruned hit list;
+    top-k must be TakeOrdered, never a global sort."""
+    from iceberg_kafka_playgroud_spark.operators import text
+
+    plan = physical_plan(text.text_bm25_retrieval(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_fingerprint_df_pruned_bucket_join(spark, sf_dir):
+    """Fingerprint match: the hot-hash prune list broadcasts; the
+    candidate join is an equi-join on the hash, not an all-pairs."""
+    from iceberg_kafka_playgroud_spark.operators import multimodal
+
+    plan = physical_plan(
+        multimodal.multimodal_audio_fingerprint(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
