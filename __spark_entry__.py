@@ -81,7 +81,7 @@ _PRIORITY = [
     "dedup_cluster_canonical", "embedding_kmeans_lloyd", "graph_pagerank",
     "fuzzy_join_levenshtein",
     "scd2_dimension_join", "merge_scd1_apply", "stream_quality_gate",
-    "sketch_countmin_terms", "basket_pair_frequency",
+    "basket_pair_frequency",
     "ann_index_persist_probe",
     "snapshot_rollback",
     "embedding_norm_outliers", "dedup_containment_pairs", "embedding_cluster_components",
@@ -98,11 +98,11 @@ _PRIORITY = [
     "chunk_exact_dedup", "window_range_time", "user_activity_streaks",
     "source_python_datasource", "basket_association_rules",
     "multimodal_audio_fingerprint",
-    "recursive_cte_hierarchy", "lateral_join_topk", "corpus_report_card",
+    "recursive_cte_hierarchy", "lateral_join_topk", "corpus_report_card", "ann_matryoshka_recall",
     # -- demoted round-6 plain-SQL shapes (window rebalance: the
     #    complex second-window ops carry more driver-row information;
     #    these front the r7 window if still unchecked) --
-    "zorder_layout_audit", "mixture_resample_balanced", "text_unigram_logprob", "orders_abc_analysis", "quality_weighted_sample", "events_throttle_dedup", "text_bigram_logprob", "rollup_serving_equivalence", "doc_chunking", "text_keyword_extraction", "source_csv_roundtrip", "source_jsonl_roundtrip",
+    "sketch_countmin_terms", "zorder_layout_audit", "mixture_resample_balanced", "text_unigram_logprob", "orders_abc_analysis", "quality_weighted_sample", "events_throttle_dedup", "text_bigram_logprob", "rollup_serving_equivalence", "doc_chunking", "text_keyword_extraction", "source_csv_roundtrip", "source_jsonl_roundtrip",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -1319,3 +1319,108 @@ ORACLES = {
     """,
     "embedding_near_dup_lsh": _LSH_ORACLE,
 }
+
+
+MRL_DIM = 16  # Matryoshka truncation length
+
+
+def _topk_truncated(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force top-k over the FIRST MRL_DIM dimensions only —
+    the short-vector retrieval a Matryoshka-embedding deployment runs
+    for cheap first-stage recall."""
+    em = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        _to_double(F.slice(F.col("embedding"), 1, MRL_DIM)).alias("vec"),
+    )
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    pairs = F.broadcast(q).crossJoin(em).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sims = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+def ann_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka truncation eval: recall@k of 16-dim-prefix retrieval
+    against the full-dimension exact top-k — the measurement that
+    decides how far an MRL embedding can be truncated before recall
+    collapses (the modern cost/quality dial for 100 TB vector
+    corpora: a 4x-shorter prefix is 4x less scan + memory).
+    Composes two oracle-exact operators; the eval adds only
+    query-set-sized work (ann_recall_eval shape).
+    """
+    truth = ann_topk_bruteforce(spark, sf).select(
+        F.col("query_id").alias("q"), F.col("neighbor_id").alias("exact_id")
+    )
+    short = _topk_truncated(spark, sf).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("approx_id")
+    )
+    joined = truth.join(
+        short,
+        (F.col("q") == F.col("aq"))
+        & (F.col("exact_id") == F.col("approx_id")),
+        "left",
+    )
+    return (
+        joined.groupBy("q")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.col("approx_id").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            F.col("q").alias("query_id"),
+            "n_exact",
+            "n_hits",
+            F.floor(F.col("n_hits") * F.lit(1_000_000) / F.col("n_exact"))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_TRUNC_TOPK_ORACLE = f"""
+WITH tq AS (SELECT vec_id AS query_id, embedding[1:{MRL_DIM}] AS qe
+            FROM embeddings WHERE vec_id < {N_QUERIES}),
+tsims AS (
+  SELECT tq.query_id, e.vec_id AS neighbor_id,
+         round({_DOT.format(a='tq.qe', b=f'e.embedding[1:{MRL_DIM}]')}
+               / ({_NORM.format(a='tq.qe')}
+                  * {_NORM.format(a=f'e.embedding[1:{MRL_DIM}]')}), 6) AS sim
+  FROM tq JOIN embeddings e ON e.vec_id != tq.query_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM tsims
+  ) WHERE rank <= {TOP_K}
+),
+truth AS (SELECT query_id, neighbor_id FROM ({_TOPK_ORACLE}))
+SELECT t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_hits,
+       CAST(floor(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  * 1000000 / COUNT(*)) AS BIGINT) AS recall_ppm
+FROM truth t LEFT JOIN short s
+  ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+GROUP BY t.query_id ORDER BY t.query_id
+"""
+
+QUERIES["ann_matryoshka_recall"] = ann_matryoshka_recall
+ORACLES["ann_matryoshka_recall"] = _TRUNC_TOPK_ORACLE
