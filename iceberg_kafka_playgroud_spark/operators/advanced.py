@@ -1442,6 +1442,57 @@ def user_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def scd2_history_build(spark: SparkSession, sf: str) -> DataFrame:
+    """Construct an SCD type-2 versioned dimension FROM the fact
+    stream: each customer's order-status transitions become history
+    rows (status, valid_from, valid_to, version) — consecutive equal
+    statuses collapse (change detection), valid_to is the next
+    version's start (NULL while current). The inverse of
+    scd2_dimension_join: that op CONSUMES a versioned dimension; this
+    one BUILDS it, which is how dimensions come to exist in a
+    warehouse fed by CDC/event data.
+
+    Plan: one customer-keyed shuffle; change flags, version numbering
+    (running sum), per-version bounds, and the lead() close-out all
+    run in the same partitioning — four window passes, zero extra
+    exchanges.
+    """
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("d"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    flagged = o.withColumn(
+        "chg",
+        (
+            F.lag("o_orderstatus").over(w).isNull()
+            | (F.col("o_orderstatus") != F.lag("o_orderstatus").over(w))
+        ).cast("long"),
+    ).withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    hist = flagged.groupBy("o_custkey", "version").agg(
+        # all rows in a version share one status by construction
+        F.min("o_orderstatus").alias("status"),
+        F.min("d").alias("valid_from"),
+        F.count("*").cast("long").alias("n_orders_in_version"),
+    )
+    wv = W.partitionBy("o_custkey").orderBy("version")
+    return hist.select(
+        "o_custkey",
+        F.col("version").cast("long").alias("version"),
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_orders_in_version",
+    ).orderBy("o_custkey", "version")
+
+
 ATTRIB_TOUCH_TYPES = ("view", "click")
 ATTRIB_WINDOW_DAYS = 7
 
@@ -1790,6 +1841,7 @@ QUERIES = {
     "bloom_filter_probe": bloom_filter_probe,
     "user_activity_streaks": user_activity_streaks,
     "basket_association_rules": basket_association_rules,
+    "scd2_history_build": scd2_history_build,
     "fuzzy_join_levenshtein": fuzzy_join_levenshtein,
     "scd2_dimension_join": scd2_dimension_join,
     "merge_scd1_apply": merge_scd1_apply,
@@ -1884,6 +1936,42 @@ _BLOOM_POS_SQL = (
 )
 
 ORACLES = {
+    "scd2_history_build": """
+        WITH o AS (
+          SELECT o_custkey, o_orderkey, o_orderstatus,
+                 CAST(o_orderdate AS DATE) AS d
+          FROM orders
+        ),
+        flagged AS (
+          SELECT o_custkey, o_orderkey, o_orderstatus, d,
+                 CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                        OR o_orderstatus <> lag(o_orderstatus) OVER w
+                      THEN 1 ELSE 0 END AS chg
+          FROM o
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+        ),
+        versioned AS (
+          SELECT *,
+                 SUM(chg) OVER (PARTITION BY o_custkey
+                                ORDER BY d, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS version
+          FROM flagged
+        ),
+        hist AS (
+          SELECT o_custkey, version,
+                 MIN(o_orderstatus) AS status,
+                 MIN(d) AS valid_from,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders_in_version
+          FROM versioned GROUP BY o_custkey, version
+        )
+        SELECT o_custkey, CAST(version AS BIGINT) AS version, status,
+               valid_from,
+               lead(valid_from) OVER (PARTITION BY o_custkey
+                                      ORDER BY version) AS valid_to,
+               n_orders_in_version
+        FROM hist ORDER BY o_custkey, version
+    """,
     "user_activity_streaks": """
         WITH presence AS (
           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
