@@ -83,7 +83,7 @@ _PRIORITY = [
     "scd2_dimension_join", "merge_scd1_apply", "stream_quality_gate",
     "basket_pair_frequency",
     "ann_index_persist_probe",
-    "embedding_norm_outliers", "dedup_containment_pairs", "embedding_cluster_components",
+    "embedding_cluster_components",
     "embedding_cluster_canonical", "snapshot_delete_rows", "multimodal_scene_changes",
     "time_gapfill_locf", "orders_open_concurrency",
     "winsorize_event_values", "order_reconciliation_audit",
@@ -98,9 +98,11 @@ _PRIORITY = [
     "source_python_datasource", "basket_association_rules",
     "multimodal_audio_fingerprint",
     "recursive_cte_hierarchy", "lateral_join_topk", "corpus_report_card", "ann_matryoshka_recall", "scd2_history_build",
+    "dedup_similarity_histogram", "quality_dup_calibration",
     # -- demoted round-6 plain-SQL shapes (window rebalance: the
     #    complex second-window ops carry more driver-row information;
     #    these front the r7 window if still unchecked) --
+    "dedup_containment_pairs", "embedding_norm_outliers",
     "snapshot_rollback", "sketch_countmin_terms", "zorder_layout_audit", "mixture_resample_balanced", "text_unigram_logprob", "orders_abc_analysis", "quality_weighted_sample", "events_throttle_dedup", "text_bigram_logprob", "rollup_serving_equivalence", "doc_chunking", "text_keyword_extraction", "source_csv_roundtrip", "source_jsonl_roundtrip",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",

@@ -976,3 +976,67 @@ FROM base b JOIN lang_mode m ON b.source = m.source
 GROUP BY b.source, m.top_lang
 ORDER BY b.source
 """
+
+
+def quality_dup_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Calibration audit: exact-duplicate load per quality decile —
+    the sanity check that quality filtering and dedup agree (in most
+    real corpora, boilerplate clusters at LOW quality; if dups
+    concentrate in HIGH deciles the quality score is broken).
+    Deciles are ntile(10) over the total order (score, doc_id), so
+    bucket assignment is deterministic in both engines; dup marking
+    is keep-first on md5(normalized text).
+    """
+    from .text import normalized, text_quality_score
+
+    q = text_quality_score(spark, sf).select("doc_id", "quality_score")
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.md5(normalized(F.col("text"))).alias("h")
+    )
+    base = (
+        d.join(q, "doc_id")
+        .withColumn(
+            "is_dup",
+            (
+                F.row_number().over(W.partitionBy("h").orderBy("doc_id")) > 1
+            ).cast("long"),
+        )
+        .withColumn(
+            "decile",
+            F.ntile(10).over(
+                W.orderBy(F.col("quality_score").asc(), F.col("doc_id").asc())
+            ),
+        )
+    )
+    return (
+        base.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_exact_dups"),
+            F.floor(
+                F.sum("is_dup") * F.lit(1_000_000) / F.count("*")
+            )
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+QUERIES["quality_dup_calibration"] = quality_dup_calibration
+ORACLES["quality_dup_calibration"] = f"""
+WITH q AS ({_TEXT_ORACLES["text_quality_score"]}),
+base AS (
+  SELECT d.doc_id, q.quality_score,
+         CASE WHEN row_number() OVER (PARTITION BY md5({_NORM})
+                                      ORDER BY d.doc_id) > 1
+              THEN 1 ELSE 0 END AS is_dup,
+         ntile(10) OVER (ORDER BY q.quality_score ASC, d.doc_id ASC)
+           AS decile
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_exact_dups,
+       CAST(floor(SUM(is_dup) * 1000000 / COUNT(*)) AS BIGINT) AS dup_ppm
+FROM base GROUP BY decile ORDER BY decile
+"""

@@ -1198,3 +1198,30 @@ SELECT n_lexical, n_semantic, n_both,
             ELSE 0 END AS agreement_ppm
 FROM agg
 """
+
+
+def dedup_similarity_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Observability for dedup tuning: the distribution of verified
+    MinHash-pair Jaccard scores in tenth-wide buckets — the histogram
+    an operator inspects before moving the 0.5 threshold (how much
+    mass sits just below/above the cut). Pair-set-sized input (the
+    cached verified pairs), so the histogram is nearly free.
+    """
+    pairs = dedup_minhash_lsh(spark, sf)
+    return (
+        pairs.select(
+            F.floor(F.col("jaccard") * 10).cast("long").alias("bucket_tenths")
+        )
+        .groupBy("bucket_tenths")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("bucket_tenths")
+    )
+
+
+QUERIES["dedup_similarity_histogram"] = dedup_similarity_histogram
+ORACLES["dedup_similarity_histogram"] = f"""
+WITH pairs AS ({ORACLES["dedup_minhash_lsh"]})
+SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bucket_tenths,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
