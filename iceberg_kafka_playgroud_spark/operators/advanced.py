@@ -1595,10 +1595,17 @@ def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("pr")
     ).select("pr.pa", "pr.pb")
+    # coalesce before caching: the pruned edge list is thousands of
+    # rows, but it inherits the basket shuffle's partition count — a
+    # 32-64-task schedule for every downstream stage over a few-KB
+    # relation. A handful of cached partitions keeps downstream stages
+    # at O(1) tasks; on a real cluster AQE's advisory sizing makes the
+    # same call from runtime statistics.
     return (
         pairs.groupBy("pa", "pb")
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= PAIR_MIN_SUPPORT)
+        .coalesce(4)
         .cache()
     )
 
