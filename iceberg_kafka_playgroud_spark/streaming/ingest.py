@@ -567,6 +567,47 @@ def stream_snapshot_ingest(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("snapshot_id")
 
 
+def stream_windowed_approx_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming daily-active-users via HLL++ sketch: exact
+    COUNT(DISTINCT) is unsupported inside a streaming aggregation
+    (unbounded state), so production DAU dashboards run
+    approx_count_distinct in the watermarked window — the
+    sketch-in-stream pattern. The result is audited against the BATCH
+    exact count per window and the oracle pins the ±5% bound (the
+    agg_approx_distinct contract: sketch internals differ per engine,
+    error bounds don't).
+    """
+    from ..schema import load_table
+
+    stream = events_file_stream(spark, sf)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "24 hours"))
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+    out = _run_to_memory(agg, "complete").select(
+        F.col("window.start").alias("day_start"), "approx_users"
+    )
+    exact = (
+        load_table(spark, sf, "events")
+        .groupBy(F.window("ts", "24 hours"))
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+        .select(F.col("window.start").alias("day_start"), "exact_users")
+    )
+    return (
+        out.join(exact, "day_start")
+        .select(
+            "day_start",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
+        .orderBy("day_start")
+    )
+
+
 SESSION_GAP = "30 minutes"
 
 
@@ -879,6 +920,7 @@ QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_session_window_native": stream_session_window_native,
+    "stream_windowed_approx_users": stream_windowed_approx_users,
     "stream_dim_enrichment": stream_dim_enrichment,
     "stream_snapshot_ingest": stream_snapshot_ingest,
     "stream_upsert_latest": stream_upsert_latest,
@@ -904,6 +946,15 @@ ORACLES = {
     # to_timestamp) so the oracle emits a NAIVE timestamp — DuckDB's
     # to_timestamp returns TIMESTAMPTZ, which the driver's schema
     # compare rejects against Spark's (UTC-naive-collected) TimestampType.
+    # 24h tumbling windows are epoch-aligned in both engines; the
+    # oracle pins the exact count AND the TRUE error-bound flag
+    "stream_windowed_approx_users": """
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_start,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_5pct
+        FROM events
+        GROUP BY 1 ORDER BY 1
+    """,
     "stream_session_window_native": """
         WITH e AS (
           SELECT user_id, ts, event_id,
