@@ -914,8 +914,10 @@ def corpus_report_card(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("long"),
         )
     )
+    # mode only needs (source, lang) — group straight off the scan so
+    # the quality join + dup window aren't recomputed for this branch
     lang_mode = (
-        base.groupBy("source", "lang")
+        d.groupBy("source", "lang")
         .agg(F.count("*").alias("n"))
         .withColumn(
             "rk",

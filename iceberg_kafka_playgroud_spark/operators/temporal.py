@@ -52,9 +52,10 @@ def time_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
     Plan: the observed aggregate is one shuffle; the calendar is built
     driver-free with ``sequence()`` over the min/max day (a 1-row
     cross join, broadcast); LOCF is ``last(ignorenulls=True)`` over a
-    day-ordered window. The window partitions by event_type and runs
-    over calendar-day cardinality (≤ tens of thousands of rows even
-    over decades), never over raw events.
+    single GLOBAL day-ordered window — sound because the input is the
+    day-collapsed aggregate (calendar-day cardinality, ≤ tens of
+    thousands of rows even over decades), never raw events. A
+    multi-series variant would add partitionBy(series) to the window.
     """
     rev = _daily_revenue(spark, sf).drop("event_type")
     span = load_table(spark, sf, "events").agg(

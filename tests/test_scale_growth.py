@@ -57,7 +57,12 @@ def scaled_dir(spark, tmp_path_factory):
 
 
 def _ops():
-    from iceberg_kafka_playgroud_spark.operators import dedup, multimodal, text
+    from iceberg_kafka_playgroud_spark.operators import (
+        curation,
+        dedup,
+        multimodal,
+        text,
+    )
 
     return {
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -72,14 +77,8 @@ def _ops():
         # against the same scaled fixture)
         "text_bm25_retrieval": text.text_bm25_retrieval,
         "bpe_train_merges": text.bpe_train_merges,
-        "chunk_exact_dedup": _chunk_dedup,
+        "chunk_exact_dedup": curation.chunk_exact_dedup,
     }
-
-
-def _chunk_dedup(spark, sf):
-    from iceberg_kafka_playgroud_spark.operators import curation
-
-    return curation.chunk_exact_dedup(spark, sf)
 
 
 def _best_of(fn, spark, sf_dir, n=2):
