@@ -429,3 +429,147 @@ ORACLES = {
         ORDER BY v.event_type
     """,
 }
+
+
+def events_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type revenue trend: closed-form OLS slope over the DAILY
+    revenue series, computed entirely in exact int64 — x is the day
+    index from each type's first day (bounded by series length), y is
+    daily cents, and the classic n·Σxy − Σx·Σy / n·Σx² − (Σx)²
+    numerator/denominator stay integers (day-granularity keeps every
+    product far inside int64). ONE IEEE division produces the float
+    slope, so parity is bit-exact. The trend gate every metrics
+    alerting system runs.
+
+    Plan: day collapse (map-side combined) → per-type min-day
+    broadcast back → one types-sized aggregate. Nothing input-sized
+    after the first shuffle.
+    """
+    daily = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    lo = daily.agg(F.min("day").alias("day0"))
+    base = daily.crossJoin(F.broadcast(lo)).select(
+        F.datediff("day", "day0").cast("long").alias("x"), "y"
+    )
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "n",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias(
+            "slope_cents_per_day"
+        ),
+    )
+
+
+def events_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM change-point detection over daily revenue, integer-exact:
+    the cumulative deviation from the global mean is tracked as
+    S_k = n·Σ_{i≤k} y_i − k·Σy (the textbook statistic scaled by n so
+    no rational mean ever materializes), and the change point is the
+    day maximizing |S_k| — ties break to the earliest day. The
+    shift-detection primitive behind telemetry drift alerts.
+
+    Plan: day collapse, a 1-row totals broadcast, one ordered running
+    sum over day cardinality, and a 1-row argmax via TakeOrdered.
+    """
+    daily = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    scored = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (
+            F.col("n") * F.sum("y").over(w)
+            - F.row_number().over(W.orderBy("day")) * F.col("sy")
+        )
+        .cast("long")
+        .alias("s_scaled"),
+    )
+    return (
+        scored.orderBy(F.abs(F.col("s_scaled")).desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            "s_scaled",
+            F.abs(F.col("s_scaled")).cast("long").alias("abs_deviation"),
+        )
+    )
+
+
+QUERIES["events_trend_slope"] = events_trend_slope
+QUERIES["events_changepoint_cusum"] = events_changepoint_cusum
+ORACLES["events_trend_slope"] = """
+        WITH 
+  daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+  ),
+        lo AS (SELECT MIN(day) AS day0 FROM daily),
+        base AS (
+          SELECT CAST(day - day0 AS BIGINT) AS x, y FROM daily, lo
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM base
+        )
+        SELECT n,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+        FROM agg
+"""
+ORACLES["events_changepoint_cusum"] = """
+        WITH 
+  daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+  ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(y) AS BIGINT) AS sy FROM daily),
+        scored AS (
+          SELECT day,
+                 CAST(t.n * SUM(y) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - row_number() OVER (ORDER BY day) * t.sy
+                   AS BIGINT) AS s_scaled
+          FROM daily, tot t
+        )
+        SELECT day AS changepoint_day, s_scaled,
+               CAST(abs(s_scaled) AS BIGINT) AS abs_deviation
+        FROM scored ORDER BY abs(s_scaled) DESC, day ASC LIMIT 1
+"""
