@@ -1424,3 +1424,112 @@ GROUP BY t.query_id ORDER BY t.query_id
 
 QUERIES["ann_matryoshka_recall"] = ann_matryoshka_recall
 ORACLES["ann_matryoshka_recall"] = _TRUNC_TOPK_ORACLE
+
+
+IVF_NEW_MOD, IVF_NEW_RES = 10, 3  # "today's batch" = vec_id % 10 == 3
+
+
+def ann_incremental_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental index maintenance: assign a NEW vector batch to the
+    EXISTING IVF cells without touching the index — the ingest-time
+    shape (dedup_incremental_minhash's ANN twin). The codebook is
+    built from the OLD corpus only (first K_CELLS old vectors, the
+    deterministic rule _ivf_build uses), every vector gets its cell
+    from the same parity-exact kernel (_cell_sim_matrix + argmax, ==
+    the SQL round-6 + row_number tie-break), and the output is the
+    per-cell occupancy profile old-vs-new plus the new share in ppm —
+    the drift signal that tells an operator when the codebook needs
+    retraining.
+
+    Plan: a K_CELLS-row driver collect for the codebook (O(k·d)),
+    then ONE narrow Arrow pass assigns all vectors — no shuffle until
+    the cells-sized aggregate.
+    """
+    import numpy as np
+
+    em = load_table(spark, sf, "embeddings").select(
+        "vec_id", _to_double(F.col("embedding")).alias("vec")
+    )
+    old_first = (
+        em.filter(F.pmod(F.col("vec_id"), IVF_NEW_MOD) != IVF_NEW_RES)
+        .orderBy("vec_id")
+        .limit(K_CELLS)
+        .collect()
+    )
+    cent_ids = np.array([r["vec_id"] for r in old_first], dtype=np.int64)
+    cent_mat = np.array([r["vec"] for r in old_first], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ids, cmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            cells = ids[np.argmax(_cell_sim_matrix(x, cmat), axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cell": cells}
+            )
+
+    assigned = em.mapInPandas(assign, schema="vec_id long, cell long")
+    is_new = (F.pmod(F.col("vec_id"), IVF_NEW_MOD) == IVF_NEW_RES).cast(
+        "long"
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(is_new).cast("long").alias("n_new"),
+        )
+        .select(
+            "cell",
+            (F.col("n_total") - F.col("n_new")).alias("n_old"),
+            "n_new",
+            F.floor(F.col("n_new") * F.lit(1_000_000) / F.col("n_total"))
+            .cast("long")
+            .alias("new_share_ppm"),
+        )
+        .orderBy("cell")
+    )
+
+
+_INCR_ASSIGN_ORACLE = f"""
+WITH oldids AS (
+  SELECT vec_id FROM embeddings
+  WHERE vec_id % {IVF_NEW_MOD} != {IVF_NEW_RES}
+  ORDER BY vec_id LIMIT {K_CELLS}
+),
+cents AS (
+  SELECT e.vec_id AS cell_id, e.embedding AS ce
+  FROM embeddings e JOIN oldids o ON e.vec_id = o.vec_id
+),
+allsims AS (
+  SELECT e.vec_id, c.cell_id,
+         round({_DOT.format(a='e.embedding', b='c.ce')}
+               / ({_NORM.format(a='e.embedding')}
+                  * {_NORM.format(a='c.ce')}), 6) AS csim
+  FROM embeddings e, cents c
+),
+assign AS (
+  SELECT vec_id, cell_id AS cell FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell_id) AS rn
+    FROM allsims
+  ) WHERE rn = 1
+)
+SELECT cell,
+       CAST(SUM(CASE WHEN vec_id % {IVF_NEW_MOD} != {IVF_NEW_RES}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+       CAST(SUM(CASE WHEN vec_id % {IVF_NEW_MOD} = {IVF_NEW_RES}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(floor(SUM(CASE WHEN vec_id % {IVF_NEW_MOD} = {IVF_NEW_RES}
+                           THEN 1 ELSE 0 END) * 1000000 / COUNT(*))
+         AS BIGINT) AS new_share_ppm
+FROM assign GROUP BY cell ORDER BY cell
+"""
+
+QUERIES["ann_incremental_assign"] = ann_incremental_assign
+ORACLES["ann_incremental_assign"] = _INCR_ASSIGN_ORACLE
