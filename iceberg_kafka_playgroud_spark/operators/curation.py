@@ -1042,3 +1042,97 @@ SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(floor(SUM(is_dup) * 1000000 / COUNT(*)) AS BIGINT) AS dup_ppm
 FROM base GROUP BY decile ORDER BY decile
 """
+
+
+VOCAB_DIV_TOPK = 50  # per-source top-term list size
+VOCAB_DIV_PAIRS = 20  # most-similar pairs reported
+
+
+def source_vocab_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus comparison: pairwise Jaccard similarity of per-source
+    top-50 term sets — the redundancy scan run before mixing sources
+    into a training blend (two sources sharing most of their
+    characteristic vocabulary add diversity in name only). Exact
+    integer Jaccard in ppm; ties in the top-term cut break by term so
+    the sets are deterministic in both engines.
+
+    Plan: one token explode + (source, term) count, a per-source
+    top-k window (sources-sized keys), then the pair join runs on the
+    TERM inverted index of the top lists — K·sources rows, never a
+    source×source×vocab blowup.
+    """
+    d = load_table(spark, sf, "documents")
+    counts = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("t").asc()
+    )
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= VOCAB_DIV_TOPK)
+        .select("source", "t")
+    )
+    sizes = top.groupBy("source").agg(F.count("*").alias("sz"))
+    a = top.select(F.col("source").alias("s1"), "t")
+    b = top.select(F.col("source").alias("s2"), "t")
+    shared = (
+        a.join(b, "t")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    za = sizes.select(F.col("source").alias("s1"), F.col("sz").alias("sz1"))
+    zb = sizes.select(F.col("source").alias("s2"), F.col("sz").alias("sz2"))
+    return (
+        shared.join(F.broadcast(za), "s1")
+        .join(F.broadcast(zb), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            F.floor(
+                F.col("n_shared")
+                * F.lit(1_000_000)
+                / (F.col("sz1") + F.col("sz2") - F.col("n_shared"))
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(F.col("jaccard_ppm").desc(), F.col("s1"), F.col("s2"))
+        .limit(VOCAB_DIV_PAIRS)
+    )
+
+
+QUERIES["source_vocab_divergence"] = source_vocab_divergence
+ORACLES["source_vocab_divergence"] = f"""
+WITH counts AS (
+  SELECT source, w AS t, COUNT(*) AS n FROM (
+    SELECT source, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents
+  ) GROUP BY 1, 2
+),
+top AS (
+  SELECT source, t FROM (
+    SELECT source, t,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n DESC, t ASC) AS rk
+    FROM counts
+  ) WHERE rk <= {VOCAB_DIV_TOPK}
+),
+sizes AS (SELECT source, COUNT(*) AS sz FROM top GROUP BY source),
+shared AS (
+  SELECT a.source AS s1, b.source AS s2,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM top a JOIN top b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.s1, s.s2, s.n_shared,
+       CAST(floor(s.n_shared * 1000000
+                  / (za.sz + zb.sz - s.n_shared)) AS BIGINT) AS jaccard_ppm
+FROM shared s JOIN sizes za ON s.s1 = za.source
+              JOIN sizes zb ON s.s2 = zb.source
+ORDER BY jaccard_ppm DESC, s.s1, s.s2
+LIMIT {VOCAB_DIV_PAIRS}
+"""
