@@ -78,8 +78,7 @@ _PRIORITY = [
     "dedup_cluster_stats", "text_ngram_novelty", "join_asof_nearest",
     # -- new round-6 operators (no driver row yet) --
     "stream_incremental_dedup", "multimodal_phash_near_dup",
-    "dedup_cluster_canonical", "graph_pagerank",
-    "basket_pair_frequency",
+    "dedup_cluster_canonical", "basket_pair_frequency",
     "ann_index_persist_probe",
     "embedding_cluster_components",
     "embedding_cluster_canonical", "snapshot_delete_rows", "multimodal_scene_changes",
@@ -98,11 +97,11 @@ _PRIORITY = [
     "recursive_cte_hierarchy", "lateral_join_topk", "corpus_report_card", "ann_matryoshka_recall", "scd2_history_build",
     "dedup_similarity_histogram", "quality_dup_calibration",
     "stream_windowed_approx_users", "events_trend_slope",
-    "events_changepoint_cusum", "ann_incremental_assign", "source_vocab_divergence",
+    "events_changepoint_cusum", "ann_incremental_assign", "source_vocab_divergence", "orders_rapid_repeat_audit",
     # -- demoted round-6 plain-SQL shapes (window rebalance: the
     #    complex second-window ops carry more driver-row information;
     #    these front the r7 window if still unchecked) --
-    "embedding_kmeans_lloyd", "fuzzy_join_levenshtein", "merge_scd1_apply", "stream_quality_gate",
+    "graph_pagerank", "embedding_kmeans_lloyd", "fuzzy_join_levenshtein", "merge_scd1_apply", "stream_quality_gate",
     "scd2_dimension_join", "dedup_containment_pairs", "embedding_norm_outliers",
     "snapshot_rollback", "sketch_countmin_terms", "zorder_layout_audit", "mixture_resample_balanced", "text_unigram_logprob", "orders_abc_analysis", "quality_weighted_sample", "events_throttle_dedup", "text_bigram_logprob", "rollup_serving_equivalence", "doc_chunking", "text_keyword_extraction", "source_csv_roundtrip", "source_jsonl_roundtrip",
     # -- r2-era greens (33): oldest driver rows in the registry --

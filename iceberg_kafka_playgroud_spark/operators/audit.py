@@ -225,3 +225,76 @@ ORACLES = {
         FROM long ORDER BY check_name
     """,
 }
+
+
+RAPID_REPEAT_DAYS = 1
+
+
+def orders_rapid_repeat_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Rapid-repeat detection: pairs of orders from the SAME customer
+    placed within 1 day of each other — the duplicate-submission /
+    double-charge screen a finance team runs daily (exact-amount
+    matching is layered on top in systems where amounts repeat; this
+    fixture's totals are fully dispersed, so the date window IS the
+    signal). The self-join is keyed on custkey — per-customer order
+    counts are small and bounded, so candidates stay basket-sized
+    (the basket_pair_frequency argument), never a table-wide scan.
+
+    Output: per-customer pair count and conservative exposure (the
+    smaller total of each pair, exact cents).
+    """
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("c"),
+        F.col("cents").alias("cents1"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("d").alias("d1"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("c"),
+        F.col("cents").alias("cents2"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("d").alias("d2"),
+    )
+    pairs = a.join(b, "c").filter(
+        (F.col("k1") < F.col("k2"))
+        & (F.abs(F.datediff("d1", "d2")) <= RAPID_REPEAT_DAYS)
+    )
+    return (
+        pairs.groupBy("c")
+        .agg(
+            F.count("*").cast("long").alias("n_rapid_pairs"),
+            F.sum(F.least("cents1", "cents2"))
+            .cast("long")
+            .alias("exposure_cents"),
+        )
+        .withColumnRenamed("c", "o_custkey")
+        .orderBy("o_custkey")
+    )
+
+
+ORACLES["orders_rapid_repeat_audit"] = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders
+),
+pairs AS (
+  SELECT a.o_custkey AS c, LEAST(a.cents, b.cents) AS mc
+  FROM o a JOIN o b
+    ON a.o_custkey = b.o_custkey
+   AND a.o_orderkey < b.o_orderkey
+   AND abs(a.d - b.d) <= {RAPID_REPEAT_DAYS}
+)
+SELECT c AS o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rapid_pairs,
+       CAST(SUM(mc) AS BIGINT) AS exposure_cents
+FROM pairs GROUP BY c ORDER BY c
+"""
+
+QUERIES["orders_rapid_repeat_audit"] = orders_rapid_repeat_audit
