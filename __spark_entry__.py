@@ -78,6 +78,8 @@ _PRIORITY = [
     "dedup_cluster_stats", "text_ngram_novelty", "join_asof_nearest",
     # -- new round-6 operators (no driver row yet) --
     "stream_incremental_dedup", "multimodal_phash_near_dup",
+    "graph_pagerank", "embedding_kmeans_lloyd", "stream_quality_gate",
+    "merge_scd1_apply",
     "dedup_cluster_canonical", "basket_pair_frequency",
     "ann_index_persist_probe",
     "embedding_cluster_components",
@@ -91,18 +93,16 @@ _PRIORITY = [
     "dedup_lexical_semantic_eval", "bloom_filter_probe",
     "events_rolling_distinct_users", "events_median_abs_deviation",
     "snapshot_partition_evolution", "bpe_train_merges",
-    "chunk_exact_dedup", "window_range_time", "user_activity_streaks",
-    "source_python_datasource", "basket_association_rules",
+    "chunk_exact_dedup", "source_python_datasource", "basket_association_rules",
     "multimodal_audio_fingerprint",
     "recursive_cte_hierarchy", "lateral_join_topk", "corpus_report_card", "ann_matryoshka_recall", "scd2_history_build",
     "dedup_similarity_histogram", "quality_dup_calibration",
-    "stream_windowed_approx_users", "events_trend_slope",
-    "events_changepoint_cusum", "ann_incremental_assign", "source_vocab_divergence", "orders_rapid_repeat_audit",
+    "stream_windowed_approx_users", "ann_incremental_assign", "source_vocab_divergence", "orders_rapid_repeat_audit",
     # -- demoted round-6 plain-SQL shapes (window rebalance: the
     #    complex second-window ops carry more driver-row information;
     #    these front the r7 window if still unchecked) --
-    "graph_pagerank", "embedding_kmeans_lloyd", "fuzzy_join_levenshtein", "merge_scd1_apply", "stream_quality_gate",
-    "scd2_dimension_join", "dedup_containment_pairs", "embedding_norm_outliers",
+    "window_range_time", "user_activity_streaks", "events_trend_slope",
+    "events_changepoint_cusum", "fuzzy_join_levenshtein", "scd2_dimension_join", "dedup_containment_pairs", "embedding_norm_outliers",
     "snapshot_rollback", "sketch_countmin_terms", "zorder_layout_audit", "mixture_resample_balanced", "text_unigram_logprob", "orders_abc_analysis", "quality_weighted_sample", "events_throttle_dedup", "text_bigram_logprob", "rollup_serving_equivalence", "doc_chunking", "text_keyword_extraction", "source_csv_roundtrip", "source_jsonl_roundtrip",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
