@@ -888,7 +888,7 @@ def corpus_report_card(spark: SparkSession, sf: str) -> DataFrame:
     marking is keep-first on md5(normalized text) — all bit-stable
     across engines and cluster sizes.
     """
-    from .text import normalized, text_quality_score, tokens as _toks
+    from .text import normalized, text_quality_score
 
     d = load_table(spark, sf, "documents")
     q = text_quality_score(spark, sf).select(
@@ -900,7 +900,7 @@ def corpus_report_card(spark: SparkSession, sf: str) -> DataFrame:
             "source",
             "lang",
             "n_chars",
-            F.size(_toks(F.col("text"))).alias("n_tokens"),
+            F.size(tokens(F.col("text"))).alias("n_tokens"),
             F.md5(normalized(F.col("text"))).alias("h"),
         )
         .join(q, "doc_id")
@@ -1006,7 +1006,10 @@ def quality_dup_calibration(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn(
             "decile",
             F.ntile(10).over(
-                W.orderBy(F.col("quality_score").asc(), F.col("doc_id").asc())
+                W.orderBy(
+                    F.col("quality_score").asc_nulls_last(),
+                    F.col("doc_id").asc(),
+                )
             ),
         )
     )
@@ -1033,7 +1036,7 @@ base AS (
          CASE WHEN row_number() OVER (PARTITION BY md5({_NORM})
                                       ORDER BY d.doc_id) > 1
               THEN 1 ELSE 0 END AS is_dup,
-         ntile(10) OVER (ORDER BY q.quality_score ASC, d.doc_id ASC)
+         ntile(10) OVER (ORDER BY q.quality_score ASC NULLS LAST, d.doc_id ASC)
            AS decile
   FROM documents d JOIN q ON d.doc_id = q.doc_id
 )

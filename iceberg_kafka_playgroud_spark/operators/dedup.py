@@ -111,7 +111,11 @@ def lsh_bands(sig: DataFrame, k: int = N_HASHES, bands: int = N_BANDS) -> DataFr
 
 
 def _jaccard_on_candidates(
-    sh: DataFrame, cand: DataFrame, left: str, right: str
+    sh: DataFrame,
+    cand: DataFrame,
+    left: str,
+    right: str,
+    threshold: float | None = JACCARD_THRESHOLD,
 ) -> DataFrame:
     """Exact-Jaccard verification over candidate pairs ONLY — shared by
     the corpus-wide and incremental MinHash variants so the scoring
@@ -146,26 +150,22 @@ def _jaccard_on_candidates(
     jac = F.col("i").cast("double") / (
         F.col("n1.n") + F.col("n2.n") - F.col("i")
     ).cast("double")
-    return (
+    out = (
         inter.join(F.broadcast(n1), F.col("n1.doc_id") == F.col(left))
         .join(F.broadcast(n2), F.col("n2.doc_id") == F.col(right))
         .select(left, right, F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup pairs via MinHash LSH + exact-Jaccard verification.
-
-    Candidate generation is a self-join on (band_idx, band_val) —
-    at scale this is the band-bucket shuffle, never an n² compare.
-    Verification computes true Jaccard only on candidates
-    (``_jaccard_on_candidates``).
-    """
+def _minhash_candidates(spark: SparkSession, sf: str):
+    """Shared shingle table + banded candidate pairs (both cached) —
+    one definition for the verified-pair op and the score histogram."""
     d = load_table(spark, sf, "documents")
     sh = shingle_set(d).cache()
     bands = lsh_bands(minhash_signatures(sh))
-
     b1 = bands.alias("a")
     b2 = bands.alias("b")
     cand = (
@@ -179,6 +179,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .cache()  # tiny; reused for the pair join AND the doc-set prune
     )
+    return sh, cand
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs via MinHash LSH + exact-Jaccard verification.
+
+    Candidate generation is a self-join on (band_idx, band_val) —
+    at scale this is the band-bucket shuffle, never an n² compare.
+    Verification computes true Jaccard only on candidates
+    (``_jaccard_on_candidates``).
+    """
+    sh, cand = _minhash_candidates(spark, sf)
     # cache the RESULT frame too: the pair set is near-dup-sized
     # (tiny), and consumers with the identical plan — notably
     # dedup_connected_components' edge build in the same session — hit
@@ -1201,13 +1213,15 @@ FROM agg
 
 
 def dedup_similarity_histogram(spark: SparkSession, sf: str) -> DataFrame:
-    """Observability for dedup tuning: the distribution of verified
-    MinHash-pair Jaccard scores in tenth-wide buckets — the histogram
-    an operator inspects before moving the 0.5 threshold (how much
-    mass sits just below/above the cut). Pair-set-sized input (the
-    cached verified pairs), so the histogram is nearly free.
+    """Observability for dedup tuning: the Jaccard distribution of ALL
+    banded candidate pairs (no threshold) in tenth-wide buckets — the
+    histogram an operator inspects before moving the 0.5 cut, which
+    only works if the mass BELOW the cut is visible too. Candidate-
+    set-sized input (the cached band pairs + the shared verifier with
+    the threshold disabled), so the histogram is nearly free.
     """
-    pairs = dedup_minhash_lsh(spark, sf)
+    sh, cand = _minhash_candidates(spark, sf)
+    pairs = _jaccard_on_candidates(sh, cand, "d1", "d2", threshold=None)
     return (
         pairs.select(
             F.floor(F.col("jaccard") * 10).cast("long").alias("bucket_tenths")
@@ -1220,8 +1234,27 @@ def dedup_similarity_histogram(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["dedup_similarity_histogram"] = dedup_similarity_histogram
 ORACLES["dedup_similarity_histogram"] = f"""
-WITH pairs AS ({ORACLES["dedup_minhash_lsh"]})
+WITH {_SHINGLES_CTE},
+{_MINHASH_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_idx=b.band_idx AND a.band_val=b.band_val AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id=c.d1
+  JOIN sh s2 ON s2.doc_id=c.d2 AND s2.shingle=s1.shingle
+  GROUP BY c.d1, c.d2
+),
+scored AS (
+  SELECT round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6)
+    AS jaccard
+  FROM inter JOIN sizes n1 ON n1.doc_id=d1 JOIN sizes n2 ON n2.doc_id=d2
+)
 SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bucket_tenths,
        CAST(COUNT(*) AS BIGINT) AS n_pairs
-FROM pairs GROUP BY 1 ORDER BY 1
+FROM scored GROUP BY 1 ORDER BY 1
 """

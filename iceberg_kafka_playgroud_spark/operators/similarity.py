@@ -92,9 +92,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+def _topk_cosine(spark: SparkSession, sf: str, proj) -> DataFrame:
+    """Brute-force per-query top-k over ``proj(embedding)`` — ONE
+    definition of the query filter / broadcast cross / round-6 cosine
+    / row_number tie-break, shared by the full-dimension baseline and
+    the Matryoshka-truncated variant so a ranking fix can never be
+    applied to one and missed in the other."""
     em = load_table(spark, sf, "embeddings").select(
-        "vec_id", _to_double(F.col("embedding")).alias("vec")
+        "vec_id", _to_double(proj(F.col("embedding"))).alias("vec")
     )
     q = em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
@@ -110,6 +115,10 @@ def ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    return _topk_cosine(spark, sf, lambda e: e)
 
 
 def ann_topk_blocked(spark: SparkSession, sf: str) -> DataFrame:
@@ -440,6 +449,30 @@ def _cell_sim_matrix(x, cmat):
     return out
 
 
+def _assign_cells(em, bc, keep_vec: bool):
+    """Arrow-batched cell assignment against a broadcast codebook —
+    the ONE batching/argmax wrapper around _cell_sim_matrix, shared by
+    the IVF build and the incremental-assign op (argmax-first tie
+    break == the SQL round-6 + row_number ORDER BY csim DESC, cell_id)."""
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ids, cmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            cells = ids[np.argmax(_cell_sim_matrix(x, cmat), axis=1)]
+            out = {"vec_id": pdf["vec_id"].to_numpy(), "cell": cells}
+            if keep_vec:
+                out["vec"] = pdf["vec"]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, cell long" + (", vec array<double>" if keep_vec else "")
+    return em.mapInPandas(assign, schema=schema)
+
+
 def _ivf_build(spark: SparkSession, sf: str):
     """Shared IVF build: codebook = first K_CELLS corpus vectors
     (deterministic), cell assignment = Arrow-batched NumPy argmax
@@ -457,26 +490,7 @@ def _ivf_build(spark: SparkSession, sf: str):
     cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
     cent_mat = np.array([r["vec"] for r in cent_rows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # vectorized argmax over the broadcast codebook: max sim, lowest
-        # cell id on ties (argmax returns the first maximum; cells are
-        # codebook-ordered by id) — a NARROW pass, zero shuffle
-        import numpy as np
-
-        ids, cmat = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            cells = ids[np.argmax(_cell_sim_matrix(x, cmat), axis=1)]
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "cell": cells, "vec": pdf["vec"]}
-            )
-
-    corpus = em.mapInPandas(
-        assign, schema="vec_id long, cell long, vec array<double>"
-    )
+    corpus = _assign_cells(em, bc, keep_vec=True)
     return em, corpus, cent_ids, cent_mat
 
 
@@ -1327,28 +1341,9 @@ MRL_DIM = 16  # Matryoshka truncation length
 def _topk_truncated(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force top-k over the FIRST MRL_DIM dimensions only —
     the short-vector retrieval a Matryoshka-embedding deployment runs
-    for cheap first-stage recall."""
-    em = load_table(spark, sf, "embeddings").select(
-        "vec_id",
-        _to_double(F.slice(F.col("embedding"), 1, MRL_DIM)).alias("vec"),
-    )
-    q = em.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
-    )
-    pairs = F.broadcast(q).crossJoin(em).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    sims = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
-    )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    return sims.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOP_K
-    )
+    for cheap first-stage recall. Same kernel as the full-dimension
+    baseline (_topk_cosine), differing only in the projection."""
+    return _topk_cosine(spark, sf, lambda e: F.slice(e, 1, MRL_DIM))
 
 
 def ann_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
@@ -1459,21 +1454,7 @@ def ann_incremental_assign(spark: SparkSession, sf: str) -> DataFrame:
     cent_ids = np.array([r["vec_id"] for r in old_first], dtype=np.int64)
     cent_mat = np.array([r["vec"] for r in old_first], dtype=np.float64)
     bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        ids, cmat = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            cells = ids[np.argmax(_cell_sim_matrix(x, cmat), axis=1)]
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "cell": cells}
-            )
-
-    assigned = em.mapInPandas(assign, schema="vec_id long, cell long")
+    assigned = _assign_cells(em, bc, keep_vec=False)
     is_new = (F.pmod(F.col("vec_id"), IVF_NEW_MOD) == IVF_NEW_RES).cast(
         "long"
     )

@@ -445,15 +445,8 @@ def events_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
     broadcast back → one types-sized aggregate. Nothing input-sized
     after the first shuffle.
     """
-    daily = (
-        load_table(spark, sf, "events")
-        .where(F.col("event_type") == "purchase")
-        .groupBy(F.to_date("ts").alias("day"))
-        .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
-            .cast("long")
-            .alias("y")
-        )
+    daily = _daily_revenue(spark, sf).select(
+        "day", F.col("revenue_cents").alias("y")
     )
     lo = daily.agg(F.min("day").alias("day0"))
     base = daily.crossJoin(F.broadcast(lo)).select(
@@ -489,15 +482,8 @@ def events_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
     Plan: day collapse, a 1-row totals broadcast, one ordered running
     sum over day cardinality, and a 1-row argmax via TakeOrdered.
     """
-    daily = (
-        load_table(spark, sf, "events")
-        .where(F.col("event_type") == "purchase")
-        .groupBy(F.to_date("ts").alias("day"))
-        .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
-            .cast("long")
-            .alias("y")
-        )
+    daily = _daily_revenue(spark, sf).select(
+        "day", F.col("revenue_cents").alias("y")
     )
     tot = daily.agg(
         F.count("*").cast("long").alias("n"),
