@@ -1,0 +1,62 @@
+"""Loopback HTTP Schema Registry: the reference's register -> compat ->
+fetch loop (kafka_publisher.py:101-141) over a REAL wire (127.0.0.1
+stdlib http.server + urllib client). Pointing RegistryClient at a live
+Confluent deployment is a base-URL change — the decision logic and the
+transport are both exercised here."""
+
+import pytest
+
+from pyspark.sql import types as T
+
+from iceberg_kafka_playgroud_spark.functions.registry_http import (
+    RegistryClient,
+    serve,
+)
+
+
+@pytest.fixture()
+def client():
+    base_url, server = serve()
+    try:
+        yield RegistryClient(base_url)
+    finally:
+        server.shutdown()
+
+
+V1 = T.StructType(
+    [
+        T.StructField("user_id", T.StringType(), False),
+        T.StructField("amount", T.DoubleType(), False),
+        T.StructField("ts", T.LongType(), False),
+    ]
+)
+# BACKWARD-ok evolution: adds a nullable field
+V2 = T.StructType(V1.fields + [T.StructField("channel", T.StringType(), True)])
+# BACKWARD violation: adds a NON-nullable field
+BAD = T.StructType(V1.fields + [T.StructField("must", T.LongType(), False)])
+
+
+def test_register_reuse_evolve_and_reject(client):
+    assert client.subjects() == []
+    v = client.register("purchase-value", V1)
+    assert v == 1
+    # register-or-reuse: identical schema returns the same version
+    assert client.register("purchase-value", V1) == 1
+    assert client.subjects() == ["purchase-value"]
+
+    ok, msgs = client.test_compatibility("purchase-value", V2)
+    assert ok and msgs == []
+    bad_ok, bad_msgs = client.test_compatibility("purchase-value", BAD)
+    assert not bad_ok and any("must" in m for m in bad_msgs)
+
+    assert client.register("purchase-value", V2) == 2
+    version, latest = client.latest("purchase-value")
+    assert version == 2 and latest == V2
+
+    with pytest.raises(ValueError, match="must"):
+        client.register("purchase-value", BAD)
+
+
+def test_unknown_subject_404(client):
+    with pytest.raises(KeyError):
+        client.latest("nope")
