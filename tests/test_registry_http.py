@@ -60,3 +60,52 @@ def test_register_reuse_evolve_and_reject(client):
 def test_unknown_subject_404(client):
     with pytest.raises(KeyError):
         client.latest("nope")
+
+
+def test_schema_gated_streaming_ingest(client, spark, sf_dir, tmp_path):
+    """The reference checks schema compatibility against the registry
+    BEFORE producing (kafka_publisher.py:150-169); the Spark analog
+    gates each foreachBatch commit on a live registry call. Three
+    micro-batches, each consulting the loopback registry over HTTP;
+    an incompatible evolution must abort the commit path."""
+    import os
+
+    from iceberg_kafka_playgroud_spark.schema import load_table
+
+    src = str(tmp_path / "src")
+    load_table(spark, sf_dir, "events").limit(300).repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    client.register("events-value", schema)
+
+    out = str(tmp_path / "out")
+    consulted = []
+
+    def sink(df, batch_id):
+        ok, msgs = client.test_compatibility("events-value", df.schema)
+        consulted.append(bool(ok))
+        if not ok:
+            raise RuntimeError(f"schema gate rejected batch: {msgs}")
+        df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert consulted == [True, True, True]
+    n_out = len([d for d in os.listdir(out) if d.startswith("batch=")])
+    assert n_out == 3
+
+    # an incompatible reader schema is refused by the same gate
+    from pyspark.sql import types as T
+
+    bad = T.StructType(
+        schema.fields + [T.StructField("required_new", T.LongType(), False)]
+    )
+    ok, msgs = client.test_compatibility("events-value", bad)
+    assert not ok and any("required_new" in m for m in msgs)
