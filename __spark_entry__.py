@@ -80,9 +80,7 @@ _PRIORITY = [
     "stream_incremental_dedup", "multimodal_phash_near_dup",
     "graph_pagerank", "embedding_kmeans_lloyd", "stream_quality_gate",
     "merge_scd1_apply",
-    "dedup_cluster_canonical", "basket_pair_frequency",
-    "ann_index_persist_probe",
-    "embedding_cluster_components",
+    "dedup_cluster_canonical", "embedding_cluster_components",
     "embedding_cluster_canonical", "snapshot_delete_rows", "multimodal_scene_changes",
     "time_gapfill_locf", "orders_open_concurrency",
     "winsorize_event_values", "order_reconciliation_audit",
@@ -98,6 +96,7 @@ _PRIORITY = [
     "recursive_cte_hierarchy", "lateral_join_topk", "corpus_report_card", "ann_matryoshka_recall", "scd2_history_build",
     "dedup_similarity_histogram", "quality_dup_calibration",
     "stream_windowed_approx_users", "ann_incremental_assign", "source_vocab_divergence", "orders_rapid_repeat_audit",
+    "bpe_encode_corpus", "curation_shard_write",
     # -- demoted round-6 plain-SQL shapes (window rebalance: the
     #    complex second-window ops carry more driver-row information;
     #    these front the r7 window if still unchecked) --

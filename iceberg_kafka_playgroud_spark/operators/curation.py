@@ -1139,3 +1139,59 @@ FROM shared s JOIN sizes za ON s.s1 = za.source
 ORDER BY jaccard_ppm DESC, s.s1, s.s2
 LIMIT {VOCAB_DIV_PAIRS}
 """
+
+
+N_SHARDS = 8
+
+
+def curation_shard_write(spark: SparkSession, sf: str) -> DataFrame:
+    """The pipeline's LAST mile: write the corpus into N deterministic
+    shards (md5-hash assignment — rerun-stable, engine-stable) and
+    read the manifest back from the written files, proving the write
+    path preserves every row: per-shard doc counts, char totals, and
+    an exact doc-id sum the oracle recomputes straight from the source
+    table. This is the emit-training-shards step every corpus build
+    ends with; at 100 TB the same partitionBy scales to thousands of
+    shards with one shuffle.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % N_SHARDS
+        ).alias("shard"),
+    )
+    out = tempfile.mkdtemp(prefix="corpus_shards_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    d.write.mode("overwrite").partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("doc_id").cast("long").alias("doc_id_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
+QUERIES["curation_shard_write"] = curation_shard_write
+ORACLES["curation_shard_write"] = f"""
+SELECT CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         AS BIGINT) % {N_SHARDS} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+FROM documents GROUP BY 1 ORDER BY 1
+"""

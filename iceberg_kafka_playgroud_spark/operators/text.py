@@ -545,6 +545,10 @@ BPE_MERGES = 3
 
 
 def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    return _bpe_loop(spark, sf)[0]
+
+
+def _bpe_loop(spark: SparkSession, sf: str):
     """BPE-style merge TRAINING over the corpus (word-pair variant):
     3 iterations of count-adjacent-pairs → pick the most frequent
     (ties broken lexicographically) → merge every non-overlapping
@@ -650,13 +654,71 @@ def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
             (F.row_number().over(wdoc) - 1).alias("pos"),
             "t",
         )
-    return out.orderBy("merge_rank")
+    return out.orderBy("merge_rank"), toks
+
+
+def _bpe_final_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus tokenization AFTER the trained merges — running the
+    identical loop but returning the final token frame instead of the
+    merge table (one shared implementation; the loop is cheap enough
+    to re-derive and the plan is identical)."""
+    return _bpe_loop(spark, sf)[1]
+
+
+
+
+def bpe_encode_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply the TRAINED merges back to the corpus and measure the
+    compression they buy — the encoding half of the tokenizer loop
+    (train picks merges; encode re-tokenizes everything with them).
+    Output per source: tokens before/after the 3 merges and the
+    exact saving in ppm — the sequence-length budget number a
+    pretraining team tracks per data source.
+
+    Plan: the shared _bpe_loop (same doc-keyed passes as training)
+    yields the final token frame; the audit is a per-doc count joined
+    back to sources — one extra map-side-combined shuffle.
+    """
+    after = (
+        _bpe_final_tokens(spark, sf)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_after"))
+    )
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_before")
+    )
+    per_doc = d.join(after, "doc_id", "left").select(
+        "source",
+        "n_before",
+        F.coalesce("n_after", F.lit(0)).alias("n_after"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_before").cast("long").alias("tokens_before"),
+            F.sum("n_after").cast("long").alias("tokens_after"),
+        )
+        .select(
+            "source",
+            "tokens_before",
+            "tokens_after",
+            F.floor(
+                (F.col("tokens_before") - F.col("tokens_after"))
+                * F.lit(1_000_000)
+                / F.col("tokens_before")
+            )
+            .cast("long")
+            .alias("compression_ppm"),
+        )
+        .orderBy("source")
+    )
 
 
 QUERIES = {
     "text_token_count": text_token_count,
     "text_bm25_retrieval": text_bm25_retrieval,
     "bpe_train_merges": bpe_train_merges,
+    "bpe_encode_corpus": bpe_encode_corpus,
     "text_bpe_token_count": text_bpe_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -780,8 +842,39 @@ _BPE_ORACLE = (
     + "\nORDER BY merge_rank"
 )
 
+_BPE_ENCODE_ORACLE = (
+    f"""
+        WITH b AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        idx AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks))) AS i
+          FROM b
+        ),
+        t0 AS (SELECT doc_id, i - 1 AS pos, toks[i] AS t FROM idx),
+        """
+    + ",\n".join(_bpe_iteration_sql(r) for r in range(1, BPE_MERGES + 1))
+    + f"""
+        , after AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after
+          FROM t{BPE_MERGES} GROUP BY doc_id
+        ),
+        per_doc AS (
+          SELECT d.source, len({_TOKS}) AS n_before,
+                 COALESCE(a.n_after, 0) AS n_after
+          FROM documents d LEFT JOIN after a ON d.doc_id = a.doc_id
+        )
+        SELECT source,
+               CAST(SUM(n_before) AS BIGINT) AS tokens_before,
+               CAST(SUM(n_after) AS BIGINT) AS tokens_after,
+               CAST(floor((SUM(n_before) - SUM(n_after)) * 1000000
+                          / SUM(n_before)) AS BIGINT) AS compression_ppm
+        FROM per_doc GROUP BY source ORDER BY source
+    """
+)
+
 ORACLES = {
     "bpe_train_merges": _BPE_ORACLE,
+    "bpe_encode_corpus": _BPE_ENCODE_ORACLE,
     "text_bm25_retrieval": f"""
         WITH {BM25_SCORES_SQL}
         SELECT doc_id, score_fp, n_terms_matched FROM bmscores
