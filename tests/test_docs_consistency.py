@@ -28,3 +28,21 @@ def test_totals_line_matches_registry():
     assert int(m.group(1)) == n == int(m.group(2)), (
         f"COVERAGE.md says {m.group(1)}/{m.group(2)}, registry has {n}"
     )
+
+
+def test_survey_and_notes_tallies_match_registry():
+    """SURVEY.md's and NOTES.md's '<N> oracle-paired queries' claims
+    must equal the registry — tally drift was flagged by two review
+    passes before this test existed."""
+    n = len(entry.queries())
+    root = COVERAGE.parent
+    survey = (root / "SURVEY.md").read_text()
+    m = re.search(r"(\d+)\s*\noracle-paired queries total", survey) or re.search(
+        r"(\d+) oracle-paired queries total", survey
+    )
+    assert m, "SURVEY.md total claim missing"
+    assert int(m.group(1)) == n, f"SURVEY.md says {m.group(1)}, registry {n}"
+    notes = (root / "NOTES.md").read_text()
+    m2 = re.search(r"\((\d+) total\)", notes)
+    assert m2, "NOTES.md tally missing"
+    assert int(m2.group(1)) == n, f"NOTES.md says {m2.group(1)}, registry {n}"
