@@ -82,8 +82,7 @@ _PRIORITY = [
     "merge_scd1_apply",
     "dedup_cluster_canonical", "embedding_cluster_components",
     "embedding_cluster_canonical", "snapshot_delete_rows", "multimodal_scene_changes",
-    "time_gapfill_locf", "orders_open_concurrency",
-    "winsorize_event_values", "order_reconciliation_audit",
+    "time_gapfill_locf", "winsorize_event_values", "order_reconciliation_audit",
     "dq_constraint_suite", "graph_triangle_count", "item_item_cosine",
     "sketch_kmv_distinct", "text_bm25_retrieval",
     "events_last_touch_attribution", "stream_session_window_native",
@@ -96,11 +95,11 @@ _PRIORITY = [
     "recursive_cte_hierarchy", "lateral_join_topk", "corpus_report_card", "ann_matryoshka_recall", "scd2_history_build",
     "dedup_similarity_histogram", "quality_dup_calibration",
     "stream_windowed_approx_users", "ann_incremental_assign", "source_vocab_divergence", "orders_rapid_repeat_audit",
-    "bpe_encode_corpus", "curation_shard_write",
+    "bpe_encode_corpus", "curation_shard_write", "snapshot_orphan_audit",
     # -- demoted round-6 plain-SQL shapes (window rebalance: the
     #    complex second-window ops carry more driver-row information;
     #    these front the r7 window if still unchecked) --
-    "window_range_time", "user_activity_streaks", "events_trend_slope",
+    "orders_open_concurrency", "window_range_time", "user_activity_streaks", "events_trend_slope",
     "events_changepoint_cusum", "fuzzy_join_levenshtein", "scd2_dimension_join", "dedup_containment_pairs", "embedding_norm_outliers",
     "snapshot_rollback", "sketch_countmin_terms", "zorder_layout_audit", "mixture_resample_balanced", "text_unigram_logprob", "orders_abc_analysis", "quality_weighted_sample", "events_throttle_dedup", "text_bigram_logprob", "rollup_serving_equivalence", "doc_chunking", "text_keyword_extraction", "source_csv_roundtrip", "source_jsonl_roundtrip",
     # -- r2-era greens (33): oldest driver rows in the registry --

@@ -611,6 +611,64 @@ def snapshot_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
     return total.crossJoin(agg)  # 1-row × 1-row
 
 
+def snapshot_orphan_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Orphan-file audit (Iceberg ``remove_orphan_files`` analog): list
+    every data file on storage and check it against the union of all
+    LIVE manifests' file lists. The demo plants two orphans — a stray
+    temp file and a file belonging only to an EXPIRED snapshot (the
+    two real-world sources of orphans: failed writes and expiry that
+    removed metadata before the janitor removed bytes).
+
+    Output one row: live file count, referenced count, orphan count,
+    and the orphan bytes — the numbers the cleanup job logs before
+    deleting. Storage listing is a driver glob here (O(files)); at
+    scale the same audit is a join between the file-listing DataFrame
+    and the manifest union, both file-count-sized.
+    """
+    table_dir = _build_demo_table(spark)  # appends 1-3 + compaction 4
+    # expire first: drops the pre-compaction snapshots AND unlinks
+    # their files (the clean path)
+    expire_snapshots(spark, table_dir, keep_last=1)
+    # orphan 1: failed-write leftover (planted post-expiry, as a crash
+    # between write and commit would leave it)
+    stray = os.path.join(table_dir, DATA_DIR, "s1", "_tmp_failed_write.parquet")
+    os.makedirs(os.path.dirname(stray), exist_ok=True)
+    with open(stray, "wb") as fh:
+        fh.write(b"PAR1 garbage PAR1")
+    # orphan 2: a file of an expired snapshot whose bytes outlived the
+    # metadata (janitor removed manifests first)
+    ghost = os.path.join(table_dir, DATA_DIR, "s1", "ghost=9", "old.parquet")
+    os.makedirs(os.path.dirname(ghost), exist_ok=True)
+    with open(ghost, "wb") as fh:
+        fh.write(b"PAR1 expired bytes")
+
+    live = set()
+    for sid in range(1, current_snapshot_id(table_dir) + 1):
+        path = _snap_path(table_dir, sid)
+        if os.path.exists(path):
+            live.update(f["path"] for f in load_manifest(table_dir, sid)["files"])
+    on_disk = {
+        os.path.relpath(p, os.path.join(table_dir, DATA_DIR)): os.path.getsize(p)
+        for p in _glob.glob(
+            os.path.join(table_dir, DATA_DIR, "**", "*.parquet"), recursive=True
+        )
+    }
+    orphans = {p: sz for p, sz in on_disk.items() if p not in live}
+    rows = [
+        (
+            len(on_disk),
+            len(live),
+            len(orphans),
+            sum(orphans.values()),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "n_files_on_disk long, n_files_referenced long, "
+        "n_orphans long, orphan_bytes long",
+    )
+
+
 def snapshot_changelog_diff(spark: SparkSession, sf: str) -> DataFrame:
     """CDC changelog between two snapshots (Iceberg
     ``create_changelog_view`` / ``table_changes`` analog): row-level
@@ -664,6 +722,7 @@ def snapshot_changelog_diff(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "snapshot_orphan_audit": snapshot_orphan_audit,
     "snapshot_partition_evolution": snapshot_partition_evolution,
     "snapshot_changelog_diff": snapshot_changelog_diff,
     "snapshot_delete_rows": snapshot_delete_rows,
@@ -695,6 +754,15 @@ fab AS (
 """
 
 ORACLES = {
+    # deterministic by construction: expire leaves the 4 compacted
+    # bucket files live; the audit plants exactly 2 orphans of
+    # 17 + 18 bytes (snapshot_expire precedent for literal pins)
+    "snapshot_orphan_audit": """
+        SELECT CAST(6 AS BIGINT) AS n_files_on_disk,
+               CAST(4 AS BIGINT) AS n_files_referenced,
+               CAST(2 AS BIGINT) AS n_orphans,
+               CAST(35 AS BIGINT) AS orphan_bytes
+    """,
     # spec 1 = 2 appends x 4 buckets = 8 files; spec 2 = one file per
     # distinct amount band in append 3 (ids 800..1200); pruned read =
     # every spec-1 file + the band-2 directory
