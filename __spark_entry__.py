@@ -99,6 +99,7 @@ _PRIORITY = [
     # -- demoted round-6 plain-SQL shapes (window rebalance: the
     #    complex second-window ops carry more driver-row information;
     #    these front the r7 window if still unchecked) --
+    "basket_pair_frequency", "ann_index_persist_probe",
     "orders_open_concurrency", "window_range_time", "user_activity_streaks", "events_trend_slope",
     "events_changepoint_cusum", "fuzzy_join_levenshtein", "scd2_dimension_join", "dedup_containment_pairs", "embedding_norm_outliers",
     "snapshot_rollback", "sketch_countmin_terms", "zorder_layout_audit", "mixture_resample_balanced", "text_unigram_logprob", "orders_abc_analysis", "quality_weighted_sample", "events_throttle_dedup", "text_bigram_logprob", "rollup_serving_equivalence", "doc_chunking", "text_keyword_extraction", "source_csv_roundtrip", "source_jsonl_roundtrip",

@@ -41,6 +41,7 @@ def _schema_from_payload(body: bytes) -> T.StructType:
 
 class _Handler(BaseHTTPRequestHandler):
     registry: SchemaRegistry  # injected by serve()
+    lock: threading.Lock  # guards registry mutations (threaded server)
 
     def log_message(self, *a):  # silence request logging in tests
         pass
@@ -99,21 +100,25 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if len(parts) == 3 and parts[0] == "subjects" and parts[2] == "versions":
             subject = parts[1]
-            issues = reg.test_compatibility(subject, schema)
-            if issues:
-                self._send(
-                    409, {"error_code": 409, "message": "; ".join(issues)}
-                )
-            else:
-                self._send(200, {"id": reg.register(subject, schema)})
+            # register-or-reuse lives INSIDE SchemaRegistry.register —
+            # pre-checking compatibility here would wrongly 409 a
+            # re-registration of an older existing version (Confluent
+            # hands back its id). One lock covers check+mutate.
+            with self.lock:
+                try:
+                    self._send(200, {"id": reg.register(subject, schema)})
+                except ValueError as ex:
+                    self._send(409, {"error_code": 409, "message": str(ex)})
         elif (
             len(parts) == 5
             and parts[0] == "compatibility"
             and parts[1] == "subjects"
             and parts[3] == "versions"
+            and parts[4] == "latest"
         ):
             subject = parts[2]
-            issues = reg.test_compatibility(subject, schema)
+            with self.lock:
+                issues = reg.test_compatibility(subject, schema)
             self._send(
                 200, {"is_compatible": not issues, "messages": issues}
             )
@@ -123,8 +128,14 @@ class _Handler(BaseHTTPRequestHandler):
 
 def serve(registry: SchemaRegistry | None = None):
     """Start the loopback registry on an ephemeral port; returns
-    (base_url, server). Caller shuts down with server.shutdown()."""
-    handler = type("BoundHandler", (_Handler,), {"registry": registry or SchemaRegistry()})
+    (base_url, server). Caller stops with server.shutdown() AND
+    server.server_close() (shutdown only ends the serve loop; close
+    releases the listening socket)."""
+    handler = type(
+        "BoundHandler",
+        (_Handler,),
+        {"registry": registry or SchemaRegistry(), "lock": threading.Lock()},
+    )
     server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()

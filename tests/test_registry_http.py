@@ -21,6 +21,7 @@ def client():
         yield RegistryClient(base_url)
     finally:
         server.shutdown()
+        server.server_close()
 
 
 V1 = T.StructType(
@@ -109,3 +110,12 @@ def test_schema_gated_streaming_ingest(client, spark, sf_dir, tmp_path):
     )
     ok, msgs = client.test_compatibility("events-value", bad)
     assert not ok and any("required_new" in m for m in msgs)
+
+
+def test_reregister_older_version_returns_its_id(client):
+    """Register-or-reuse must apply to ANY existing version, not just
+    the latest: re-registering V1 after V2 exists hands back id 1
+    (Confluent semantics), never a 409."""
+    client.register("s", V1)
+    client.register("s", V2)
+    assert client.register("s", V1) == 1
