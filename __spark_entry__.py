@@ -76,30 +76,31 @@ _PRIORITY = [
     #    rows predate two fixture changes), then r4-era. The r5 greens
     #    queue last -- freshest driver rows, code unchanged since. --
     "dedup_cluster_stats", "text_ngram_novelty", "join_asof_nearest",
-    # -- new round-6 operators (no driver row yet) --
     "stream_incremental_dedup", "multimodal_phash_near_dup",
+    # -- new round-6 operators (no driver row yet) --
     "graph_pagerank", "embedding_kmeans_lloyd", "stream_quality_gate",
     "merge_scd1_apply",
     "dedup_cluster_canonical", "embedding_cluster_components",
     "embedding_cluster_canonical", "snapshot_delete_rows", "multimodal_scene_changes",
-    "time_gapfill_locf", "winsorize_event_values", "order_reconciliation_audit",
+    "winsorize_event_values", "order_reconciliation_audit",
     "dq_constraint_suite", "graph_triangle_count", "item_item_cosine",
     "sketch_kmv_distinct", "text_bm25_retrieval",
     "events_last_touch_attribution", "stream_session_window_native",
     "snapshot_changelog_diff", "hybrid_rrf_retrieval",
     "dedup_lexical_semantic_eval", "bloom_filter_probe",
-    "events_rolling_distinct_users", "events_median_abs_deviation",
-    "snapshot_partition_evolution", "bpe_train_merges",
+    "events_rolling_distinct_users", "snapshot_partition_evolution", "bpe_train_merges",
     "chunk_exact_dedup", "source_python_datasource", "basket_association_rules",
     "multimodal_audio_fingerprint",
     "recursive_cte_hierarchy", "lateral_join_topk", "corpus_report_card", "ann_matryoshka_recall", "scd2_history_build",
     "dedup_similarity_histogram", "quality_dup_calibration",
     "stream_windowed_approx_users", "ann_incremental_assign", "source_vocab_divergence", "orders_rapid_repeat_audit",
-    "bpe_encode_corpus", "curation_shard_write", "snapshot_orphan_audit",
+    "bpe_encode_corpus", "curation_shard_write", "snapshot_orphan_audit", "snapshot_wap_publish",
+    "dq_star_schema_ri_audit",
     # -- demoted round-6 plain-SQL shapes (window rebalance: the
     #    complex second-window ops carry more driver-row information;
     #    these front the r7 window if still unchecked) --
     "basket_pair_frequency", "ann_index_persist_probe",
+    "time_gapfill_locf", "events_median_abs_deviation",
     "orders_open_concurrency", "window_range_time", "user_activity_streaks", "events_trend_slope",
     "events_changepoint_cusum", "fuzzy_join_levenshtein", "scd2_dimension_join", "dedup_containment_pairs", "embedding_norm_outliers",
     "snapshot_rollback", "sketch_countmin_terms", "zorder_layout_audit", "mixture_resample_balanced", "text_unigram_logprob", "orders_abc_analysis", "quality_weighted_sample", "events_throttle_dedup", "text_bigram_logprob", "rollup_serving_equivalence", "doc_chunking", "text_keyword_extraction", "source_csv_roundtrip", "source_jsonl_roundtrip",

@@ -298,3 +298,73 @@ FROM pairs GROUP BY c ORDER BY c
 """
 
 QUERIES["orders_rapid_repeat_audit"] = orders_rapid_repeat_audit
+
+
+# (edge name, fact table, fact key, dim table, dim key)
+_RI_EDGES = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def dq_star_schema_ri_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential integrity across the WHOLE star schema: one row per
+    foreign-key edge with fact rows, orphan rows (fact keys absent
+    from the dimension), and distinct orphan keys — the conformance
+    sweep a warehouse runs after every load, generalizing the single
+    orders→customer check in dq_constraint_suite.
+
+    Plan: one anti join per edge, each keyed on its FK (the dimension
+    side broadcasts where small); results union to an edges-sized
+    frame. Edges are independent, so at scale they run concurrently
+    within one job.
+    """
+    out = None
+    for name, fact, fk, dim, dk in _RI_EDGES:
+        f = load_table(spark, sf, fact).select(F.col(fk).alias("k"))
+        d = load_table(spark, sf, dim).select(F.col(dk).alias("k")).distinct()
+        orphans = f.join(d, "k", "left_anti")
+        row = (
+            f.agg(F.count("*").cast("long").alias("n_fact_rows"))
+            .crossJoin(
+                orphans.agg(
+                    F.count("*").cast("long").alias("n_orphan_rows"),
+                    F.count_distinct("k").cast("long").alias("n_orphan_keys"),
+                )
+            )
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_fact_rows",
+                "n_orphan_rows",
+                "n_orphan_keys",
+                (F.col("n_orphan_rows") == 0).alias("passed"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("fk_edge")
+
+
+QUERIES["dq_star_schema_ri_audit"] = dq_star_schema_ri_audit
+ORACLES["dq_star_schema_ri_audit"] = (
+    "WITH long AS ("
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS fk_edge,
+               CAST((SELECT COUNT(*) FROM {fact}) AS BIGINT) AS n_fact_rows,
+               CAST((SELECT COUNT(*) FROM {fact} f
+                     WHERE NOT EXISTS (SELECT 1 FROM {dim} d
+                                       WHERE d.{dk} = f.{fk}))
+                 AS BIGINT) AS n_orphan_rows,
+               CAST((SELECT COUNT(DISTINCT f.{fk}) FROM {fact} f
+                     WHERE NOT EXISTS (SELECT 1 FROM {dim} d
+                                       WHERE d.{dk} = f.{fk}))
+                 AS BIGINT) AS n_orphan_keys"""
+        for name, fact, fk, dim, dk in _RI_EDGES
+    )
+    + ") SELECT fk_edge, n_fact_rows, n_orphan_rows, n_orphan_keys, "
+    "n_orphan_rows = 0 AS passed FROM long ORDER BY fk_edge"
+)

@@ -611,6 +611,92 @@ def snapshot_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
     return total.crossJoin(agg)  # 1-row × 1-row
 
 
+def snapshot_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-Audit-Publish (Iceberg's WAP branch workflow): the third
+    append is STAGED under a name the snapshot log does not resolve
+    (readers still see snapshot 2), audited while invisible (row count
+    + exact cents against the manifest's own claim), and only then
+    PUBLISHED by promoting the staged manifest to v3 — the atomic
+    rename that is Iceberg's commit primitive.
+
+    Output pins the reader-visible row count and cents at each stage:
+    pre-stage, staged-but-unpublished (unchanged — the audit can't
+    leak), published. A failed audit would simply delete the staged
+    manifest; bytes never need rollback because they were never
+    referenced.
+    """
+    import shutil
+
+    table_dir = _build_demo_table_two_appends(spark)
+
+    def visible():
+        cur = read_snapshot(spark, table_dir)
+        r = cur.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("amount") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        ).collect()[0]
+        return r["n"], r["cents"]
+
+    stages = []
+    stages.append(("1_pre_stage", *visible()))
+
+    # stage: write files + manifest under a NON-versioned name
+    parent = current_snapshot_id(table_dir)
+    df3 = _fabric_slice(spark, 2 * N_PER_APPEND, 3 * N_PER_APPEND)
+    out = os.path.join(table_dir, DATA_DIR, "staged_s3")
+    new_files = _write_bucketed(df3, out)
+    staged = {
+        "snapshot_id": parent + 1,
+        "parent_id": parent,
+        "operation": "append",
+        "schema": _schema_json(df3),
+        "files": load_manifest(table_dir, parent)["files"] + new_files,
+        "added_files": len(new_files),
+        "total_records": load_manifest(table_dir, parent)["total_records"]
+        + sum(f["record_count"] for f in new_files),
+    }
+    staged_path = os.path.join(table_dir, SNAP_DIR, "staged_v3.json")
+    with open(staged_path, "w") as fh:
+        json.dump(staged, fh)
+    stages.append(("2_staged_invisible", *visible()))
+
+    # audit the staged data directly (not via the snapshot log)
+    audit_paths = [
+        os.path.join(table_dir, DATA_DIR, f["path"]) for f in new_files
+    ]
+    audit = spark.read.parquet(*audit_paths).agg(
+        F.count("*").cast("long").alias("n")
+    ).collect()[0]
+    assert audit["n"] == sum(f["record_count"] for f in new_files), (
+        "WAP audit failed — staged manifest row-count claim is wrong"
+    )
+
+    # publish: promote the staged manifest (atomic rename)
+    shutil.move(staged_path, _snap_path(table_dir, parent + 1))
+    stages.append(("3_published", *visible()))
+
+    return spark.createDataFrame(
+        stages, "stage string, n_rows long, amount_cents long"
+    )
+
+
+def _build_demo_table_two_appends(spark: SparkSession) -> str:
+    import atexit
+    import shutil
+
+    table_dir = tempfile.mkdtemp(prefix="snap_wap_")
+    atexit.register(shutil.rmtree, table_dir, ignore_errors=True)
+    for k in range(2):
+        commit_append(
+            spark,
+            table_dir,
+            _fabric_slice(spark, k * N_PER_APPEND, (k + 1) * N_PER_APPEND),
+        )
+    return table_dir
+
+
 def snapshot_orphan_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Orphan-file audit (Iceberg ``remove_orphan_files`` analog): list
     every data file on storage and check it against the union of all
@@ -722,6 +808,7 @@ def snapshot_changelog_diff(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "snapshot_wap_publish": snapshot_wap_publish,
     "snapshot_orphan_audit": snapshot_orphan_audit,
     "snapshot_partition_evolution": snapshot_partition_evolution,
     "snapshot_changelog_diff": snapshot_changelog_diff,
@@ -754,6 +841,19 @@ fab AS (
 """
 
 ORACLES = {
+    # ids < 800 visible before publish (two appends); staging changes
+    # NOTHING a reader sees; publish exposes ids < 1200
+    "snapshot_wap_publish": f"""
+        WITH {_FAB}
+        SELECT s.stage,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM fab
+                WHERE id < s.hi) AS n_rows,
+               (SELECT CAST(SUM(cents) AS BIGINT) FROM fab
+                WHERE id < s.hi) AS amount_cents
+        FROM (VALUES ('1_pre_stage', 800),
+                     ('2_staged_invisible', 800),
+                     ('3_published', 1200)) AS s(stage, hi)
+    """,
     # deterministic by construction: expire leaves the 4 compacted
     # bucket files live; the audit plants exactly 2 orphans of
     # 17 + 18 bytes (snapshot_expire precedent for literal pins)
