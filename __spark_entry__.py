@@ -61,49 +61,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks the FIRST 50 registry
-# entries per round.  Round 6 ordering: with CORRECTNESS_r05 at
-# 50/50 green and every query driver-checked at least once except
-# three, the window rotates to least-recently-driver-checked —
-# never-checked first, then new round-6 operators, then r2-era rows,
-# then r4-era fill. The r5 greens (freshest rows) queue last.
-# Round-7 plan: the 40 round-6 operators will then hold fresh rows;
-# rotate the remaining r2-era greens (crowded out this round) plus
-# the r4-era block into the window, new r7 operators first as always.
+# entries per round.  Round 7 ordering: the 34 queries that have
+# never received a driver row (demoted past the r6 window; all 34
+# independently verified at sf0.01 by the r6 judge) lead, so the
+# driver's own ledger reaches full registry coverage.  New round-7
+# operators follow in the remaining 16 slots.  Everything else
+# queues in staleness order: r2-era greens, r4-era, round-6 rows
+# (freshest), then r5 greens.
 _PRIORITY = [
-    # -- round-6 window: never-driver-checked first (added in r5,
-    #    landed past the 50-slot window), then new round-6 operators
-    #    (inserted below as built), then stalest greens (r2-era, whose
-    #    rows predate two fixture changes), then r4-era. The r5 greens
-    #    queue last -- freshest driver rows, code unchanged since. --
-    "dedup_cluster_stats", "text_ngram_novelty", "join_asof_nearest",
-    "stream_incremental_dedup", "multimodal_phash_near_dup",
-    # -- new round-6 operators (no driver row yet) --
-    "graph_pagerank", "embedding_kmeans_lloyd", "stream_quality_gate",
-    "merge_scd1_apply",
-    "dedup_cluster_canonical", "embedding_cluster_components",
-    "embedding_cluster_canonical", "snapshot_delete_rows", "multimodal_scene_changes",
-    "winsorize_event_values", "order_reconciliation_audit",
-    "dq_constraint_suite", "graph_triangle_count", "item_item_cosine",
-    "sketch_kmv_distinct", "text_bm25_retrieval",
-    "events_last_touch_attribution", "stream_session_window_native",
-    "snapshot_changelog_diff", "hybrid_rrf_retrieval",
-    "dedup_lexical_semantic_eval", "bloom_filter_probe",
-    "events_rolling_distinct_users", "snapshot_partition_evolution", "bpe_train_merges",
-    "chunk_exact_dedup", "source_python_datasource", "basket_association_rules",
-    "multimodal_audio_fingerprint",
-    "recursive_cte_hierarchy", "lateral_join_topk", "corpus_report_card", "ann_matryoshka_recall", "scd2_history_build",
-    "dedup_similarity_histogram", "quality_dup_calibration",
-    "stream_windowed_approx_users", "ann_incremental_assign", "source_vocab_divergence", "orders_rapid_repeat_audit",
-    "bpe_encode_corpus", "curation_shard_write", "snapshot_orphan_audit", "snapshot_wap_publish",
-    "dq_star_schema_ri_audit",
-    # -- demoted round-6 plain-SQL shapes (window rebalance: the
-    #    complex second-window ops carry more driver-row information;
-    #    these front the r7 window if still unchecked) --
+    # -- the 34 never-driver-checked queries (front of r7 window) --
     "basket_pair_frequency", "ann_index_persist_probe",
     "time_gapfill_locf", "events_median_abs_deviation",
     "orders_open_concurrency", "window_range_time", "user_activity_streaks", "events_trend_slope",
     "events_changepoint_cusum", "fuzzy_join_levenshtein", "scd2_dimension_join", "dedup_containment_pairs", "embedding_norm_outliers",
     "snapshot_rollback", "sketch_countmin_terms", "zorder_layout_audit", "mixture_resample_balanced", "text_unigram_logprob", "orders_abc_analysis", "quality_weighted_sample", "events_throttle_dedup", "text_bigram_logprob", "rollup_serving_equivalence", "doc_chunking", "text_keyword_extraction", "source_csv_roundtrip", "source_jsonl_roundtrip",
+    "events_moving_average", "unpivot_part_measures", "table_profile_orders",
+    "events_daily_growth", "events_time_rollup", "text_sentence_stats", "conversion_latency_quantiles",
+    # -- new round-7 operators (no driver row yet; fill the window) --
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",
@@ -117,12 +91,6 @@ _PRIORITY = [
     "applyinpandas_rank", "ann_topk_lsh", "snapshot_files",
     "confluent_roundtrip", "catalog_table_columns",
     "catalog_write_read_roundtrip",
-    # -- simple round-6 ops (plain SQL shapes, demoted below the
-    #    r2-era re-checks: a first driver row on basic SQL carries
-    #    less information than refreshing greens that predate two
-    #    fixture changes; they front the r7 window if unchecked) --
-    "events_moving_average", "unpivot_part_measures", "table_profile_orders",
-    "events_daily_growth", "events_time_rollup", "text_sentence_stats", "conversion_latency_quantiles",
     # -- r4-era greens (36) --
     "array_hof", "agg_approx_distinct", "dedup_simhash_hamming",
     "schema_evolution_roundtrip", "join_bucketed_colocated",
@@ -138,6 +106,29 @@ _PRIORITY = [
     "q20_dominant_suppliers", "q21_last_shipper",
     "stratified_sample_per_source", "vocab_top_terms",
     "contamination_ngram_overlap",
+    # -- round-6 driver rows (checked in CORRECTNESS_r06) --
+    "dedup_cluster_stats", "text_ngram_novelty", "join_asof_nearest",
+    "stream_incremental_dedup", "multimodal_phash_near_dup",
+    "graph_pagerank", "embedding_kmeans_lloyd", "stream_quality_gate",
+    "merge_scd1_apply",
+    "dedup_cluster_canonical", "embedding_cluster_components",
+    "embedding_cluster_canonical", "snapshot_delete_rows", "multimodal_scene_changes",
+    "winsorize_event_values", "order_reconciliation_audit",
+    "dq_constraint_suite", "graph_triangle_count", "item_item_cosine",
+    "sketch_kmv_distinct", "text_bm25_retrieval",
+    "events_last_touch_attribution", "stream_session_window_native",
+    "snapshot_changelog_diff", "hybrid_rrf_retrieval",
+    "dedup_lexical_semantic_eval", "bloom_filter_probe",
+    "events_rolling_distinct_users", "snapshot_partition_evolution", "bpe_train_merges",
+    "chunk_exact_dedup", "source_python_datasource", "basket_association_rules",
+    "multimodal_audio_fingerprint",
+    "recursive_cte_hierarchy", "lateral_join_topk", "corpus_report_card",
+    "ann_matryoshka_recall", "scd2_history_build",
+    "dedup_similarity_histogram", "quality_dup_calibration",
+    "stream_windowed_approx_users", "ann_incremental_assign",
+    "source_vocab_divergence", "orders_rapid_repeat_audit",
+    "bpe_encode_corpus", "curation_shard_write", "snapshot_orphan_audit",
+    "snapshot_wap_publish", "dq_star_schema_ri_audit",
     # -- r5 greens (50): freshest rows, past the window --
     "date_functions", "purchase_event_fabric", "event_sessionize_batch",
     "interval_join_events", "stream_tumbling_counts", "stream_sessionize",
