@@ -105,19 +105,53 @@ def main() -> None:
             best = min(best, dt)
         timings[name] = round(best, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "value_cold": round(sum(cold.values()), 3),
-                "queries_cold": cold,
-                "sf": sf,
-            }
-        )
-    )
+    # DuckDB comparator: time the IDENTICAL oracle SQLs on the same
+    # parquet in the same process, so the recorded ratio cancels host
+    # co-tenancy (r6 lesson: raw totals swung ±90% with host load
+    # while the DuckDB-relative ratio stayed stable). Kept after the
+    # Spark section so Spark timings never compete with DuckDB threads.
+    duckdb_timings: dict[str, float] = {}
+    try:
+        import duckdb
+
+        from iceberg_kafka_playgroud_spark.verify import register_duckdb_views
+
+        oracles = entry.oracle_sql()
+        con = duckdb.connect()
+        register_duckdb_views(con, sf_dir)
+        for name in names:
+            sql = oracles.get(name)
+            if sql is None:
+                continue
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duckdb_timings[name] = round(best, 3)
+        con.close()
+    except Exception as exc:  # comparator is diagnostic, never fatal
+        print(f"bench: duckdb comparator skipped: {exc}", file=sys.stderr)
+
+    spark_total = round(sum(timings.values()), 3)
+    duckdb_total = round(sum(duckdb_timings.values()), 3)
+    # ratio over the common subset only; <1.0 means Spark is faster
+    common = [n for n in names if n in duckdb_timings]
+    spark_common = sum(timings[n] for n in common)
+    out = {
+        "metric": "headline_queries_total",
+        "value": spark_total,
+        "unit": "sec",
+        "queries": timings,
+        "value_cold": round(sum(cold.values()), 3),
+        "queries_cold": cold,
+        "sf": sf,
+    }
+    if duckdb_timings:
+        out["duckdb_total"] = duckdb_total
+        out["duckdb_queries"] = duckdb_timings
+        out["ratio"] = round(spark_common / max(duckdb_total, 1e-9), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -222,15 +222,17 @@ def orders_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
     (exact cents total), then count customers per (r, f, m) segment —
     the marketing-analytics workhorse.
 
-    ntile runs over (metric, custkey) total orders so quartile
-    boundaries are deterministic under ties in both engines; the
-    per-customer aggregate is one shuffle. The unpartitioned ntile is
-    the exact-quartile semantics and funnels the (customer-count-sized,
-    already-aggregated) frame through one task — fine up to tens of
-    millions of customers; beyond that, swap to approx_percentile
-    boundary assignment (narrow, no global window) and accept sketch-
-    boundary quartiles.
+    Quartiles run over (metric, custkey) total orders so boundaries
+    are deterministic under ties in both engines; the per-customer
+    aggregate is one shuffle.  The quartile assignment is NOT a global
+    ntile window (customer count grows with scale, and an
+    unpartitioned ntile funnels the whole frame through one task): all
+    three buckets come from ``distributed.ranked_total`` — range
+    partition → per-partition rank → broadcast prefix offsets — plus
+    the SQL-standard bucket-size formula, bit-identical to ntile.
     """
+    from .distributed import ntile_expr, ranked_total
+
     o = load_table(spark, sf, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -239,11 +241,16 @@ def orders_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
             "cents"
         ),
     )
-    nt = lambda *cols: F.ntile(RFM_BUCKETS).over(W.orderBy(*cols))  # noqa: E731
-    seg = per_cust.select(
-        nt(F.col("last_order").desc(), F.col("o_custkey")).alias("r_bucket"),
-        nt(F.col("n_orders").desc(), F.col("o_custkey")).alias("f_bucket"),
-        nt(F.col("cents").desc(), F.col("o_custkey")).alias("m_bucket"),
+    key = F.col("o_custkey").asc()
+    ranked, total = ranked_total(
+        per_cust, [F.col("last_order").desc(), key], "_rr"
+    )
+    ranked, _ = ranked_total(ranked, [F.col("n_orders").desc(), key], "_rf")
+    ranked, _ = ranked_total(ranked, [F.col("cents").desc(), key], "_rm")
+    seg = ranked.select(
+        ntile_expr("_rr", total, RFM_BUCKETS).alias("r_bucket"),
+        ntile_expr("_rf", total, RFM_BUCKETS).alias("f_bucket"),
+        ntile_expr("_rm", total, RFM_BUCKETS).alias("m_bucket"),
     )
     return (
         seg.groupBy("r_bucket", "f_bucket", "m_bucket")
@@ -885,11 +892,15 @@ def orders_abc_analysis(spark: SparkSession, sf: str) -> DataFrame:
     inventory-prioritization rollup. Revenue and its running total are
     exact int64 cents; class thresholds are integer CROSS-MULTIPLIES
     (cum·100 ≤ total·80), so no float accumulation or division decides
-    a class boundary. One part-keyed shuffle + one global-ordered
-    window over the parts-sized aggregate (at 100 TB: a range-
-    partitioned sort over #parts rows, not the fact table).
+    a class boundary. One part-keyed shuffle; the cumulative revenue
+    is NOT a global-ordered window (part count grows with scale, and
+    an unpartitioned running sum funnels every part through one task)
+    but the distributed prefix-sum from ``distributed.
+    running_sum_total``: range partition on (revenue desc, partkey) →
+    per-partition running sums → broadcast per-partition offsets.
+    The grand total falls out of the same bounded offsets collect.
     """
-    from pyspark.sql import Window as W
+    from .distributed import running_sum_total
 
     li = load_table(spark, sf, "lineitem")
     rev = li.groupBy("l_partkey").agg(
@@ -897,11 +908,14 @@ def orders_abc_analysis(spark: SparkSession, sf: str) -> DataFrame:
             "rev_cents"
         )
     )
-    total = rev.agg(F.sum("rev_cents").alias("total_cents"))
-    w = W.orderBy(F.col("rev_cents").desc(), F.col("l_partkey").asc())
-    ranked = (
-        rev.join(F.broadcast(total))
-        .withColumn("cum_cents", F.sum("rev_cents").over(w))
+    ranked, total_cents = running_sum_total(
+        rev,
+        [F.col("rev_cents").desc(), F.col("l_partkey").asc()],
+        "rev_cents",
+        "cum_cents",
+    )
+    ranked = ranked.withColumn(
+        "total_cents", F.lit(int(total_cents)).cast("long")
     )
     # DECIMAL(38,0) cross-multiplies: int64 would wrap at ~total_cents
     # > 9.2e16 (a few-TB corpus) and silently misclassify; decimal is
@@ -1610,6 +1624,12 @@ def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# edge-list broadcast budget: 5M edges × ~24 B/row ≈ 120 MB, inside
+# the executor-side broadcast comfort zone; beyond it the triangle
+# joins shuffle instead (tests force this path with monkeypatch)
+TRIANGLE_BROADCAST_MAX = 5_000_000
+
+
 def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     """Triangle counting over the co-purchase graph with DEGREE-ORDERED
     orientation (compact-forward): each undirected edge is directed
@@ -1626,6 +1646,18 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     Spark side is free to pick the scalable plan.
     """
     e = _copurchase_edges(spark, sf).select("pa", "pb")
+    # the support-pruned edge list is cached by _copurchase_edges, so
+    # this count is one cheap pass over cached partitions; it both
+    # feeds the n_edges output column and SIZE-GATES the broadcasts
+    # below (same footer-count-gate pattern as similarity.py's
+    # VERIFY_BROADCAST_MAX): a popular-item graph at 100× could
+    # exceed the broadcast budget and OOM the driver, in which case
+    # every join falls back to a shuffled equi-join that AQE
+    # re-balances — the compact-forward algorithm itself is unchanged.
+    n_edges = e.count()
+    maybe_bcast = (
+        F.broadcast if n_edges <= TRIANGLE_BROADCAST_MAX else (lambda d: d)
+    )
     deg = (
         e.select(F.col("pa").alias("p"))
         .unionAll(e.select(F.col("pb").alias("p")))
@@ -1634,10 +1666,7 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     )
     da = deg.select(F.col("p").alias("pa"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("p").alias("pb"), F.col("deg").alias("deg_b"))
-    # every frame below is edge-list-sized (support-pruned) —
-    # broadcast them all so the whole triangle pipeline runs without
-    # a single downstream exchange
-    ed = e.join(F.broadcast(da), "pa").join(F.broadcast(db), "pb")
+    ed = e.join(maybe_bcast(da), "pa").join(maybe_bcast(db), "pb")
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("pa") < F.col("pb"))
     )
@@ -1656,19 +1685,19 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         F.col("dst").alias("z"),
         F.col("deg_dst").alias("deg_z"),
     )
-    wedges = w1.join(F.broadcast(w2), "x").filter(
+    wedges = w1.join(maybe_bcast(w2), "x").filter(
         (F.col("deg_y") < F.col("deg_z"))
         | ((F.col("deg_y") == F.col("deg_z")) & (F.col("y") < F.col("z")))
     )
     closing = oriented.select(
         F.col("src").alias("y"), F.col("dst").alias("z")
     )
-    tri = wedges.join(F.broadcast(closing), ["y", "z"]).agg(
+    tri = wedges.join(maybe_bcast(closing), ["y", "z"]).agg(
         F.count("*").cast("long").alias("n_triangles")
     )
-    stats = e.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
-        deg.agg(F.count("*").cast("long").alias("n_nodes"))
-    )
+    stats = spark.range(1).select(
+        F.lit(int(n_edges)).cast("long").alias("n_edges")
+    ).crossJoin(deg.agg(F.count("*").cast("long").alias("n_nodes")))
     # 1-row × 1-row attaches — constant-cost broadcast joins
     return stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
 

@@ -988,31 +988,32 @@ def quality_dup_calibration(spark: SparkSession, sf: str) -> DataFrame:
     Deciles are ntile(10) over the total order (score, doc_id), so
     bucket assignment is deterministic in both engines; dup marking
     is keep-first on md5(normalized text).
+
+    Scale: the decile assignment is NOT a global ntile window (which
+    would funnel the whole corpus through one task) — it is the
+    distributed prefix-sum rank from ``distributed.ranked_total``
+    (range partition → per-partition rank → broadcast offsets) plus
+    the SQL-standard bucket-size formula, bit-identical to ntile.
     """
+    from .distributed import ntile_expr, ranked_total
     from .text import normalized, text_quality_score
 
     q = text_quality_score(spark, sf).select("doc_id", "quality_score")
     d = load_table(spark, sf, "documents").select(
         "doc_id", F.md5(normalized(F.col("text"))).alias("h")
     )
-    base = (
-        d.join(q, "doc_id")
-        .withColumn(
-            "is_dup",
-            (
-                F.row_number().over(W.partitionBy("h").orderBy("doc_id")) > 1
-            ).cast("long"),
-        )
-        .withColumn(
-            "decile",
-            F.ntile(10).over(
-                W.orderBy(
-                    F.col("quality_score").asc_nulls_last(),
-                    F.col("doc_id").asc(),
-                )
-            ),
-        )
+    joined = d.join(q, "doc_id").withColumn(
+        "is_dup",
+        (
+            F.row_number().over(W.partitionBy("h").orderBy("doc_id")) > 1
+        ).cast("long"),
     )
+    ranked, total = ranked_total(
+        joined,
+        [F.col("quality_score").asc_nulls_last(), F.col("doc_id").asc()],
+        "_grank",
+    )
+    base = ranked.withColumn("decile", ntile_expr("_grank", total, 10))
     return (
         base.groupBy("decile")
         .agg(

@@ -319,8 +319,14 @@ def sort_nulls_ordering(spark: SparkSession, sf: str) -> DataFrame:
     driver's compare is order-insensitive, so the placement of NULL
     keys must be materialized into a column to be checkable): customers
     without orders produce NULL totals via the left join; the two rank
-    columns pin both null-ordering policies."""
-    from pyspark.sql import Window as W
+    columns pin both null-ordering policies.
+
+    Scale: the ranks are distributed prefix-sum ranks
+    (``distributed.ranked_total``), not global row_number windows —
+    the range partitioner honors the same NULLS FIRST/LAST sort
+    orders, so null placement is still pinned while no task ever sees
+    more than one range slice of the customer frame."""
+    from .distributed import ranked_total
 
     c = load_table(spark, sf, "customer")
     o = load_table(spark, sf, "orders")
@@ -329,17 +335,21 @@ def sort_nulls_ordering(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(c.c_custkey)
         .agg(F.max("o_totalprice").alias("max_price"))
     )
-    w_last = W.orderBy(
-        F.col("max_price").desc_nulls_last(), F.col("c_custkey").asc()
+    ranked, _ = ranked_total(
+        per_cust,
+        [F.col("max_price").desc_nulls_last(), F.col("c_custkey").asc()],
+        "rk_desc_nulls_last",
     )
-    w_first = W.orderBy(
-        F.col("max_price").asc_nulls_first(), F.col("c_custkey").asc()
+    ranked, _ = ranked_total(
+        ranked,
+        [F.col("max_price").asc_nulls_first(), F.col("c_custkey").asc()],
+        "rk_asc_nulls_first",
     )
-    return per_cust.select(
+    return ranked.select(
         "c_custkey",
         "max_price",
-        F.row_number().over(w_last).alias("rk_desc_nulls_last"),
-        F.row_number().over(w_first).alias("rk_asc_nulls_first"),
+        "rk_desc_nulls_last",
+        "rk_asc_nulls_first",
     )
 
 

@@ -917,6 +917,7 @@ RRF_K = 60  # standard reciprocal-rank-fusion constant
 RRF_SCALE = 10**9  # fixed-point contribution scale
 HYBRID_QUERY_DOC = 0  # query = document 0's embedding + the BM25 terms
 HYBRID_TOP = 10
+RRF_HORIZON = 1000  # fusion horizon: ranks beyond this are dropped
 
 
 def hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
@@ -931,18 +932,21 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
 
     Plan: the lexical side reuses the BM25 pipeline (one pruned
     shuffle); the semantic side is a broadcast of the single query
-    vector over the embedding scan. Rank assignment is a global
-    row_number over each CANDIDATE list (matched docs / corpus) —
-    at 100 TB both lists are first truncated to the fusion horizon
-    (ranks beyond ~1000 contribute < 0.1% of a top rank) with
-    TakeOrdered, bounding the single-partition window to the horizon.
+    vector over the embedding scan. Both candidate lists are first
+    truncated to the fusion horizon (RRF_HORIZON = 1000; deeper ranks
+    contribute < 0.1% of a top rank) with a sort+limit that compiles
+    to TakeOrderedAndProject — per-partition top-k, no global sort —
+    so the rank-assigning window runs over at most HORIZON rows, a
+    constant-bounded frame at any corpus size. The oracle applies the
+    identical truncation (rank ≤ horizon), so results stay bit-exact.
     """
     from .text import _bm25_scores
 
     lex = _bm25_scores(spark, sf)
-    wlex = W.orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
-    lex_rank = lex.select(
-        "doc_id", F.row_number().over(wlex).alias("rank_lex")
+    lex_order = [F.col("score_fp").desc(), F.col("doc_id").asc()]
+    lex_top = lex.orderBy(*lex_order).limit(RRF_HORIZON)
+    lex_rank = lex_top.select(
+        "doc_id", F.row_number().over(W.orderBy(*lex_order)).alias("rank_lex")
     )
     em = load_table(spark, sf, "embeddings").select(
         "vec_id", _to_double(F.col("embedding")).alias("vec")
@@ -958,9 +962,10 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
             F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
         )
     )
-    wsem = W.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
-    sem_rank = sims.select(
-        "doc_id", F.row_number().over(wsem).alias("rank_sem")
+    sem_order = [F.col("sim").desc(), F.col("doc_id").asc()]
+    sem_top = sims.orderBy(*sem_order).limit(RRF_HORIZON)
+    sem_rank = sem_top.select(
+        "doc_id", F.row_number().over(W.orderBy(*sem_order)).alias("rank_sem")
     )
     contrib = lambda rank: F.coalesce(  # noqa: E731
         F.floor(F.lit(RRF_SCALE) / (F.lit(RRF_K) + rank)).cast("long"),
@@ -1249,9 +1254,11 @@ from .text import BM25_SCORES_SQL as _BM25_SCORES_SQL  # noqa: E402
 _HYBRID_ORACLE = f"""
 WITH {_BM25_SCORES_SQL},
 lexr AS (
-  SELECT doc_id,
-         row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rank_lex
-  FROM bmscores
+  SELECT doc_id, rank_lex FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rank_lex
+    FROM bmscores
+  ) WHERE rank_lex <= {RRF_HORIZON}
 ),
 q AS (SELECT embedding AS qe FROM embeddings
       WHERE vec_id = {HYBRID_QUERY_DOC}),
@@ -1263,9 +1270,11 @@ sims AS (
   FROM q, embeddings e WHERE e.vec_id != {HYBRID_QUERY_DOC}
 ),
 semr AS (
-  SELECT doc_id,
-         row_number() OVER (ORDER BY sim DESC, doc_id) AS rank_sem
-  FROM sims
+  SELECT doc_id, rank_sem FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY sim DESC, doc_id) AS rank_sem
+    FROM sims
+  ) WHERE rank_sem <= {RRF_HORIZON}
 )
 SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
        CAST(l.rank_lex AS BIGINT) AS rank_lex,

@@ -621,3 +621,73 @@ def test_audio_fingerprint_df_pruned_bucket_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Arguments lines of Window nodes with NO partition spec.
+
+    In formatted explain a Window node's Arguments are
+    ``[functions], [partitionSpec], [orderSpec]`` when partitioned and
+    only ``[functions], [orderSpec]`` when global — count top-level
+    bracket groups.
+    """
+    import re
+
+    out = []
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    for b in blocks:
+        if not b.startswith("Window"):
+            continue
+        m = re.search(r"Arguments: (.*)", b)
+        if not m:
+            continue
+        args, depth, groups = m.group(1), 0, 0
+        for ch in args:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            out.append(m.group(1))
+    return out
+
+
+def test_no_global_window_in_rank_rewrites(spark, sf_dir):
+    """The r6-flagged global single-partition windows are gone: the
+    ntile / running-sum rewrites (distributed.py prefix-sum) leave
+    every Window node in these plans PARTITIONED — no task ever sees
+    the whole frame."""
+    from iceberg_kafka_playgroud_spark.operators import (
+        curation,
+        scalar_funcs,
+    )
+
+    for fn in (
+        curation.quality_dup_calibration,
+        advanced.orders_rfm_segmentation,
+        advanced.orders_abc_analysis,
+        scalar_funcs.sort_nulls_ordering,
+    ):
+        bad = _unpartitioned_windows(physical_plan(fn(spark, sf_dir)))
+        assert not bad, f"{fn.__name__} has global windows: {bad}"
+
+
+def test_rrf_truncates_to_horizon_with_takeordered(spark, sf_dir):
+    """Hybrid RRF: both candidate lists are cut to the fusion horizon
+    by TakeOrderedAndProject (per-partition top-k, no global sort)
+    BEFORE the rank windows, so the only unpartitioned windows run
+    over ≤ RRF_HORIZON rows — constant-bounded at any corpus size."""
+    plan = physical_plan(similarity.hybrid_rrf_retrieval(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_triangle_count_shuffle_fallback_matches(spark, sf_dir, monkeypatch):
+    """Force the beyond-broadcast-budget path (threshold 0): the
+    shuffled equi-join plan must produce the identical triangle count
+    as the broadcast plan."""
+    base = advanced.graph_triangle_count(spark, sf_dir).collect()
+    monkeypatch.setattr(advanced, "TRIANGLE_BROADCAST_MAX", 0)
+    fallback = advanced.graph_triangle_count(spark, sf_dir).collect()
+    assert [r.asDict() for r in base] == [r.asDict() for r in fallback]
