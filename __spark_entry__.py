@@ -78,6 +78,8 @@ _PRIORITY = [
     "events_moving_average", "unpivot_part_measures", "table_profile_orders",
     "events_daily_growth", "events_time_rollup", "text_sentence_stats", "conversion_latency_quantiles",
     # -- new round-7 operators (no driver row yet; fill the window) --
+    "curation_global_shuffle", "dedup_semantic_semdedup",
+    "decontaminate_fuzzy_minhash", "source_orc_roundtrip",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -1196,3 +1196,170 @@ SELECT CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
        CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
 FROM documents GROUP BY 1 ORDER BY 1
 """
+
+
+GLOBAL_SHUFFLE_SALT = "epoch0"  # seed: change per epoch for a new order
+GLOBAL_SHUFFLE_SHARD = 256  # docs per training shard
+
+
+def curation_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Seeded global shuffle + shard assignment — the reproducible
+    pseudorandom permutation a training run needs before packing
+    examples into shards (same salt → same order on any cluster
+    layout; new salt per epoch → fresh order, no reshuffle job state).
+
+    The permutation key is md5(salt ‖ doc_id); the shuffle POSITION is
+    an exact global rank over that key — computed with the distributed
+    prefix-sum (``distributed.ranked_total``: range partition →
+    per-partition rank → broadcast offsets), NEVER a global row_number
+    window, so no task ever holds the whole corpus. Shard id and
+    offset-in-shard derive arithmetically from the position.
+    """
+    from .distributed import ranked_total
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit(GLOBAL_SHUFFLE_SALT), F.col("doc_id").cast("string")
+            )
+        ).alias("k"),
+    )
+    ranked, _ = ranked_total(
+        d, [F.col("k").asc(), F.col("doc_id").asc()], "shuffle_pos"
+    )
+    return ranked.select(
+        "doc_id",
+        "shuffle_pos",
+        F.floor((F.col("shuffle_pos") - 1) / GLOBAL_SHUFFLE_SHARD)
+        .cast("long")
+        .alias("shard_id"),
+        ((F.col("shuffle_pos") - 1) % GLOBAL_SHUFFLE_SHARD)
+        .cast("long")
+        .alias("pos_in_shard"),
+    )
+
+
+QUERIES["curation_global_shuffle"] = curation_global_shuffle
+ORACLES["curation_global_shuffle"] = f"""
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('{GLOBAL_SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)),
+                    doc_id) AS shuffle_pos
+  FROM documents
+)
+SELECT doc_id, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+       CAST(floor((shuffle_pos - 1) / {GLOBAL_SHUFFLE_SHARD}) AS BIGINT)
+         AS shard_id,
+       CAST((shuffle_pos - 1) % {GLOBAL_SHUFFLE_SHARD} AS BIGINT)
+         AS pos_in_shard
+FROM ranked
+"""
+
+
+def decontaminate_fuzzy_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy benchmark decontamination — the MinHash third pass after
+    ``decontaminate_exact`` (hash collision) and
+    ``contamination_ngram_overlap`` (shingle overlap count): flag
+    training docs whose Jaccard similarity to ANY held-out eval doc
+    reaches the near-dup threshold, catching lightly-edited benchmark
+    copies that survive both cheaper passes (the Dolma/LLM-pipeline
+    standard treatment).
+
+    Plan shape mirrors ``dedup_incremental_minhash``: the band split
+    happens BEFORE the join (eval side = build, train side = probe),
+    so candidate generation is an eval×train equi-join on
+    (band_idx, band_val) — never train×train work, and the eval side
+    is corpus-independent-small. Verification (exact Jaccard) runs on
+    candidates only via the shared ``_jaccard_on_candidates``.
+    """
+    from .dedup import (
+        _jaccard_on_candidates,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    d = load_table(spark, sf, "documents")
+    sh = shingle_set(d).cache()
+    bands = lsh_bands(minhash_signatures(sh))
+    is_eval = (F.col("doc_id") % DECON_MOD) == 0
+    eb = bands.filter(is_eval).select(
+        F.col("doc_id").alias("d_ev"), "band_idx", "band_val"
+    )
+    tb = bands.filter(~is_eval).select(
+        F.col("doc_id").alias("d_tr"), "band_idx", "band_val"
+    )
+    cand = (
+        eb.join(tb, ["band_idx", "band_val"])
+        .select("d_ev", "d_tr")
+        .distinct()
+    )
+    hits = (
+        _jaccard_on_candidates(sh, cand, "d_ev", "d_tr")
+        .select("d_tr")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = d.filter(~is_eval).select(
+        F.col("doc_id").alias("d_tr"), "source"
+    )
+    return (
+        train.join(F.broadcast(hits), "d_tr", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_train"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_fuzzy_contaminated"),
+            F.sum(F.when(F.col("hit") == 1, F.col("d_tr")))
+            .cast("long")
+            .alias("contaminated_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["decontaminate_fuzzy_minhash"] = decontaminate_fuzzy_minhash
+
+
+from .dedup import (  # noqa: E402  (late import: avoids cycle at load)
+    _MINHASH_BANDS_CTE,
+    _SHINGLES_CTE,
+    JACCARD_THRESHOLD,
+)
+
+ORACLES["decontaminate_fuzzy_minhash"] = f"""
+WITH {_SHINGLES_CTE},
+{_MINHASH_BANDS_CTE},
+cand AS (
+  SELECT a.doc_id AS d_ev, b.doc_id AS d_tr
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.doc_id % {DECON_MOD} = 0 AND b.doc_id % {DECON_MOD} != 0
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d_ev, c.d_tr, COUNT(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.d_ev
+  JOIN sh s2 ON s2.doc_id = c.d_tr AND s2.shingle = s1.shingle
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT DISTINCT d_tr FROM inter
+  JOIN sizes n1 ON n1.doc_id = d_ev
+  JOIN sizes n2 ON n2.doc_id = d_tr
+  WHERE round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6)
+          >= {JACCARD_THRESHOLD}
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN h.d_tr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fuzzy_contaminated,
+       CAST(SUM(CASE WHEN h.d_tr IS NOT NULL THEN doc_id END) AS BIGINT)
+         AS contaminated_id_sum
+FROM documents d LEFT JOIN hits h ON h.d_tr = d.doc_id
+WHERE doc_id % {DECON_MOD} != 0
+GROUP BY source ORDER BY source
+"""

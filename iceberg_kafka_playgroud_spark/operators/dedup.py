@@ -98,10 +98,29 @@ def minhash_signatures(sh: DataFrame, k: int = N_HASHES) -> DataFrame:
 
 
 def lsh_bands(sig: DataFrame, k: int = N_HASHES, bands: int = N_BANDS) -> DataFrame:
-    """Fold the signature into band buckets: (doc_id, band_idx, band_val)."""
+    """Fold the signature into band buckets: (doc_id, band_idx, band_val).
+
+    band_val is a BIGINT (the first 60 bits of the band md5, via conv
+    of 15 hex chars — 15 so the unsigned value always fits a signed
+    int64), not the 32-char digest string: the candidate self-join
+    shuffles and compares one band row per doc per band, and 8-byte
+    keys hash/compare/shuffle ~4× cheaper than 32-byte strings at that
+    volume — the same join-key lesson as ``dedup_simhash_hamming``.
+    The oracle buckets by the same 15-char digest prefix (conv is
+    bijective on fixed-width hex), so candidate sets stay identical
+    in both engines even at the 2⁻⁶⁰ collision margin.
+    """
     r = k // bands
     band_cols = [
-        F.md5(F.concat(*[F.col(f"h{b * r + j}") for j in range(r)]))
+        F.conv(
+            F.substring(
+                F.md5(F.concat(*[F.col(f"h{b * r + j}") for j in range(r)])),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
         for b in range(bands)
     ]
     return sig.select(
@@ -703,8 +722,12 @@ sig AS (
   FROM hashes GROUP BY doc_id
 ),
 bands AS (
+  -- 15-char digest prefix: same 60-bit bucketing as the Spark side's
+  -- conv(...,16,10) BIGINT key (bijective on fixed-width hex)
   SELECT doc_id, unnest([0,1,2,3]) AS band_idx,
-         unnest([md5(h0||h1), md5(h2||h3), md5(h4||h5), md5(h6||h7)]) AS band_val
+         unnest([substring(md5(h0||h1),1,15), substring(md5(h2||h3),1,15),
+                 substring(md5(h4||h5),1,15), substring(md5(h6||h7),1,15)])
+           AS band_val
   FROM sig
 )
 """

@@ -497,6 +497,8 @@ def _orders_in_format(spark: SparkSession, sf: str, fmt: str) -> DataFrame:
         w = o.write.mode("overwrite")
         if fmt == "csv":
             w.option("header", "true").csv(stage)
+        elif fmt == "orc":
+            w.orc(stage)
         else:
             w.json(stage)
         _FMT_STAGE_MEMO[key] = stage
@@ -504,6 +506,11 @@ def _orders_in_format(spark: SparkSession, sf: str, fmt: str) -> DataFrame:
         return (
             spark.read.schema(o.schema).option("header", "true").csv(stage)
         )
+    if fmt == "orc":
+        # columnar self-describing format: read with its embedded
+        # schema (no re-supply) — the summary hash proves no
+        # type/precision drift against the parquet-sourced oracle
+        return spark.read.orc(stage)
     return spark.read.schema(o.schema).json(stage)
 
 
@@ -537,6 +544,14 @@ def source_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """JSON-lines source: same contract as ``source_csv_roundtrip``
     through the JSON reader's name-based field resolution."""
     return _format_roundtrip_summary(_orders_in_format(spark, sf, "json"))
+
+
+def source_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC source: orders → ORC files → embedded-schema read → summary
+    identical to the parquet path — the second columnar interchange
+    format (vectorized reader, predicate pushdown, column pruning all
+    apply exactly as for parquet)."""
+    return _format_roundtrip_summary(_orders_in_format(spark, sf, "orc"))
 
 
 # --------------------------------------------------------------------------
@@ -1749,6 +1764,7 @@ QUERIES = {
     "rollup_serving_equivalence": rollup_serving_equivalence,
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
+    "source_orc_roundtrip": source_orc_roundtrip,
     "join_inner_dim": join_inner_dim,
     "join_left_outer": join_left_outer,
     "join_right_outer": join_right_outer,
@@ -1962,6 +1978,15 @@ ORACLES = {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "source_jsonl_roundtrip": """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents_total,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+                 AS n_days
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "source_orc_roundtrip": """
         SELECT o_orderstatus, COUNT(*) AS n_orders,
                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                  AS cents_total,

@@ -813,23 +813,15 @@ KM_K = 8  # clusters
 KM_ITERS = 2  # Lloyd update rounds (final stats on the updated model)
 
 
-def embedding_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
-    """Mini-batch-free Lloyd's k-means over the embedding corpus — the
-    canonical iterative-ML loop (cluster quality / corpus partitioning
-    for IVF-style indexes), run with EXACT cross-engine parity.
-
-    Parity recipe (the ``embedding_top_component`` template applied to
-    k-means): embeddings quantize to int64 fixed-point once; every
-    assignment distance is an integer Σ(qx−c)²; centroid updates
-    re-quantize via one IEEE division + floor(x+0.5) per (cluster,
-    dim); ties in assignment break on (dist, cid) — a total order. The
-    DuckDB oracle unrolls the identical rounds.
-
-    Scale shape: per round one Spark job (posexplode partial sums,
-    map-side combined) and an O(k·d) driver collect — centroids are
-    driver-state like every production k-means; the corpus is scanned,
-    never collected. Seeds = k lowest vec_ids (deterministic; swap for
-    k-means|| at real scale without touching the loop).
+def _kmeans_final_assign(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, dict]:
+    """Shared Lloyd's loop: returns the FINAL assignment frame
+    (vec_id, qx, cid, dist) plus the trained centroid dict — one
+    definition of the quantize/assign/update recipe so
+    ``embedding_kmeans_lloyd`` and ``dedup_semantic_semdedup`` can
+    never train different models.  See ``embedding_kmeans_lloyd`` for
+    the parity recipe and scale shape.
     """
     base = (
         load_table(spark, sf, "embeddings")
@@ -889,7 +881,28 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
             cents[r["cid"]][r["pos"]] = int(
                 math.floor(int(r["s"]) / int(r["n"]) + 0.5)
             )
-    final = assign()
+    return assign(), cents
+
+
+def embedding_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
+    """Mini-batch-free Lloyd's k-means over the embedding corpus — the
+    canonical iterative-ML loop (cluster quality / corpus partitioning
+    for IVF-style indexes), run with EXACT cross-engine parity.
+
+    Parity recipe (the ``embedding_top_component`` template applied to
+    k-means): embeddings quantize to int64 fixed-point once; every
+    assignment distance is an integer Σ(qx−c)²; centroid updates
+    re-quantize via one IEEE division + floor(x+0.5) per (cluster,
+    dim); ties in assignment break on (dist, cid) — a total order. The
+    DuckDB oracle unrolls the identical rounds.
+
+    Scale shape: per round one Spark job (posexplode partial sums,
+    map-side combined) and an O(k·d) driver collect — centroids are
+    driver-state like every production k-means; the corpus is scanned,
+    never collected. Seeds = k lowest vec_ids (deterministic; swap for
+    k-means|| at real scale without touching the loop).
+    """
+    final, cents = _kmeans_final_assign(spark, sf)
     l1 = F.create_map(
         *[
             x
@@ -1523,3 +1536,141 @@ FROM assign GROUP BY cell ORDER BY cell
 
 QUERIES["ann_incremental_assign"] = ann_incremental_assign
 ORACLES["ann_incremental_assign"] = _INCR_ASSIGN_ORACLE
+
+
+# SemDeDup similarity gate: cos ≥ 0.95 ⟺ dot>0 ∧ 400·dot² ≥ 361·n1·n2
+# (0.95² = 361/400) — pure int64 cross-multiplies, no float/sqrt at
+# the decision boundary. Bound check: |qx| ≤ ~2·PI_XSCALE per dim,
+# dim 64 → dot ≤ ~2.6e8, 400·dot² ≤ ~2.7e19… kept safe because unit-
+# norm-ish embeddings give dot ≤ ~4e6 (400·dot² ≈ 6.4e15); a corpus
+# with wildly larger coordinates should re-scale PI_XSCALE exactly as
+# the power-iteration guard documents.
+SEMDEDUP_COS_NUM = 361
+SEMDEDUP_COS_DEN = 400
+
+
+def dedup_semantic_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023)-style semantic deduplication: run
+    k-means over the embeddings, then WITHIN each cluster drop every
+    vector that has a higher-similarity twin with a smaller id
+    (cos ≥ 0.95, keep-lowest-id) — the embedding-space dedup pass
+    that removes paraphrase/near-translation redundancy exact and
+    MinHash dedup can't see.
+
+    Plan shape: clustering reuses the shared Lloyd loop
+    (``_kmeans_final_assign``, corpus scanned never collected); the
+    pairwise stage is a CLUSTER-KEYED self-equi-join — O(Σ cᵢ²) work,
+    never corpus², which is exactly SemDeDup's published cost model:
+    at 100 TB you raise K so clusters stay bounded (K ≈ corpus/10⁴)
+    and the join stays shuffle-balanced; no global window anywhere.
+    The similarity gate is integer-exact (dot/norms over the fixed-
+    point qx vectors), so both engines agree bit-for-bit.
+    """
+    final, _ = _kmeans_final_assign(spark, sf)
+    self_dot = F.aggregate(
+        F.zip_with(F.col("qx"), F.col("qx"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    withn = final.select("cid", "vec_id", "qx", self_dot.alias("n2"))
+    a = withn.select(
+        "cid",
+        F.col("vec_id").alias("v1"),
+        F.col("qx").alias("qx1"),
+        F.col("n2").alias("n1"),
+    )
+    b = withn.select(
+        "cid",
+        F.col("vec_id").alias("v2"),
+        F.col("qx").alias("qx2"),
+        F.col("n2").alias("n2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qx1"), F.col("qx2"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("v1") < F.col("v2"))
+        .select("cid", "v1", "v2", dot.alias("dot"), "n1", "n2")
+    )
+    dup = (
+        pairs.filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(SEMDEDUP_COS_DEN) * F.col("dot") * F.col("dot")
+                >= F.lit(SEMDEDUP_COS_NUM) * F.col("n1") * F.col("n2")
+            )
+        )
+        .select("cid", "v2")
+        .distinct()
+    )
+    removed = dup.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_removed"),
+        F.sum("v2").cast("long").alias("removed_id_sum"),
+    )
+    return (
+        final.groupBy("cid")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .join(removed, "cid", "left")
+        .select(
+            F.col("cid").cast("int").alias("cluster_id"),
+            "n_vecs",
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("removed_id_sum", F.lit(0))
+            .cast("long")
+            .alias("removed_id_sum"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH kmbase AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {PI_XSCALE} + 0.5)
+                AS BIGINT)) AS qx
+  FROM embeddings
+),
+cent0f AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qx AS c
+  FROM kmbase ORDER BY vec_id LIMIT {KM_K}
+),{_km_assign_cte(1, "cent0f")},{_km_update_cte(1)},{
+    _km_assign_cte(2, "cent1f")},{_km_update_cte(2)},{
+    _km_assign_cte(3, "cent2f")},
+semnorm AS (
+  SELECT cid, vec_id, qx,
+         list_sum(list_transform(qx, x -> x * x)) AS n2
+  FROM assign3
+),
+sempairs AS (
+  SELECT a.cid, a.vec_id AS v1, b.vec_id AS v2,
+         list_sum(list_transform(list_zip(a.qx, b.qx),
+                  p -> p[1] * p[2])) AS dot,
+         a.n2 AS n1, b.n2 AS n2b
+  FROM semnorm a JOIN semnorm b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+semdup AS (
+  SELECT DISTINCT cid, v2 FROM sempairs
+  WHERE dot > 0
+    AND {SEMDEDUP_COS_DEN} * dot * dot >= {SEMDEDUP_COS_NUM} * n1 * n2b
+),
+semrem AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_removed,
+         CAST(SUM(v2) AS BIGINT) AS removed_id_sum
+  FROM semdup GROUP BY cid
+)
+SELECT CAST(s.cid AS INTEGER) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COALESCE(any_value(r.n_removed), 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(any_value(r.removed_id_sum), 0) AS BIGINT)
+         AS removed_id_sum
+FROM assign3 s LEFT JOIN semrem r ON r.cid = s.cid
+GROUP BY s.cid ORDER BY cluster_id
+"""
+
+QUERIES["dedup_semantic_semdedup"] = dedup_semantic_semdedup
+ORACLES["dedup_semantic_semdedup"] = _SEMDEDUP_ORACLE
