@@ -2651,3 +2651,133 @@ ORACLES["ann_recall_eval"] = f"""
       ON ap.query_id = bf.query_id AND ap.neighbor_id = bf.neighbor_id
     GROUP BY bf.query_id ORDER BY bf.query_id
 """
+
+
+ASOF_FWD_CONVERT_S = 1800  # 30-minute conversion-label horizon
+
+
+def join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of join — the label-generation variant completing
+    the as-of family (backward ``asof_last_purchase``, nearest
+    ``join_asof_nearest``): for every event, the user's NEXT purchase
+    strictly after it, the latency to it, and a 30-minute conversion
+    flag — exactly how a training pipeline stamps "did this impression
+    convert" labels without leaking future data beyond the horizon.
+
+    One user-keyed window with a FOLLOWING frame (per-user state, no
+    global window); latency in integer MICROSECONDS (second-truncating
+    both timestamps independently would disagree across engines on
+    fractional-second data) so the label is bit-stable.
+    """
+    e = load_table(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    next_ts = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    latency = (
+        F.unix_micros(next_ts) - F.unix_micros(F.col("ts"))
+    ).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        next_ts.alias("next_purchase_ts"),
+        latency.alias("latency_us"),
+        F.when(latency <= ASOF_FWD_CONVERT_S * 1_000_000, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("converted_30m"),
+    )
+
+
+QUERIES["join_asof_forward"] = join_asof_forward
+ORACLES["join_asof_forward"] = f"""
+WITH lab AS (
+  SELECT event_id, user_id,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER w
+           AS next_purchase_ts,
+         CAST(epoch_us(MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       OVER w)
+              - epoch_us(ts) AS BIGINT) AS latency_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, next_purchase_ts, latency_us,
+       CAST(CASE WHEN latency_us <= {ASOF_FWD_CONVERT_S} * 1000000
+            THEN 1 ELSE 0 END AS BIGINT) AS converted_30m
+FROM lab
+"""
+
+
+def orders_ltv_cohort_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer-lifetime-value cohort matrix: customers grouped by
+    first-order month, revenue tracked at month offsets from that
+    cohort month — the finance-side retention triangle
+    (``events_cohort_retention`` counts activity; this one follows the
+    money, in exact int64 cents).
+
+    Month arithmetic is pure integers (year·12+month), immune to the
+    cross-engine months_between/interval rounding zoo. Two
+    customer-keyed aggregations (first order, then per-customer-month
+    revenue) and one cohort-sized rollup — no per-month scans, no
+    global windows.
+    """
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+            "ym"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("offset_m")
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .select(
+            # render the cohort as YYYYMM for readability (ym is
+            # 0-based months-since-year-0)
+            (
+                F.floor(F.col("cohort_ym") / 12) * 100
+                + (F.col("cohort_ym") % 12 + 1)
+            )
+            .cast("long")
+            .alias("cohort_month"),
+            "offset_m",
+            "n_customers",
+            "n_orders",
+            "revenue_cents",
+        )
+        .orderBy("cohort_month", "offset_m")
+    )
+
+
+QUERIES["orders_ltv_cohort_matrix"] = orders_ltv_cohort_matrix
+ORACLES["orders_ltv_cohort_matrix"] = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+first AS (SELECT o_custkey, MIN(ym) AS cohort_ym FROM o GROUP BY o_custkey)
+SELECT CAST(floor(cohort_ym / 12) * 100 + (cohort_ym % 12 + 1) AS BIGINT)
+         AS cohort_month,
+       CAST(ym - cohort_ym AS BIGINT) AS offset_m,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM o JOIN first ON o.o_custkey = first.o_custkey
+GROUP BY cohort_ym, ym - cohort_ym
+ORDER BY cohort_month, offset_m
+"""

@@ -1110,3 +1110,71 @@ ORACLES = {
         FROM s
     """,
 }
+
+
+def text_readability_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch-Kincaid-style readability grade per document — the
+    classic curation feature separating fluent prose from keyword
+    soup / code dumps (complements ``text_quality_score``'s
+    surface-stat blend with a sentence/syllable-structure signal).
+
+    Syllables are the standard vowel-group proxy (regexp_count of
+    [aeiou]+ runs — no dictionary, SQL-replayable in both engines);
+    sentence count reuses ``text_sentence_stats``'s terminator-regex
+    segmentation, clamped to ≥1 so terminator-free docs score as one
+    run-on sentence. The grade is computed with the IDENTICAL
+    expression tree in both engines — two IEEE divisions + one
+    left-to-right sum — then floored to milli-grades, so the output
+    is bit-stable. Pure narrow projection: zero shuffle at any scale.
+    """
+    d = load_table(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.greatest(F.size(sents).cast("long"), F.lit(1).cast("long")).alias(
+            "n_sentences"
+        ),
+        F.expr("regexp_count(text, '[aeiouAEIOU]+')")
+        .cast("long")
+        .alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    grade_milli = F.floor(
+        F.lit(390) * F.col("n_words") / F.col("n_sentences")
+        + F.lit(11800) * F.col("n_syllables") / F.col("n_words")
+        - F.lit(15590)
+    ).cast("long")
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        grade_milli.alias("fk_grade_milli"),
+    )
+
+
+QUERIES["text_readability_score"] = text_readability_score
+ORACLES["text_readability_score"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_words,
+         CAST(greatest(len(list_filter(
+                list_transform(string_split_regex(text, '[.!?]+'),
+                               s -> trim(s)),
+                s -> s != '')), 1) AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(floor(390 * n_words / n_sentences
+                  + 11800 * n_syllables / n_words
+                  - 15590) AS BIGINT) AS fk_grade_milli
+FROM base WHERE n_words > 0
+"""

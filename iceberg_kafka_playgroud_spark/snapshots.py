@@ -984,3 +984,81 @@ ORACLES = {
         FROM w
     """,
 }
+
+
+def snapshot_branch_tag(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg refs — named branches and tags (`ALTER TABLE … CREATE
+    TAG / CREATE BRANCH`, `VERSION AS OF 'ref'`, fast-forward publish)
+    re-expressed over the manifest-per-commit analog: a TAG pins an
+    immutable snapshot id; a BRANCH is a movable head whose commits
+    advance the branch WITHOUT moving main (the staging pattern WAP
+    generalizes); publishing is a fast-forward of main's pointer to
+    the branch head — a metadata-only O(1) operation, no data copied
+    at any table size.
+
+    Sequence: two appends (main → s2) → tag v1 @ s1 → branch exp
+    from s2 → append ON THE BRANCH (s3, parent s2; main still
+    resolves to s2 — the branch commit is invisible off-branch) →
+    fast-forward main to s3. Output pins the reader-visible rows and
+    exact cents AT EVERY REF at each stage, proving ref isolation.
+    Cites reference connector behavior: the reference's Iceberg sink
+    commits to main only (connector-config.json); refs are the
+    engine-side surface a warehouse on top of it needs.
+    """
+    table_dir = _build_demo_table_two_appends(spark)  # s1, s2
+
+    refs: dict[str, tuple[str, int]] = {
+        "main": ("branch", current_snapshot_id(table_dir)),  # s2
+        "v1": ("tag", 1),
+    }
+    # branch 'exp' starts at main's head, then takes its own commit:
+    # commit_append writes s3 with parent s2 — main's pointer in
+    # `refs` is untouched, so the commit is branch-local
+    sid3 = commit_append(
+        spark,
+        table_dir,
+        _fabric_slice(spark, 2 * N_PER_APPEND, 3 * N_PER_APPEND),
+    )
+    refs["exp"] = ("branch", sid3)
+
+    def stat(sid: int):
+        r = (
+            read_snapshot(spark, table_dir, sid)
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.round(F.col("amount") * 100).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+            .collect()[0]
+        )
+        return r["n"], r["cents"]
+
+    rows = []
+    for name in ("main", "v1", "exp"):
+        rtype, sid = refs[name]
+        rows.append((f"1_{name}", rtype, sid, *stat(sid)))
+    # fast-forward publish: main adopts the branch head (pointer move)
+    refs["main"] = ("branch", refs["exp"][1])
+    rows.append(("2_main_after_ff", "branch", refs["main"][1], *stat(refs["main"][1])))
+    return spark.createDataFrame(
+        rows,
+        "ref string, ref_type string, snapshot_id long, "
+        "n_rows long, amount_cents long",
+    )
+
+
+QUERIES["snapshot_branch_tag"] = snapshot_branch_tag
+ORACLES["snapshot_branch_tag"] = f"""
+WITH {_FAB}
+SELECT s.ref, s.ref_type, CAST(s.sid AS BIGINT) AS snapshot_id,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM fab WHERE id < s.hi)
+         AS n_rows,
+       (SELECT CAST(SUM(cents) AS BIGINT) FROM fab WHERE id < s.hi)
+         AS amount_cents
+FROM (VALUES ('1_main', 'branch', 2, 800),
+             ('1_v1',   'tag',    1, 400),
+             ('1_exp',  'branch', 3, 1200),
+             ('2_main_after_ff', 'branch', 3, 1200))
+       AS s(ref, ref_type, sid, hi)
+"""
