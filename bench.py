@@ -66,6 +66,10 @@ def main() -> None:
         "text_bm25_retrieval",
         "graph_triangle_count",
         "orders_open_concurrency",
+        # round-7 flagships: embedding-space dedup + the seeded
+        # global shuffle (both data-heavy, the engine's target class)
+        "dedup_semantic_semdedup",
+        "curation_global_shuffle",
     ):
         if extra not in qs:
             raise SystemExit(f"bench: unknown headline query {extra!r}")

@@ -669,6 +669,7 @@ def test_no_global_window_in_rank_rewrites(spark, sf_dir):
         advanced.orders_rfm_segmentation,
         advanced.orders_abc_analysis,
         scalar_funcs.sort_nulls_ordering,
+        curation.curation_global_shuffle,
     ):
         bad = _unpartitioned_windows(physical_plan(fn(spark, sf_dir)))
         assert not bad, f"{fn.__name__} has global windows: {bad}"
