@@ -824,6 +824,35 @@ KM_ITERS = 2  # Lloyd update rounds (final stats on the updated model)
 _KM_MODEL_MEMO: dict = {}
 
 
+def _km_assign_frame(base: DataFrame, cents: dict) -> DataFrame:
+    """Nearest-centroid assignment of a (vec_id, qx) frame against a
+    literal codebook: integer Σ(qx−c)² distances, (dist, cid)
+    tie-break via array_min over structs — the one definition of the
+    assignment expression, shared by the Lloyd training rounds and the
+    streaming per-batch assigner so they can never diverge."""
+    structs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qx"),
+                        F.array(*[F.lit(c).cast("long") for c in cents[j]]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(j).alias("cid"),
+            )
+            for j in sorted(cents)
+        ]
+    )
+    best = F.array_min(structs)
+    return base.select(
+        "vec_id", "qx", best["cid"].alias("cid"), best["dist"].alias("dist")
+    )
+
+
 def _kmeans_final_assign(
     spark: SparkSession, sf: str
 ) -> tuple[DataFrame, dict]:
@@ -857,29 +886,7 @@ def _kmeans_final_assign(
     }
 
     def assign():
-        structs = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("qx"),
-                            F.array(
-                                *[F.lit(c).cast("long") for c in cents[j]]
-                            ),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("dist"),
-                    F.lit(j).alias("cid"),
-                )
-                for j in range(KM_K)
-            ]
-        )
-        best = F.array_min(structs)
-        return base.select(
-            "vec_id", "qx", best["cid"].alias("cid"), best["dist"].alias("dist")
-        )
+        return _km_assign_frame(base, cents)
 
     for _ in range(KM_ITERS):
         sums = (
@@ -1635,8 +1642,11 @@ def dedup_semantic_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_SEMDEDUP_ORACLE = f"""
-WITH kmbase AS (
+# the trained model's final assignment as a reusable CTE prefix
+# (ends at assign3) — shared by the SemDeDup oracle and the streaming
+# cell-assign oracle so both replay the identical Lloyd rounds
+KM_ASSIGN3_CTES = f"""
+kmbase AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * {PI_XSCALE} + 0.5)
@@ -1648,7 +1658,10 @@ cent0f AS (
   FROM kmbase ORDER BY vec_id LIMIT {KM_K}
 ),{_km_assign_cte(1, "cent0f")},{_km_update_cte(1)},{
     _km_assign_cte(2, "cent1f")},{_km_update_cte(2)},{
-    _km_assign_cte(3, "cent2f")},
+    _km_assign_cte(3, "cent2f")}"""
+
+_SEMDEDUP_ORACLE = f"""
+WITH {KM_ASSIGN3_CTES},
 semnorm AS (
   SELECT cid, vec_id, qx,
          list_sum(list_transform(qx, x -> x * x)) AS n2

@@ -1129,3 +1129,92 @@ ORACLES["stream_quality_gate"] = f"""
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_lang
     FROM documents GROUP BY source ORDER BY source
 """
+
+
+def stream_ann_cell_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming vector ingestion against a FROZEN clustering model:
+    embedding micro-batches arrive and each batch is assigned to its
+    nearest k-means centroid via the shared assignment expression —
+    the index-maintenance loop of a streaming vector store (train
+    offline, assign online; the streaming twin of
+    ``ann_incremental_assign``'s batch formulation).
+
+    The codebook is driver-state broadcast into every batch as
+    literals (K·d ints — constant size at any corpus scale); per-vec
+    assignment depends only on (vector, codebook), so micro-batch
+    boundaries cannot change the rolled-up per-cell counts: the result
+    equals the batch assignment, which is the oracle (the unrolled
+    Lloyd CTE's final assign).
+    """
+    from ..operators.similarity import (
+        PI_XSCALE,
+        _km_assign_frame,
+        _kmeans_final_assign,
+    )
+    from ..schema import load_table
+
+    _, cents = _kmeans_final_assign(spark, sf)  # frozen trained model
+    em = load_table(spark, sf, "embeddings")
+    stream = _staged_docs_stream(spark, sf, em, "embs")
+    out_dir = _tmpdir_reclaimed_at_exit("annassign_out_")
+
+    def assign_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        base = batch_df.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") * PI_XSCALE + F.lit(0.5)
+                ).cast("long"),
+            ).alias("qx"),
+        )
+        (
+            _km_assign_frame(base, cents)
+            .select(
+                "vec_id",
+                "cid",
+                F.lit(epoch_id).cast("long").alias("epoch_id"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(assign_batch)
+            .option("checkpointLocation", _ckpt_dir("annassign_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    n_epochs = out.select("epoch_id").distinct().count()
+    if n_epochs <= 1:
+        raise RuntimeError(
+            f"streaming cell assign ran in {n_epochs} micro-batch(es); "
+            "expected the 4-file staged replay to yield several"
+        )
+    return (
+        out.groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("vec_id").cast("long").alias("vec_id_sum"),
+        )
+        .select(F.col("cid").cast("int").alias("cluster_id"), "n_vecs", "vec_id_sum")
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES["stream_ann_cell_assign"] = stream_ann_cell_assign
+
+from ..operators.similarity import KM_ASSIGN3_CTES as _KM_CTES  # noqa: E402
+
+# the streaming rollup equals the batch assignment: reuse the unrolled
+# Lloyd oracle's CTE chain, aggregated per final-assignment cell
+ORACLES["stream_ann_cell_assign"] = f"""
+WITH {_KM_CTES}
+SELECT CAST(cid AS INTEGER) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(vec_id) AS BIGINT) AS vec_id_sum
+FROM assign3 GROUP BY cid ORDER BY cluster_id
+"""
