@@ -84,7 +84,7 @@ _PRIORITY = [
     "curation_epoch_repeat_plan", "curation_packing_efficiency_audit",
     "snapshot_branch_tag", "join_asof_forward",
     "text_readability_score", "orders_ltv_cohort_matrix",
-    "stream_ann_cell_assign",
+    "stream_ann_cell_assign", "time_gapfill_interpolate",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -625,3 +625,96 @@ SELECT CAST(iso_dow AS BIGINT) AS iso_dow, n_events, cents_total,
        CAST(floor(cents_total / n_events) AS BIGINT) AS avg_value_cents
 FROM per_dow, tot t ORDER BY iso_dow
 """
+
+
+def time_gapfill_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar gap-fill + LINEAR interpolation — the second
+    densification policy next to ``time_gapfill_locf`` (TimescaleDB's
+    ``interpolate()``): missing days get the straight line between the
+    surrounding observations, in exact integer cents
+    (prev + floor(Δv·days_in/gap) — the product is ≤ |Δv|·gap ≈ 10¹⁰,
+    double-exact, and floor is identical in both engines). Days
+    outside the observed range stay NULL (strict interpolation, no
+    extrapolation).
+
+    Plan: same day-collapsed shape as LOCF — the global day-ordered
+    window runs over calendar-day cardinality (bounded by the span,
+    never raw events); the surrounding observations come from one
+    IGNORE NULLS window pass in each direction.
+    """
+    rev = _daily_revenue(spark, sf).drop("event_type")
+    span = load_table(spark, sf, "events").agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    cal = span.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    base = cal.join(rev, "day", "left").select(
+        "day",
+        "revenue_cents",
+        F.when(F.col("revenue_cents").isNotNull(), F.col("day")).alias(
+            "obs_day"
+        ),
+    )
+    wb = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = W.orderBy("day").rowsBetween(W.currentRow, W.unboundedFollowing)
+    prev_v = F.last("revenue_cents", ignorenulls=True).over(wb)
+    prev_d = F.last("obs_day", ignorenulls=True).over(wb)
+    next_v = F.first("revenue_cents", ignorenulls=True).over(wf)
+    next_d = F.first("obs_day", ignorenulls=True).over(wf)
+    interp = prev_v + F.floor(
+        (next_v - prev_v)
+        * F.datediff(F.col("day"), prev_d)
+        / F.datediff(next_d, prev_d)
+    )
+    filled = (
+        F.when(F.col("revenue_cents").isNotNull(), F.col("revenue_cents"))
+        .when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        .otherwise(F.lit(None))
+    )
+    return base.select(
+        "day",
+        F.col("revenue_cents").isNotNull().alias("is_observed"),
+        filled.cast("long").alias("revenue_cents_filled"),
+    ).orderBy("day")
+
+
+QUERIES["time_gapfill_interpolate"] = time_gapfill_interpolate
+ORACLES["time_gapfill_interpolate"] = """
+WITH rev AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+span AS (
+  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+  FROM events
+),
+cal AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM span
+),
+ctx AS (
+  SELECT c.day, r.revenue_cents,
+         last_value(r.revenue_cents IGNORE NULLS) OVER wb AS prev_v,
+         last_value(CASE WHEN r.revenue_cents IS NOT NULL THEN c.day END
+                    IGNORE NULLS) OVER wb AS prev_d,
+         first_value(r.revenue_cents IGNORE NULLS) OVER wf AS next_v,
+         first_value(CASE WHEN r.revenue_cents IS NOT NULL THEN c.day END
+                     IGNORE NULLS) OVER wf AS next_d
+  FROM cal c LEFT JOIN rev r ON c.day = r.day
+  WINDOW wb AS (ORDER BY c.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (ORDER BY c.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT day, revenue_cents IS NOT NULL AS is_observed,
+       CAST(CASE
+         WHEN revenue_cents IS NOT NULL THEN revenue_cents
+         WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+           prev_v + floor((next_v - prev_v)
+                          * date_diff('day', prev_d, day)
+                          / date_diff('day', prev_d, next_d))
+         ELSE NULL END AS BIGINT) AS revenue_cents_filled
+FROM ctx ORDER BY day
+"""
