@@ -64,10 +64,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries per round.  Round 7 ordering: the 34 queries that have
 # never received a driver row (demoted past the r6 window; all 34
 # independently verified at sf0.01 by the r6 judge) lead, so the
-# driver's own ledger reaches full registry coverage.  New round-7
-# operators follow in the remaining 16 slots.  Everything else
-# queues in staleness order: r2-era greens, r4-era, round-6 rows
-# (freshest), then r5 greens.
+# driver's own ledger reaches full registry coverage.  The 14 new
+# round-7 operators follow (slots 35-48); the final 2 slots fall to
+# the stalest r2-era greens.  Everything else queues in staleness
+# order: r2-era greens, r4-era, round-6 rows (freshest), then r5
+# greens.
 _PRIORITY = [
     # -- the 34 never-driver-checked queries (front of r7 window) --
     "basket_pair_frequency", "ann_index_persist_probe",

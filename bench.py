@@ -115,6 +115,7 @@ def main() -> None:
     # while the DuckDB-relative ratio stayed stable). Kept after the
     # Spark section so Spark timings never compete with DuckDB threads.
     duckdb_timings: dict[str, float] = {}
+    duckdb_errors: dict[str, str] = {}
     try:
         import duckdb
 
@@ -127,12 +128,19 @@ def main() -> None:
             sql = oracles.get(name)
             if sql is None:
                 continue
-            best = float("inf")
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            duckdb_timings[name] = round(best, 3)
+            # per-query guard: one failing oracle must not silently
+            # truncate the comparator for everything after it — the
+            # recorded ratio is only meaningful at full coverage, so
+            # failures are carried IN the JSON, not just on stderr
+            try:
+                best = float("inf")
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                duckdb_timings[name] = round(best, 3)
+            except Exception as exc:
+                duckdb_errors[name] = str(exc)[:200]
         con.close()
     except Exception as exc:  # comparator is diagnostic, never fatal
         print(f"bench: duckdb comparator skipped: {exc}", file=sys.stderr)
@@ -155,6 +163,8 @@ def main() -> None:
         out["duckdb_total"] = duckdb_total
         out["duckdb_queries"] = duckdb_timings
         out["ratio"] = round(spark_common / max(duckdb_total, 1e-9), 3)
+    if duckdb_errors:
+        out["duckdb_errors"] = duckdb_errors
     print(json.dumps(out))
 
 

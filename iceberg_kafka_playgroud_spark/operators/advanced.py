@@ -2660,9 +2660,12 @@ def join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
     """Forward as-of join — the label-generation variant completing
     the as-of family (backward ``asof_last_purchase``, nearest
     ``join_asof_nearest``): for every event, the user's NEXT purchase
-    strictly after it, the latency to it, and a 30-minute conversion
-    flag — exactly how a training pipeline stamps "did this impression
-    convert" labels without leaking future data beyond the horizon.
+    after it in (ts, event_id) order — a same-timestamp purchase with
+    a higher event_id counts, yielding latency 0 (tiebreak-order
+    "after", the standard frame semantics; use a ts-range frame for
+    strictly-later-in-time) — plus the latency and a 30-minute
+    conversion flag: how a training pipeline stamps "did this
+    impression convert" labels without leaking beyond the horizon.
 
     One user-keyed window with a FOLLOWING frame (per-user state, no
     global window); latency in integer MICROSECONDS (second-truncating

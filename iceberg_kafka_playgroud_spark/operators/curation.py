@@ -29,7 +29,12 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..schema import load_table
-from .dedup import shingle_set
+from .dedup import (
+    _MINHASH_BANDS_CTE,
+    _SHINGLES_CTE,
+    JACCARD_THRESHOLD,
+    shingle_set,
+)
 from .text import tokens
 
 # ---------------------------------------------------------------------------
@@ -1323,12 +1328,6 @@ def decontaminate_fuzzy_minhash(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES["decontaminate_fuzzy_minhash"] = decontaminate_fuzzy_minhash
 
 
-from .dedup import (  # noqa: E402  (late import: avoids cycle at load)
-    _MINHASH_BANDS_CTE,
-    _SHINGLES_CTE,
-    JACCARD_THRESHOLD,
-)
-
 ORACLES["decontaminate_fuzzy_minhash"] = f"""
 WITH {_SHINGLES_CTE},
 {_MINHASH_BANDS_CTE},
@@ -1377,10 +1376,11 @@ def curation_epoch_repeat_plan(spark: SparkSession, sf: str) -> DataFrame:
     (repeating beyond ~4 epochs yields rapidly diminishing returns,
     hence the cap).
 
-    Integer-exact: repeat_milli = min(cap, floor(target·1000/n)),
-    planned = floor(n·repeat_milli/1000) — magnitudes ≤ tokens·4000,
-    inside int64 to exabyte corpora. One map-side-combined groupBy
-    over sources + a broadcast 1-row max.
+    Integer-exact: repeat_milli = min(cap, target·1000 intdiv n),
+    planned = n·repeat_milli intdiv 1000 — true integer division
+    (Spark ``div`` == DuckDB ``//`` on non-negative operands), with
+    magnitudes ≤ tokens·4000, inside int64 to exabyte corpora. One
+    map-side-combined groupBy over sources + a broadcast 1-row max.
     """
     d = load_table(spark, sf, "documents")
     per_src = (
@@ -1394,9 +1394,7 @@ def curation_epoch_repeat_plan(spark: SparkSession, sf: str) -> DataFrame:
     target = per_src.agg(F.max("n_tokens").alias("target_tokens"))
     repeat = F.least(
         F.lit(EPOCH_REPEAT_CAP_MILLI).cast("long"),
-        F.floor(F.col("target_tokens") * 1000 / F.col("n_tokens")).cast(
-            "long"
-        ),
+        F.expr("target_tokens * 1000L div n_tokens").cast("long"),
     )
     return (
         per_src.join(F.broadcast(target))
@@ -1405,9 +1403,10 @@ def curation_epoch_repeat_plan(spark: SparkSession, sf: str) -> DataFrame:
             "n_docs",
             "n_tokens",
             repeat.alias("repeat_milli"),
-            F.floor(F.col("n_tokens") * repeat / 1000)
-            .cast("long")
-            .alias("planned_tokens"),
+        )
+        .withColumn(
+            "planned_tokens",
+            F.expr("n_tokens * repeat_milli div 1000").cast("long"),
         )
         .orderBy("source")
     )
@@ -1424,12 +1423,12 @@ tgt AS (SELECT MAX(n_tokens) AS target_tokens FROM per_src),
 planned AS (
   SELECT source, n_docs, n_tokens,
          least({EPOCH_REPEAT_CAP_MILLI},
-               CAST(floor(t.target_tokens * 1000 / n_tokens) AS BIGINT))
+               CAST(t.target_tokens * 1000 // n_tokens AS BIGINT))
            AS repeat_milli
   FROM per_src, tgt t
 )
 SELECT source, n_docs, n_tokens, CAST(repeat_milli AS BIGINT) AS repeat_milli,
-       CAST(floor(n_tokens * repeat_milli / 1000) AS BIGINT)
+       CAST(n_tokens * repeat_milli // 1000 AS BIGINT)
          AS planned_tokens
 FROM planned ORDER BY source
 """
@@ -1448,7 +1447,9 @@ def curation_packing_efficiency_audit(spark: SparkSession, sf: str) -> DataFrame
 
     Narrow fan-out: each doc row explodes to the 3 grid lengths
     (constant factor), then one map-side-combined groupBy over 3 keys.
-    Integer-exact throughout.
+    Integer-exact throughout — utilization uses true integer division
+    (Spark ``div`` == DuckDB ``//`` on non-negative operands), never a
+    2⁵³-bounded double divide.
     """
     d = load_table(spark, sf, "documents")
     sized = d.select(F.size(tokens(F.col("text"))).cast("long").alias("n"))
@@ -1474,12 +1475,12 @@ def curation_packing_efficiency_audit(spark: SparkSession, sf: str) -> DataFrame
             F.sum("kept").cast("long").alias("tokens_kept"),
             F.sum("truncated").cast("long").alias("tokens_truncated"),
             F.sum("padding").cast("long").alias("pad_tokens"),
-            F.floor(
-                F.sum("kept") * F.lit(1_000_000)
-                / (F.count("*") * F.first(F.col("seq_len")))
-            )
-            .cast("long")
-            .alias("utilization_ppm"),
+        )
+        .withColumn(
+            "utilization_ppm",
+            F.expr("tokens_kept * 1000000L div (n_docs * seq_len)").cast(
+                "long"
+            ),
         )
         .orderBy("seq_len")
     )
@@ -1507,7 +1508,7 @@ SELECT seq_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(kept) AS BIGINT) AS tokens_kept,
        CAST(SUM(truncated) AS BIGINT) AS tokens_truncated,
        CAST(SUM(padding) AS BIGINT) AS pad_tokens,
-       CAST(floor(SUM(kept) * 1000000 / (COUNT(*) * any_value(seq_len)))
+       CAST(SUM(kept) * 1000000 // (COUNT(*) * any_value(seq_len))
          AS BIGINT) AS utilization_ppm
 FROM terms GROUP BY seq_len ORDER BY seq_len
 """

@@ -904,8 +904,14 @@ def _kmeans_final_assign(
                 math.floor(int(r["s"]) / int(r["n"]) + 0.5)
             )
     # cache the assignment: it is the fan-out point every consumer
-    # scans (doc-count-sized, negligible next to the corpus)
-    _KM_MODEL_MEMO[key] = (assign().cache(), cents)
+    # scans (doc-count-sized, negligible next to the corpus). Eagerly
+    # materialize it so the training-time quantized frame can be
+    # unpersisted — keeping both would pin a redundant corpus-sized
+    # cache in executor storage for the application lifetime.
+    assigned = assign().cache()
+    assigned.count()
+    base.unpersist()
+    _KM_MODEL_MEMO[key] = (assigned, cents)
     return _KM_MODEL_MEMO[key]
 
 

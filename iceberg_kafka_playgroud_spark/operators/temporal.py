@@ -567,10 +567,11 @@ def events_seasonality_dow(spark: SparkSession, sf: str) -> DataFrame:
     average event value — the weekly-cycle factor a capacity planner
     or a seasonal-adjust step extracts first.
 
-    All integer-exact: shares are floor cross-multiplies on int64
-    (magnitudes ≤ events·7·10⁶, far inside int64), averages are floor
-    divisions of cents — no float accumulation anywhere. One map-side-
-    combined groupBy over ≤7 keys, plus a broadcast 1-row total.
+    All integer-exact: shares and averages use true INTEGER division
+    (Spark ``div`` == DuckDB ``//`` on the non-negative operands
+    here), never a double divide whose 2⁵³ mantissa a 100 TB corpus
+    can exceed. One map-side-combined groupBy over ≤7 keys, plus a
+    broadcast 1-row total.
     ISO weekday (1=Mon..7=Sun): Spark ``weekday()+1`` == DuckDB
     ``isodow`` — the one day-numbering the two engines can agree on
     without a CASE ladder.
@@ -596,12 +597,10 @@ def events_seasonality_dow(spark: SparkSession, sf: str) -> DataFrame:
             "iso_dow",
             "n_events",
             "cents_total",
-            F.floor(
-                F.col("n_events") * F.lit(7_000_000) / F.col("all_events")
-            )
+            F.expr("n_events * 7000000L div all_events")
             .cast("long")
             .alias("share_ppm_vs_uniform"),
-            F.floor(F.col("cents_total") / F.col("n_events"))
+            F.expr("cents_total div n_events")
             .cast("long")
             .alias("avg_value_cents"),
         )
@@ -620,9 +619,9 @@ WITH per_dow AS (
 ),
 tot AS (SELECT SUM(n_events) AS all_events FROM per_dow)
 SELECT CAST(iso_dow AS BIGINT) AS iso_dow, n_events, cents_total,
-       CAST(floor(n_events * 7000000 / t.all_events) AS BIGINT)
+       CAST(n_events * 7000000 // t.all_events AS BIGINT)
          AS share_ppm_vs_uniform,
-       CAST(floor(cents_total / n_events) AS BIGINT) AS avg_value_cents
+       CAST(cents_total // n_events AS BIGINT) AS avg_value_cents
 FROM per_dow, tot t ORDER BY iso_dow
 """
 

@@ -79,7 +79,8 @@ def test_running_sum_matches_global_window(spark):
 
 def test_ntile_expr_matches_ntile_all_remainders(spark):
     # n mod k sweeps 0..k-1: every bucket-size remainder class
-    for n in (17, 20, 21, 23, 24):
+    # (17->1, 18->2, 20->0, 23->3)
+    for n in (17, 18, 20, 23):
         df = spark.range(1, n + 1).select(F.col("id").cast("long").alias("rk"))
         got = df.select(
             "rk", ntile_expr("rk", n, 4).alias("b")
