@@ -127,3 +127,66 @@ def test_no_cartesian_product_anywhere(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+@pytest.fixture(scope="module")
+def scaled_events_dir(spark, tmp_path_factory):
+    """10× events corpus: 10 id-shifted copies (disjoint user/event id
+    ranges, identical temporal shape) — every per-user series keeps
+    its per-copy activity profile, so user-keyed operators face a
+    genuine 10× of the same workload shape; day-keyed operators see
+    10× rows per day."""
+    from iceberg_kafka_playgroud_spark.schema import load_table
+
+    base = str(tmp_path_factory.mktemp("scale10ev"))
+    e = load_table(spark, SRC_SF, "events")
+    shift = 1_000_000_000
+    copies = [
+        e.select(
+            (F.col("event_id") + F.lit(i * shift)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * shift)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(COPIES)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.repartition(32).write.mode("overwrite").parquet(
+        f"{base}/events.parquet"
+    )
+    yield base
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _event_ops():
+    from iceberg_kafka_playgroud_spark.operators import advanced, temporal
+
+    return {
+        "event_sessionize_batch": advanced.event_sessionize_batch,
+        "events_rolling_distinct_users": temporal.events_rolling_distinct_users,
+        "join_asof_forward": advanced.join_asof_forward,
+        "events_cohort_retention": advanced.events_cohort_retention,
+        "events_seasonality_dow": temporal.events_seasonality_dow,
+        "user_activity_streaks": advanced.user_activity_streaks,
+        "session_funnel": advanced.session_funnel,
+    }
+
+
+def test_event_ops_grow_linearly(spark, scaled_events_dir):
+    rows = []
+    for name, fn in _event_ops().items():
+        t1 = _best_of(fn, spark, SRC_SF)
+        t10 = _best_of(fn, spark, scaled_events_dir)
+        ratio = t10 / t1
+        rows.append((name, t1, t10, ratio))
+    table = "\n".join(
+        f"  {n:<30} 1x={a:6.2f}s 10x={b:6.2f}s ratio={r:5.1f}x"
+        for n, a, b, r in rows
+    )
+    print("\nevents scale growth (10x corpus):\n" + table)
+    bad = [(n, r) for n, _, _, r in rows if r > COPIES * LINEAR_SLACK]
+    assert not bad, f"superlinear growth {bad}:\n{table}"
