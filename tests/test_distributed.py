@@ -96,3 +96,21 @@ def test_ntile_expr_fewer_rows_than_buckets(spark):
     df = spark.range(1, 4).select(F.col("id").cast("long").alias("rk"))
     got = {r["rk"]: r["b"] for r in df.select("rk", ntile_expr("rk", 3, 10).alias("b")).collect()}
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_ranked_total_invariant_to_partition_count(spark):
+    """The rank must be a pure function of the DATA — any partition
+    count (including 1) yields identical ranks, or the prefix-sum
+    rewrite would silently depend on cluster layout."""
+    rows = [((i * 11) % 97, i) for i in range(150)]
+    df = _df(spark, rows)
+    order = [F.col("k").asc(), F.col("v").asc()]
+    baseline = None
+    for npart in (1, 3, 32):
+        got, total = ranked_total(df, order, "rk", num_partitions=npart)
+        assert total == 150
+        snap = sorted((r["k"], r["v"], r["rk"]) for r in got.collect())
+        if baseline is None:
+            baseline = snap
+        else:
+            assert snap == baseline, f"ranks differ at npart={npart}"
