@@ -1702,3 +1702,72 @@ GROUP BY s.cid ORDER BY cluster_id
 
 QUERIES["dedup_semantic_semdedup"] = dedup_semantic_semdedup
 ORACLES["dedup_semantic_semdedup"] = _SEMDEDUP_ORACLE
+
+
+def dedup_cross_lingual_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-lingual semantic duplicate mining (bitext-mining lite):
+    semantic near-dup pairs whose two documents carry DIFFERENT
+    language tags — the translation/paraphrase redundancy that no
+    lexical detector (MinHash/SimHash/n-gram) can see, rolled up per
+    ordered language pair. The multilingual-corpus counterpart of
+    ``dedup_semantic_semdedup``: where SemDeDup prunes within-language
+    paraphrases, this surfaces the cross-language ones a mixing plan
+    must budget for (or a parallel-corpus builder wants to KEEP).
+
+    Plan: reuses ``embedding_near_dup_pairs``' blocked exact pair scan
+    (already candidate-bounded), then two broadcast-sized joins onto
+    the documents language column and a language-pair-keyed rollup —
+    pair-set-sized work end to end. Aggregates are count/id-sum/max
+    (order-insensitive, engine-exact); no float accumulation.
+    """
+    from ..schema import load_table
+
+    langs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    pairs = embedding_near_dup_pairs(spark, sf)
+    la = langs.select(
+        F.col("doc_id").alias("d1"), F.col("lang").alias("lang_a")
+    )
+    lb = langs.select(
+        F.col("doc_id").alias("d2"), F.col("lang").alias("lang_b")
+    )
+    tagged = (
+        pairs.join(la, "d1")
+        .join(lb, "d2")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select(
+            F.least("lang_a", "lang_b").alias("lang_lo"),
+            F.greatest("lang_a", "lang_b").alias("lang_hi"),
+            "d1",
+            "d2",
+            "sim",
+        )
+    )
+    return (
+        tagged.groupBy("lang_lo", "lang_hi")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.max("sim").alias("max_sim"),
+            F.sum(F.col("d1") + F.col("d2")).cast("long").alias("pair_id_sum"),
+        )
+        .orderBy("lang_lo", "lang_hi")
+    )
+
+
+QUERIES["dedup_cross_lingual_pairs"] = dedup_cross_lingual_pairs
+ORACLES["dedup_cross_lingual_pairs"] = f"""
+WITH pairs AS ({ORACLES["embedding_near_dup_pairs"]}),
+tagged AS (
+  SELECT least(da.lang, db.lang) AS lang_lo,
+         greatest(da.lang, db.lang) AS lang_hi,
+         p.d1, p.d2, p.sim
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.d1
+  JOIN documents db ON db.doc_id = p.d2
+  WHERE da.lang != db.lang
+)
+SELECT lang_lo, lang_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MAX(sim) AS max_sim,
+       CAST(SUM(d1 + d2) AS BIGINT) AS pair_id_sum
+FROM tagged GROUP BY lang_lo, lang_hi ORDER BY lang_lo, lang_hi
+"""

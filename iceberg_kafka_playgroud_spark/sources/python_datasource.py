@@ -113,3 +113,165 @@ ORACLES = {
         FROM fab GROUP BY bucket ORDER BY bucket
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Custom Python data SINK (DataSourceWriter) — the write half of the
+# Spark 4 Python DataSource V2 surface. Demonstrates the two-phase
+# commit protocol: executors write to hidden temp files and return
+# commit messages; the DRIVER publishes them atomically (rename) plus
+# a manifest, so failed/speculative tasks can never leave partial
+# output visible — the same write-audit-publish discipline as
+# snapshots.py, at the task level.
+# ---------------------------------------------------------------------------
+
+import dataclasses as _dc
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@_dc.dataclass
+class _JsonlCommit(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class JsonlCommitDataSource(DataSource):
+    """Batch sink writing JSON-lines with driver-side atomic publish."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_commit_dir"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlCommitWriter":
+        return JsonlCommitWriter(self.options)
+
+
+class JsonlCommitWriter(DataSourceWriter):
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> _JsonlCommit:
+        # executor-side: spool to a dot-prefixed temp file the readers
+        # (glob "part-*.jsonl") can never see
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlCommit(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        # driver-side publish: rename every temp spool to its visible
+        # name, then write the manifest LAST — readers that require the
+        # manifest observe either the full commit or nothing
+        import json
+        import os
+
+        entries = []
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+            entries.append(
+                {"file": os.path.basename(final), "n_rows": m.n_rows}
+            )
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump({"files": entries}, fh)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
+def _register_sink(spark: SparkSession) -> None:
+    key = "spark_graft.jsonl_sink_registered"
+    if spark.conf.get(key, None) != "1":
+        spark.dataSource.register(JsonlCommitDataSource)
+        spark.conf.set(key, "1")
+
+
+_SINK_STAGE_MEMO: dict = {}
+
+
+def sink_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    """Write the deterministic fabric through the custom Python SINK,
+    then read the published files back and fold them to the same
+    per-bucket audit as ``source_python_datasource`` — proving schema
+    fidelity, the executor-spool/driver-publish commit protocol, and
+    the manifest's row-count claim (cross-checked against the data) in
+    one oracle-paired query. Temp spools are invisible to the
+    read-back glob, so a partial commit would surface as a hash
+    mismatch, not silence.
+    """
+    import json as _json
+    import os
+
+    _register(spark)
+    _register_sink(spark)
+    key = (spark.sparkContext.applicationId, "jsonl_sink")
+    out = _SINK_STAGE_MEMO.get(key)
+    if out is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="jsonl_sink_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        fab = (
+            spark.read.format("purchase_fabric")
+            .option("n_rows", str(DEFAULT_ROWS))
+            .option("n_parts", str(DEFAULT_PARTS))
+            .load()
+        )
+        fab.write.format("jsonl_commit_dir").option("path", out).mode(
+            "append"
+        ).save()
+        _SINK_STAGE_MEMO[key] = out
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest_rows = sum(e["n_rows"] for e in _json.load(fh)["files"])
+    back = spark.read.schema(
+        "id bigint, ts_ms bigint, user_id string, amount double"
+    ).json(os.path.join(out, "part-*.jsonl"))
+    return (
+        back.groupBy((F.col("id") % N_BUCKETS).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("amount") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+        # manifest audit rides along: its total must equal the fabric
+        # row count in every bucket row (a constant column the oracle
+        # replays), so a lost/duplicated spool breaks the hash
+        .withColumn(
+            "manifest_rows", F.lit(int(manifest_rows)).cast("long")
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["sink_python_datasource"] = sink_python_datasource
+ORACLES["sink_python_datasource"] = f"""
+WITH fab AS (
+  SELECT id, ({FABRIC_BASE_MS} + id * 5000) // 10 % 1000 AS cents
+  FROM (SELECT unnest(generate_series(0, {DEFAULT_ROWS - 1})) AS id)
+)
+SELECT CAST(id % {N_BUCKETS} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       CAST(SUM(id) AS BIGINT) AS id_sum,
+       CAST({DEFAULT_ROWS} AS BIGINT) AS manifest_rows
+FROM fab GROUP BY bucket ORDER BY bucket
+"""
