@@ -1309,8 +1309,11 @@ def decontaminate_fuzzy_minhash(spark: SparkSession, sf: str) -> DataFrame:
     train = d.filter(~is_eval).select(
         F.col("doc_id").alias("d_tr"), "source"
     )
+    # no broadcast hint on the hit set: it is contamination-sized,
+    # usually tiny but in principle unbounded (a poisoned corpus), so
+    # AQE picks broadcast vs shuffle from the measured size at runtime
     return (
-        train.join(F.broadcast(hits), "d_tr", "left")
+        train.join(hits, "d_tr", "left")
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_train"),
