@@ -2784,3 +2784,73 @@ FROM o JOIN first ON o.o_custkey = first.o_custkey
 GROUP BY cohort_ym, ym - cohort_ym
 ORDER BY cohort_month, offset_m
 """
+
+
+HLL_REL_BOUND_PPM = 50_000  # 5% — lgConfigK=12 standard error ~1.6%
+
+
+def sketch_hll_rollup_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable HyperLogLog rollup — the THIRD sketch family next to
+    KMV (`sketch_kmv_distinct`) and count-min (`sketch_countmin_terms`),
+    and the one that matters most at 100 TB: per-day user sketches are
+    built in ONE pass over raw events (Spark's native datasketches
+    `hll_sketch_agg`), then the weekly/total distinct comes from
+    `hll_union_agg` over the DAY-SIZED sketch table — re-aggregation
+    without ever touching raw data again, which exact COUNT(DISTINCT)
+    fundamentally cannot do (it must re-scan; union of distincts ≠ sum).
+
+    Audit contract (the `agg_approx_distinct` pattern): each estimate
+    is pinned within 5% of the exact count — the estimate is
+    approximate by nature, the within-bound boolean is exact, and the
+    oracle hash fails if any estimate drifts out.
+    """
+    e = load_table(spark, sf, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily_sk = e.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    daily_est = daily_sk.select(
+        F.col("day").cast("string").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("est"),
+    )
+    total_est = daily_sk.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("total_merged").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("est"),
+    )
+    exact_daily = e.groupBy(F.col("day").cast("string").alias("scope")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    exact_total = e.agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    ).select(F.lit("total_merged").alias("scope"), "n_exact")
+    est = daily_est.unionByName(total_est)
+    exact = exact_daily.unionByName(exact_total)
+    within = (
+        F.abs(F.col("est") - F.col("n_exact")) * F.lit(1_000_000)
+        <= F.col("n_exact") * F.lit(HLL_REL_BOUND_PPM)
+    )
+    return (
+        est.join(exact, "scope")
+        .select("scope", "n_exact", within.alias("within_5pct"))
+        .orderBy("scope")
+    )
+
+
+QUERIES["sketch_hll_rollup_merge"] = sketch_hll_rollup_merge
+ORACLES["sketch_hll_rollup_merge"] = """
+WITH exact_daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+),
+exact_all AS (
+  SELECT 'total_merged' AS scope,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events
+)
+SELECT scope, n_exact, TRUE AS within_5pct FROM exact_daily
+UNION ALL
+SELECT scope, n_exact, TRUE AS within_5pct FROM exact_all
+ORDER BY scope
+"""
