@@ -240,9 +240,16 @@ def sink_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
         _SINK_STAGE_MEMO[key] = out
     with open(os.path.join(out, "_MANIFEST.json")) as fh:
         manifest_rows = sum(e["n_rows"] for e in _json.load(fh)["files"])
-    back = spark.read.schema(
-        "id bigint, ts_ms bigint, user_id string, amount double"
-    ).json(os.path.join(out, "part-*.jsonl"))
+    # pathGlobFilter on the literal dir (not a glob-in-path) keeps the
+    # reader off temp spools AND the manifest without tripping the
+    # FileStreamSink metadata probe's noisy existence warning
+    back = (
+        spark.read.schema(
+            "id bigint, ts_ms bigint, user_id string, amount double"
+        )
+        .option("pathGlobFilter", "part-*.jsonl")
+        .json(out)
+    )
     return (
         back.groupBy((F.col("id") % N_BUCKETS).alias("bucket"))
         .agg(
