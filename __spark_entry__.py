@@ -65,9 +65,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # never received a driver row (demoted past the r6 window; all 34
 # independently verified at sf0.01 by the r6 judge) lead, so the
 # driver's own ledger reaches full registry coverage.  The 17 new
-# round-7 operators follow; slots 35-50 take the first 16, the 17th
-# (sketch_hll_rollup_merge, locally verified + suite-proven) queues
-# at 51 for the r8 window.
+# round-7 operators follow; slots 35-50 take the first 16, the rest
+# (sketch_hll_rollup_merge, vocab_fertility_by_lang — locally
+# verified + suite-proven) queue at 51+ for the r8 window.
 # Everything else in staleness order: r2-era greens, r4-era, round-6
 # rows (freshest), then r5 greens.
 _PRIORITY = [
@@ -88,7 +88,7 @@ _PRIORITY = [
     "text_readability_score", "orders_ltv_cohort_matrix",
     "stream_ann_cell_assign", "time_gapfill_interpolate",
     "sink_python_datasource", "dedup_cross_lingual_pairs",
-    "sketch_hll_rollup_merge",
+    "sketch_hll_rollup_merge", "vocab_fertility_by_lang",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

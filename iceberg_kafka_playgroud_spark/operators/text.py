@@ -1178,3 +1178,61 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
                   - 15590) AS BIGINT) AS fk_grade_milli
 FROM base WHERE n_words > 0
 """
+
+
+def vocab_fertility_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-proxy tokens per 1000
+    characters, by language tag — the tokenizer-equity audit run
+    before fixing a vocabulary (a language with outsized fertility
+    pays more compute per character of content and quietly shrinks
+    its effective share of a token budget).
+
+    Fertility is an exact integer cross-ratio (tokens·1000 intdiv
+    chars — true integer division, Spark ``div`` == DuckDB ``//``);
+    the token rule reuses the BPE-ish proxy of ``text_bpe_token_count``
+    so the audit measures the same tokenizer the budget ops use. One
+    map-side-combined groupBy over languages; zero shuffles before it.
+    """
+    d = load_table(spark, sf, "documents")
+    pieces = F.expr(
+        r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"
+    )
+    counted = d.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(pieces).cast("long").alias("n_tokens"),
+    )
+    return (
+        counted.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "fertility_per_kchar",
+            F.expr("total_tokens * 1000L div total_chars").cast("long"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["vocab_fertility_by_lang"] = vocab_fertility_by_lang
+ORACLES["vocab_fertility_by_lang"] = r"""
+WITH counted AS (
+  SELECT lang, n_chars,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+           AS n_tokens
+  FROM documents
+),
+agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM counted GROUP BY lang
+)
+SELECT lang, n_docs, total_chars, total_tokens,
+       CAST(total_tokens * 1000 // total_chars AS BIGINT)
+         AS fertility_per_kchar
+FROM agg ORDER BY lang
+"""
