@@ -190,3 +190,82 @@ def test_event_ops_grow_linearly(spark, scaled_events_dir):
     print("\nevents scale growth (10x corpus):\n" + table)
     bad = [(n, r) for n, _, _, r in rows if r > COPIES * LINEAR_SLACK]
     assert not bad, f"superlinear growth {bad}:\n{table}"
+
+
+# The ONLY queries (of all 268) whose physical plan contains an
+# unpartitioned ordered Window — each with the frame collapsed to a
+# constant- or slowly-growing cardinality BEFORE the window, so no
+# task ever sees a data-sized frame. Exhaustive by construction: the
+# sweep below fails the moment a new operator adds one.
+GLOBAL_WINDOW_BOUNDED_OK = {
+    # snapshot-metadata frame (one row per commit; expire-bounded)
+    "stream_snapshot_ingest",
+    # calendar-day-collapsed frames (cardinality = days in span,
+    # bounded by the calendar even over decades; each docstring
+    # documents the collapse happening BEFORE the window)
+    "time_gapfill_locf", "time_gapfill_interpolate",
+    "orders_open_concurrency", "events_changepoint_cusum",
+    "events_daily_growth",
+    # horizon-truncated frames (TakeOrderedAndProject to a constant
+    # before the rank window; plan-pinned in test_plans.py)
+    "hybrid_rrf_retrieval",
+}
+
+
+def test_no_unbounded_global_window_anywhere(spark):
+    """Global plan hygiene, round-7 extension of the cartesian sweep:
+    any query whose physical plan contains an UNPARTITIONED Window
+    must be in the documented-bounded whitelist above (frame collapsed
+    to constant/slow-growing cardinality before the window) — a new
+    operator that single-partitions a data-sized frame fails here
+    before it ever reaches a scale run."""
+    import re as _re
+
+    import __spark_entry__ as e
+    from iceberg_kafka_playgroud_spark.plans.inspect import physical_plan
+
+    def unpartitioned_windows(plan: str) -> int:
+        # Window Arguments print as [funcs], [partitionSpec], [orderSpec]
+        # with EMPTY specs omitted: 3 groups = partitioned+ordered,
+        # 2 groups = partition-only (last group has no sort direction)
+        # OR order-only global window (last group has ASC/DESC) — only
+        # the latter funnels data through one task.
+        count = 0
+        for b in _re.split(r"\n\(\d+\) ", plan):
+            # exact node match: WindowGroupLimit (the per-partition
+            # top-k pre-filter) also starts with "Window" but is
+            # always partition-local
+            if b.split("\n", 1)[0].strip() != "Window":
+                continue
+            m = _re.search(r"Arguments: (.*)", b)
+            if not m:
+                continue
+            depth, spans, start = 0, [], None
+            for i, ch in enumerate(m.group(1)):
+                if ch == "[":
+                    if depth == 0:
+                        start = i
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        spans.append(m.group(1)[start : i + 1])
+            if len(spans) >= 3:
+                continue  # partitioned + ordered
+            last = spans[-1] if spans else ""
+            if " ASC" in last or " DESC" in last:
+                count += 1  # global ordered window
+        return count
+
+    offenders = []
+    for name, fn in e.queries().items():
+        if name in GLOBAL_WINDOW_BOUNDED_OK:
+            continue
+        plan = physical_plan(fn(spark, SRC_SF.replace("sf0.1", "sf0.001")))
+        n = unpartitioned_windows(plan)
+        if n:
+            offenders.append((name, n))
+    assert not offenders, (
+        "unpartitioned data-sized windows (add a PARTITION BY, a "
+        f"bounding truncation, or a documented whitelist entry): {offenders}"
+    )
