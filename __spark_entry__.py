@@ -66,8 +66,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # independently verified at sf0.01 by the r6 judge) lead, so the
 # driver's own ledger reaches full registry coverage.  The 17 new
 # round-7 operators follow; slots 35-50 take the first 16, the rest
-# (sketch_hll_rollup_merge, vocab_fertility_by_lang — locally
-# verified + suite-proven) queue at 51+ for the r8 window.
+# (hll rollup, fertility, upsert, streaming decontamination gate —
+# locally verified + suite-proven) queue at 51+ for the r8 window.
 # Everything else in staleness order: r2-era greens, r4-era, round-6
 # rows (freshest), then r5 greens.
 _PRIORITY = [
@@ -89,6 +89,7 @@ _PRIORITY = [
     "stream_ann_cell_assign", "time_gapfill_interpolate",
     "sink_python_datasource", "dedup_cross_lingual_pairs",
     "sketch_hll_rollup_merge", "vocab_fertility_by_lang",
+    "snapshot_upsert_rows", "stream_decontaminate_gate",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -1062,3 +1062,98 @@ FROM (VALUES ('1_main', 'branch', 2, 800),
              ('2_main_after_ff', 'branch', 3, 1200))
        AS s(ref, ref_type, sid, hi)
 """
+
+
+def merge_upsert(
+    spark: SparkSession, table_dir: str, updates: DataFrame, key: str
+) -> int:
+    """Copy-on-write MERGE (Iceberg's ``MERGE INTO`` under
+    write.merge.mode=copy-on-write): matched rows are replaced by
+    their update, unmatched updates are inserted, untouched rows are
+    carried — all committed as ONE atomic manifest swap (operation
+    "merge"). This analog rewrites the full bucket set; Iceberg's COW
+    planner rewrites only files containing matches — pair the merge
+    key with partition pruning at scale."""
+    parent = current_snapshot_id(table_dir)
+    sid = parent + 1
+    cur = read_snapshot(spark, table_dir, parent, keep_bucket=True)
+    merged = cur.join(
+        updates.select(key), key, "left_anti"
+    ).unionByName(updates)
+    out = os.path.join(table_dir, DATA_DIR, f"s{sid}")
+    new_files = _write_bucketed(merged, out)
+    _write_manifest(
+        table_dir,
+        {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "operation": "merge",
+            "schema": _schema_json(merged),
+            "files": new_files,
+            "added_files": len(new_files),
+            "total_records": sum(f["record_count"] for f in new_files),
+        },
+    )
+    return sid
+
+
+UPSERT_LO, UPSERT_HI = 1190, 1210  # 10 updates (matched) + 10 inserts
+UPSERT_BUMP = 100.0  # amount delta applied by the upsert batch
+
+
+def snapshot_upsert_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """UPSERT lifecycle — the write operation that completes the
+    snapshot surface (append / delete / rewrite / rollback / WAP /
+    branch already covered): a MERGE batch overlapping the table's id
+    tail updates 10 existing rows (+100.00 each) and inserts 10 new
+    ones, copy-on-write, in one atomic commit; time travel to the
+    pre-merge snapshot still shows the original rows — the
+    CDC-apply-into-the-lake flow (reference's sink is append-only;
+    MERGE is what a warehouse on top of it runs for dimension
+    maintenance).
+    """
+    table_dir = _build_demo_table(spark)
+    pre = current_snapshot_id(table_dir)
+    updates = _fabric_slice(spark, UPSERT_LO, UPSERT_HI).withColumn(
+        "amount", F.col("amount") + F.lit(UPSERT_BUMP)
+    )
+    post = merge_upsert(spark, table_dir, updates, "timestamp")
+    out = None
+    for sid, label in [
+        (pre, "1_pre_merge"),
+        (post, "2_post_merge"),
+        (pre, "3_time_travel_pre"),
+    ]:
+        part = (
+            read_snapshot(spark, table_dir, sid)
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("amount") * 100).cast("long"))
+                .cast("long")
+                .alias("amount_cents"),
+            )
+            .select(F.lit(label).alias("stage"), "n_rows", "amount_cents")
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+QUERIES["snapshot_upsert_rows"] = snapshot_upsert_rows
+# fabric invariants as in _FAB; the merge bumps rows [1190, 1210) by
+# +100.00 (=10000 cents): matched rows are REPLACED (their base cents
+# still count once), inserts arrive with the bump too, so
+# post = Σ cents(id<1210) + 20·10000
+ORACLES["snapshot_upsert_rows"] = f"""
+WITH fab AS (
+  SELECT id, (1740787200000 + id * 5000) // 10 % 1000 AS cents
+  FROM (SELECT unnest(generate_series(0, {UPSERT_HI - 1})) AS id)
+)
+SELECT s.stage, CAST(s.n AS BIGINT) AS n_rows,
+       CAST((SELECT SUM(cents) FROM fab WHERE id < s.hi)
+            + s.bump AS BIGINT) AS amount_cents
+FROM (VALUES ('1_pre_merge', 1200, 1200, 0),
+             ('2_post_merge', {UPSERT_HI}, {UPSERT_HI},
+              {(UPSERT_HI - UPSERT_LO) * 10000}),
+             ('3_time_travel_pre', 1200, 1200, 0))
+       AS s(stage, n, hi, bump)
+"""

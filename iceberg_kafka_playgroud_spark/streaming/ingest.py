@@ -1218,3 +1218,104 @@ SELECT CAST(cid AS INTEGER) AS cluster_id,
        CAST(SUM(vec_id) AS BIGINT) AS vec_id_sum
 FROM assign3 GROUP BY cid ORDER BY cluster_id
 """
+
+
+def stream_decontaminate_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time benchmark-contamination gate as a STREAMING query —
+    the front-door twin of ``decontaminate_fuzzy_minhash``: training
+    documents arrive in micro-batches and each batch is band-probed
+    against the STATIC eval-set MinHash index, with exact-Jaccard
+    verification on candidates only; per-source accept/flag counts
+    accumulate across batches. This is the gate a 100 TB ingest runs
+    so benchmark copies never reach the lake at all (cheaper than
+    retroactive decontamination of a built corpus).
+
+    Scale design mirrors ``stream_incremental_dedup``: the eval index
+    (shingles + band buckets) is built ONCE and reused per trigger;
+    candidates are an eval×batch band equi-join; per-doc verdicts
+    depend only on (doc, eval index), so micro-batch boundaries cannot
+    change the rollup — the batch formulation is the oracle.
+    """
+    from ..operators import dedup
+    from ..operators.curation import DECON_MOD
+    from ..schema import load_table
+
+    d = load_table(spark, sf, "documents")
+    is_eval = (F.col("doc_id") % DECON_MOD) == 0
+    sh_eval = dedup.shingle_set(d.filter(is_eval)).cache()
+    bands_eval = (
+        dedup.lsh_bands(dedup.minhash_signatures(sh_eval))
+        .select(F.col("doc_id").alias("d_ev"), "band_idx", "band_val")
+        .cache()
+    )
+    stream = _staged_docs_stream(spark, sf, d.filter(~is_eval), "trainset")
+    out_dir = _tmpdir_reclaimed_at_exit("decongate_out_")
+
+    def probe(batch_df: DataFrame, epoch_id: int) -> None:
+        sh_new = dedup.shingle_set(batch_df)
+        nb = dedup.lsh_bands(dedup.minhash_signatures(sh_new)).select(
+            F.col("doc_id").alias("d_tr"), "band_idx", "band_val"
+        )
+        cand = (
+            bands_eval.join(nb, ["band_idx", "band_val"])
+            .select("d_ev", "d_tr")
+            .distinct()
+        )
+        hits = (
+            dedup._jaccard_on_candidates(
+                sh_eval.unionByName(sh_new), cand, "d_ev", "d_tr"
+            )
+            .select("d_tr")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        (
+            batch_df.select(F.col("doc_id").alias("d_tr"), "source")
+            .join(hits, "d_tr", "left")
+            .select(
+                "d_tr",
+                "source",
+                F.coalesce("hit", F.lit(0)).alias("hit"),
+                F.lit(epoch_id).cast("long").alias("epoch_id"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", _ckpt_dir("decongate_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    n_epochs = out.select("epoch_id").distinct().count()
+    if n_epochs <= 1:
+        raise RuntimeError(
+            f"decontamination gate ran in {n_epochs} micro-batch(es); "
+            "expected the 4-file staged replay to yield several"
+        )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_train"),
+            F.sum("hit").cast("long").alias("n_fuzzy_contaminated"),
+            F.sum(F.when(F.col("hit") == 1, F.col("d_tr")))
+            .cast("long")
+            .alias("contaminated_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["stream_decontaminate_gate"] = stream_decontaminate_gate
+
+from ..operators.curation import ORACLES as _CUR_ORACLES  # noqa: E402
+
+# batch-boundary-independent: the streaming rollup equals the batch
+# fuzzy-decontamination pass, whose oracle is shared verbatim
+ORACLES["stream_decontaminate_gate"] = _CUR_ORACLES[
+    "decontaminate_fuzzy_minhash"
+]
