@@ -2854,3 +2854,93 @@ UNION ALL
 SELECT scope, n_exact, TRUE AS within_5pct FROM exact_all
 ORDER BY scope
 """
+
+
+LINKPRED_TOP = 20
+
+
+def graph_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction over the co-purchase
+    graph: for part pairs NOT directly connected, score how many
+    co-purchase neighbors they share — jaccard_ppm =
+    n_common·10⁶ div (deg_a + deg_b − n_common) — and emit the top-20
+    predicted links, tie-broken on the pair ids. The
+    "customers who bought these also bought those together"
+    recommendation precursor, complementing ``item_item_cosine``
+    (direct co-occurrence strength) with 2-hop structure.
+
+    Plan: wedges enumerate per CENTER node over the support-pruned
+    cached edge list (Σ d² work, bounded by the same support pruning
+    that keeps triangle counting safe); existing edges drop out with
+    one anti join; the final cut is TakeOrdered. Probabilities and the
+    score are exact integers.
+    """
+    e = _copurchase_edges(spark, sf).select("pa", "pb")
+    und = e.unionByName(
+        e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    )
+    deg = und.groupBy(F.col("pa").alias("p")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    w1 = und.select(F.col("pa").alias("x"), F.col("pb").alias("a"))
+    w2 = und.select(F.col("pa").alias("x"), F.col("pb").alias("b"))
+    common = (
+        w1.join(w2, "x")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    predicted = common.join(
+        e.select(F.col("pa").alias("a"), F.col("pb").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("p").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("p").alias("b"), F.col("deg").alias("deg_b"))
+    scored = (
+        predicted.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.expr(
+                "n_common * 1000000L div (deg_a + deg_b - n_common)"
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_ppm").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(LINKPRED_TOP)
+
+
+QUERIES["graph_link_prediction"] = graph_link_prediction
+ORACLES["graph_link_prediction"] = f"""
+WITH {_COPURCHASE_SQL},
+und AS (
+  SELECT pa, pb FROM e
+  UNION ALL
+  SELECT pb AS pa, pa AS pb FROM e
+),
+deg AS (SELECT pa AS p, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM und GROUP BY pa),
+common AS (
+  SELECT w1.pb AS a, w2.pb AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM und w1 JOIN und w2 ON w1.pa = w2.pa AND w1.pb < w2.pb
+  GROUP BY 1, 2
+),
+predicted AS (
+  SELECT c.a, c.b, c.n_common FROM common c
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = c.a AND e.pb = c.b)
+)
+SELECT p.a, p.b, p.n_common,
+       CAST(p.n_common * 1000000 // (da.deg + db.deg - p.n_common)
+         AS BIGINT) AS jaccard_ppm
+FROM predicted p
+JOIN deg da ON da.p = p.a
+JOIN deg db ON db.p = p.b
+ORDER BY jaccard_ppm DESC, p.a ASC, p.b ASC
+LIMIT {LINKPRED_TOP}
+"""

@@ -717,3 +717,66 @@ SELECT day, revenue_cents IS NOT NULL AS is_observed,
          ELSE NULL END AS BIGINT) AS revenue_cents_filled
 FROM ctx ORDER BY day
 """
+
+
+def events_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order behavioral Markov chain: P(next event type | event
+    type) per user journey, in exact ppm — the transition matrix
+    behind next-action prediction and funnel-leak diagnosis (where
+    ``session_funnel`` checks ONE prescribed path, this measures all
+    of them at once).
+
+    One user-keyed window (lead over the per-user timeline — per-user
+    state, never global), a transition-pair count (map-side combined,
+    ≤ |types|² keys), and integer division for the probabilities
+    (Spark ``div`` == DuckDB ``//``).
+    """
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("n_from")
+    )
+    return (
+        pairs.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr("n_transitions * 1000000L div n_from")
+            .cast("long")
+            .alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+QUERIES["events_markov_transitions"] = events_markov_transitions
+ORACLES["events_markov_transitions"] = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+cnt AS (
+  SELECT from_type, to_type,
+         CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+tot AS (
+  SELECT from_type, SUM(n_transitions) AS n_from FROM cnt GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       CAST(c.n_transitions * 1000000 // t.n_from AS BIGINT) AS p_ppm
+FROM cnt c JOIN tot t ON c.from_type = t.from_type
+ORDER BY c.from_type, c.to_type
+"""
