@@ -91,6 +91,7 @@ _PRIORITY = [
     "sketch_hll_rollup_merge", "vocab_fertility_by_lang",
     "snapshot_upsert_rows", "stream_decontaminate_gate",
     "events_markov_transitions", "graph_link_prediction",
+    "split_largest_remainder", "mixture_token_waterfill",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

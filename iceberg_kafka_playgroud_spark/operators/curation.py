@@ -1515,3 +1515,204 @@ SELECT seq_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
          AS BIGINT) AS utilization_ppm
 FROM terms GROUP BY seq_len ORDER BY seq_len
 """
+
+
+# ---------------------------------------------------------------------------
+# allocation planners: largest-remainder eval split, token waterfill
+# ---------------------------------------------------------------------------
+
+EVAL_SHARE_DEN = 5  # eval budget = corpus_docs // 5 (20%)
+
+
+def split_largest_remainder(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact proportional eval-set allocation across sources by the
+    largest-remainder (Hamilton) method: every source gets
+    floor(B·n_s/N) eval documents, and the B − Σfloor leftover seats go
+    to the largest fractional remainders (ties broken by source name) —
+    the allocation step an eval-split builder runs so the eval mixture
+    matches the corpus mixture EXACTLY on a fixed budget (plain
+    per-source rounding drifts by up to one doc per source, which at a
+    10k-source corpus is thousands of eval slots).
+
+    Integer-exact throughout: base quota and remainder are integer
+    div/mod (no float shares), so allocation is reproducible on any
+    engine. The remainder ranking is NOT a global window — sources are
+    ranked with the distributed prefix-sum rank (``distributed.
+    ranked_total``), so the plan holds when "source" is a 10M-key web
+    domain column, and the corpus totals arrive via a broadcast 1-row
+    aggregate.
+    """
+    from .distributed import ranked_total
+
+    d = load_table(spark, sf, "documents")
+    per_src = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = per_src.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+    ).select("n_total", (F.col("n_total") / EVAL_SHARE_DEN).cast("long").alias("budget"))
+    base = (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn("base_quota", (F.col("budget") * F.col("n_docs") / F.col("n_total")).cast("long"))
+        .withColumn("remainder", (F.col("budget") * F.col("n_docs")) % F.col("n_total"))
+    )
+    floors = base.agg(F.sum("base_quota").cast("long").alias("sum_base"))
+    ranked, _ = ranked_total(
+        base.crossJoin(F.broadcast(floors)),
+        [F.col("remainder").desc(), F.col("source").asc()],
+        "_rem_rank",
+    )
+    return (
+        ranked.withColumn(
+            "extra",
+            (F.col("_rem_rank") <= F.col("budget") - F.col("sum_base")).cast("long"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "base_quota",
+            "extra",
+            (F.col("base_quota") + F.col("extra")).cast("long").alias("quota"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["split_largest_remainder"] = split_largest_remainder
+ORACLES["split_largest_remainder"] = f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_docs) AS n_total, SUM(n_docs) // {EVAL_SHARE_DEN} AS budget FROM per_src
+),
+base AS (
+  SELECT source, n_docs,
+         (budget * n_docs) // n_total AS base_quota,
+         (budget * n_docs) % n_total AS remainder,
+         budget
+  FROM per_src CROSS JOIN tot
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY remainder DESC, source ASC) AS rk,
+         SUM(base_quota) OVER () AS sum_base
+  FROM base
+)
+SELECT source, n_docs, CAST(base_quota AS BIGINT) AS base_quota,
+       CAST(CASE WHEN rk <= budget - sum_base THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base_quota + CASE WHEN rk <= budget - sum_base THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM ranked ORDER BY source
+"""
+
+
+WATERFILL_NUM, WATERFILL_DEN = 3, 5  # token budget = 60% of corpus tokens
+
+
+def mixture_token_waterfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget waterfilling across sources: given a global token
+    budget B (60% of the corpus here), find the unique integer cap C
+    such that Σ min(tokens_s, C) is maximal without exceeding B, and
+    emit each source's capped allocation — the classic mixture planner
+    that downsamples only the over-represented sources (every source
+    below the waterline keeps all its tokens; the head sources are cut
+    to the same level, which maximizes mixture entropy under the
+    budget).
+
+    Solved exactly in one pass over SOURCE-cardinality data: sources
+    sorted by token count ascending get a distributed prefix-sum rank
+    k and inclusive prefix P_k (``ranked_total`` +
+    ``running_sum_total`` — no single-partition window even at 10M
+    sources); on the interval t_k ≤ C < t_{k+1} the spend is
+    P_k + (n−k)·C, so the candidate cap is ⌊(B−P_k)/(n−k)⌋ and exactly
+    one interval admits its candidate. A virtual rank-0 row covers the
+    C < t_1 interval.
+    """
+    from .distributed import ranked_total, running_sum_total
+
+    d = load_table(spark, sf, "documents")
+    per_src = d.select("source", tokens(F.col("text")).alias("toks")).select(
+        "source", F.size("toks").cast("long").alias("n_tokens")
+    ).groupBy("source").agg(F.sum("n_tokens").cast("long").alias("t"))
+
+    ranked, n_src = ranked_total(
+        per_src, [F.col("t").asc(), F.col("source").asc()], "k"
+    )
+    summed, t_total = running_sum_total(
+        ranked, [F.col("t").asc(), F.col("source").asc()], "t", "p_k"
+    )
+    budget = t_total * WATERFILL_NUM // WATERFILL_DEN
+    # interval rows: rank k carries [t_k, t_{k+1}); the virtual k=0 row
+    # carries [0, t_1). t_{k+1} comes from the rank-(k+1) row, +inf for
+    # the last rank (never valid when budget < total, asserted by the
+    # budget choice).
+    spark_sess = summed.sparkSession
+    virtual = spark_sess.createDataFrame(
+        [(0, 0, 0)], "k long, t long, p_k long"
+    )
+    iv = summed.select("k", "t", "p_k").unionByName(virtual)
+    nxt = summed.select(
+        (F.col("k") - 1).alias("k"), F.col("t").alias("t_next")
+    )
+    cand = (
+        iv.join(nxt, "k", "inner")  # drops the last rank: cap < t_max guaranteed
+        .withColumn("n_capped", F.lit(int(n_src)) - F.col("k"))
+        # try_divide: Catalyst may push this projection below the join
+        # that drops the k = n_src row, where the divisor is 0; that
+        # row's NULL cap is discarded by the join either way
+        .withColumn(
+            "cap",
+            F.floor(
+                F.try_divide(F.lit(int(budget)) - F.col("p_k"), F.col("n_capped"))
+            ).cast("long"),
+        )
+        .where((F.col("cap") >= F.col("t")) & (F.col("cap") < F.col("t_next")))
+        .select("cap")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(cand))
+        .select(
+            "source",
+            F.col("t").alias("n_tokens"),
+            F.least(F.col("t"), F.col("cap")).cast("long").alias("alloc_tokens"),
+            (F.col("t") > F.col("cap")).cast("long").alias("capped"),
+            F.col("cap").cast("long").alias("water_level"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["mixture_token_waterfill"] = mixture_token_waterfill
+ORACLES["mixture_token_waterfill"] = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != '')))
+              AS BIGINT) AS t
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, t,
+         row_number() OVER (ORDER BY t ASC, source ASC) AS k,
+         SUM(t) OVER (ORDER BY t ASC, source ASC
+                      ROWS UNBOUNDED PRECEDING) AS p_k,
+         COUNT(*) OVER () AS n_src,
+         SUM(t) OVER () * {WATERFILL_NUM} // {WATERFILL_DEN} AS budget
+  FROM per_src
+),
+iv AS (
+  SELECT k, t, p_k, n_src, budget FROM ranked
+  UNION ALL
+  SELECT 0, 0, 0, any_value(n_src), any_value(budget) FROM ranked
+),
+cand AS (
+  SELECT iv.k, (iv.budget - iv.p_k) // (iv.n_src - iv.k) AS cap, nxt.t AS t_next,
+         iv.t
+  FROM iv JOIN ranked nxt ON nxt.k = iv.k + 1
+),
+cap AS (
+  SELECT cap FROM cand WHERE cap >= t AND cap < t_next
+)
+SELECT source, t AS n_tokens,
+       CAST(least(t, cap) AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN t > cap THEN 1 ELSE 0 END AS BIGINT) AS capped,
+       CAST(cap AS BIGINT) AS water_level
+FROM per_src CROSS JOIN cap ORDER BY source
+"""
