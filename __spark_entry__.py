@@ -92,6 +92,8 @@ _PRIORITY = [
     "snapshot_upsert_rows", "stream_decontaminate_gate",
     "events_markov_transitions", "graph_link_prediction",
     "split_largest_remainder", "mixture_token_waterfill",
+    "text_boilerplate_coverage", "stream_dedup_within_watermark",
+    "source_python_stream_reader", "snapshot_mor_read",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -1236,3 +1236,123 @@ SELECT lang, n_docs, total_chars, total_tokens,
          AS fertility_per_kchar
 FROM agg ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# boilerplate n-gram coverage
+# ---------------------------------------------------------------------------
+
+BOILER_N = 3  # n-gram width of the boilerplate unit
+BOILER_MIN_DF = 5  # grams in >= this many docs are boilerplate
+
+
+def text_boilerplate_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate-coverage audit: trigrams appearing in >=
+    BOILER_MIN_DF distinct documents are "boilerplate" (the
+    repeated-template phrases CCNet-style pipelines strip before
+    training), and each source reports how much of its token mass
+    those grams COVER — covered = a token position overlapped by at
+    least one boilerplate gram occurrence, so overlapping grams never
+    double-count (exact span union via distinct positions, not a naive
+    per-hit x N).
+
+    Plan at 100 TB: the gram explode is scan-local; document frequency
+    is one gram-keyed aggregate (map-side combined ints); the
+    boilerplate set joins back as a gram-keyed equi-join (never
+    broadcast-forced — the high-df vocabulary can be large, AQE sizes
+    it); the span union is a (doc, pos) distinct that shuffles only
+    HIT positions, a boilerplate-mass-sized stream, not the corpus.
+    """
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    )
+    d = d.select("doc_id", "source", "toks", F.size("toks").alias("dl"))
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.col("dl") >= BOILER_N,
+                F.expr(
+                    f"transform(sequence(0, dl - {BOILER_N}), i -> "
+                    "struct(i AS pos, concat_ws(' ', toks[i], toks[i+1], "
+                    "toks[i+2]) AS gram))"
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+        ).alias("g"),
+    ).select("doc_id", "source", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= BOILER_MIN_DF)
+        .select("gram")
+    )
+    covered = (
+        grams.join(boiler, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (BOILER_N - 1))
+            ).alias("tok_pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("covered_tokens"))
+    )
+    return (
+        d.join(covered, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count(F.col("covered_tokens")).cast("long").alias("n_docs_affected"),
+            F.sum("dl").cast("long").alias("total_tokens"),
+            F.sum(F.coalesce(F.col("covered_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("boiler_tokens"),
+            (
+                F.sum(F.coalesce(F.col("covered_tokens"), F.lit(0)))
+                * F.lit(1_000_000)
+                / F.sum("dl")
+            )
+            .cast("long")
+            .alias("boiler_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["text_boilerplate_coverage"] = text_boilerplate_coverage
+ORACLES["text_boilerplate_coverage"] = f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOKS} AS toks, len({_TOKS}) AS dl FROM documents
+),
+grams AS (
+  SELECT doc_id, source, i - 1 AS pos,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+  FROM (SELECT doc_id, source, toks,
+               unnest(generate_series(1, dl - {BOILER_N - 1})) AS i
+        FROM d WHERE dl >= {BOILER_N})
+),
+boiler AS (
+  SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df
+                    FROM grams GROUP BY gram)
+  WHERE df >= {BOILER_MIN_DF}
+),
+covered AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered_tokens
+  FROM (SELECT DISTINCT g.doc_id, p.tok_pos
+        FROM grams g JOIN boiler b USING (gram)
+        CROSS JOIN LATERAL (SELECT unnest(generate_series(g.pos,
+                              g.pos + {BOILER_N - 1})) AS tok_pos) p)
+  GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(c.covered_tokens) AS BIGINT) AS n_docs_affected,
+       CAST(SUM(d.dl) AS BIGINT) AS total_tokens,
+       CAST(SUM(COALESCE(c.covered_tokens, 0)) AS BIGINT) AS boiler_tokens,
+       CAST(SUM(COALESCE(c.covered_tokens, 0)) * 1000000 // SUM(d.dl)
+            AS BIGINT) AS boiler_ppm
+FROM d LEFT JOIN covered c USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""

@@ -107,7 +107,8 @@ def commit_append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
     sid = parent + 1
     out = os.path.join(table_dir, DATA_DIR, f"s{sid}")
     new_files = _write_bucketed(df, out)
-    prev = load_manifest(table_dir, parent)["files"] if parent else []
+    prev_m = load_manifest(table_dir, parent) if parent else {}
+    prev = prev_m.get("files", [])
     _write_manifest(
         table_dir,
         {
@@ -116,6 +117,9 @@ def commit_append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
             "operation": "append",
             "schema": _schema_json(df),
             "files": prev + new_files,
+            # row-delta (equality-delete) files stay live across
+            # appends — they still apply to the older data files
+            "delete_files": prev_m.get("delete_files", []),
             "added_files": len(new_files),
             "total_records": sum(f["record_count"] for f in prev + new_files),
         },
@@ -1156,4 +1160,179 @@ FROM (VALUES ('1_pre_merge', 1200, 1200, 0),
               {(UPSERT_HI - UPSERT_LO) * 10000}),
              ('3_time_travel_pre', 1200, 1200, 0))
        AS s(stage, n, hi, bump)
+"""
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read: equality-delete files with sequence-number semantics
+# ---------------------------------------------------------------------------
+
+
+def commit_equality_delete(
+    spark: SparkSession, table_dir: str, keys_df: DataFrame, cols: list[str]
+) -> int:
+    """Row-delta delete commit (Iceberg v2 MERGE-ON-READ,
+    write.delete.mode=merge-on-read): instead of rewriting data files
+    (the COW ``delete_where``), write an EQUALITY-DELETE file holding
+    just the key tuples and commit a manifest that carries the parent's
+    data files untouched — an O(deleted keys) commit no matter how big
+    the table is. The delete applies at READ time, and only to rows
+    whose data file was committed BEFORE it (Iceberg's data-sequence <
+    delete-sequence rule), so later re-inserts of the same key survive.
+    """
+    parent = current_snapshot_id(table_dir)
+    sid = parent + 1
+    rel = f"s{sid}-del"
+    out = os.path.join(table_dir, DATA_DIR, rel)
+    keys_df.select(*cols).repartition(1).write.parquet(out)
+    n_keys = keys_df.count()
+    files = sorted(_glob.glob(f"{out}/part-*.parquet"))
+    prev = load_manifest(table_dir, parent)
+    _write_manifest(
+        table_dir,
+        {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "operation": "delete",
+            "schema": prev["schema"],
+            "files": prev["files"],
+            "delete_files": prev.get("delete_files", [])
+            + [
+                {
+                    "path": os.path.relpath(f, os.path.dirname(out)),
+                    "seq": sid,
+                    "equality_cols": cols,
+                    "record_count": n_keys,
+                }
+                for f in files
+            ],
+            "added_files": 0,
+            "total_records": prev["total_records"],
+        },
+    )
+    return sid
+
+
+def _data_file_seq(path: str) -> int:
+    # data files live under data/s{sid}/... — the layout commit_append
+    # writes; the leading segment IS the committing snapshot id
+    return int(path.split("/")[0].lstrip("s").split("-")[0])
+
+
+def read_snapshot_mor(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    keep_bucket: bool = False,
+) -> DataFrame:
+    """Merge-on-read time travel: the snapshot's data files ANTI-JOINED
+    against its equality-delete files under the sequence rule (a delete
+    drops a row only if the row's data file is OLDER than the delete).
+    Planning stays O(files); the apply is one equi-anti-join keyed on
+    the equality columns — deletes are usually tiny next to data, so
+    AQE broadcast-sizes them; nothing here materializes the table.
+    """
+    sid = snapshot_id or current_snapshot_id(table_dir)
+    m = load_manifest(table_dir, sid)
+    dels = m.get("delete_files", [])
+    by_seq: dict[int, list[str]] = {}
+    for f in m["files"]:
+        by_seq.setdefault(_data_file_seq(f["path"]), []).append(
+            os.path.join(table_dir, DATA_DIR, f["path"])
+        )
+    data = None
+    for seq, paths in sorted(by_seq.items()):
+        part = spark.read.parquet(*paths).withColumn(
+            "_seq", F.lit(seq).cast("long")
+        )
+        if keep_bucket:
+            part = part.withColumn(
+                BUCKET_COL,
+                F.regexp_extract(
+                    F.input_file_name(), f"{BUCKET_COL}=(\\d+)", 1
+                ).cast("long"),
+            )
+        data = part if data is None else data.unionByName(part)
+    if not dels:
+        return data.drop("_seq")
+    cols = dels[0]["equality_cols"]
+    keys = None
+    for df_entry in dels:
+        part = (
+            spark.read.parquet(
+                os.path.join(table_dir, DATA_DIR, df_entry["path"])
+            )
+            .select(*cols)
+            .withColumn("_del_seq", F.lit(df_entry["seq"]).cast("long"))
+        )
+        keys = part if keys is None else keys.unionByName(part)
+    cond = F.col("d._seq") < F.col("k._del_seq")
+    for c in cols:
+        cond = cond & (F.col(f"d.{c}") == F.col(f"k.{c}"))
+    return (
+        data.alias("d")
+        .join(keys.alias("k"), cond, "left_anti")
+        .drop("_seq")
+    )
+
+
+MOR_BASE_ROWS = 400  # append A: fabric ids [0, 400)
+MOR_REINSERT = 100  # append B re-inserts ids [0, 100) AFTER the delete
+MOR_DEL_MOD = 7  # delete keys: id % 7 == 0 within append A
+
+
+def snapshot_mor_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read lifecycle: append 400 fabric rows → equality-
+    delete every id ≡ 0 (mod 7) as a ROW-DELTA commit (no data file
+    rewritten) → re-append ids [0,100). The MOR read must drop the
+    deleted ids from the FIRST append only — the re-inserted copies
+    carry a data sequence newer than the delete and survive (the
+    Iceberg v2 sequence rule; getting this wrong silently re-deletes
+    every late-arriving upsert). Folded per bucket; the oracle replays
+    the arithmetic from generate_series.
+    """
+    import atexit
+    import shutil
+
+    table_dir = tempfile.mkdtemp(prefix="mor_tbl_")
+    atexit.register(shutil.rmtree, table_dir, ignore_errors=True)
+    base = 1740787200000
+    commit_append(spark, table_dir, _fabric_slice(spark, 0, MOR_BASE_ROWS))
+    idx = ((F.col("timestamp") - base) / 5000).cast("long")
+    del_keys = (
+        _fabric_slice(spark, 0, MOR_BASE_ROWS)
+        .where(idx % MOR_DEL_MOD == 0)
+        .select("timestamp")
+    )
+    commit_equality_delete(spark, table_dir, del_keys, ["timestamp"])
+    commit_append(spark, table_dir, _fabric_slice(spark, 0, MOR_REINSERT))
+    return (
+        read_snapshot_mor(spark, table_dir, keep_bucket=True)
+        .groupBy(BUCKET_COL)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("amount") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+        )
+        .orderBy(BUCKET_COL)
+    )
+
+
+QUERIES["snapshot_mor_read"] = snapshot_mor_read
+ORACLES["snapshot_mor_read"] = f"""
+WITH a AS (
+  SELECT id, ({1740787200000} + id * 5000) // 10 % 1000 AS cents
+  FROM (SELECT unnest(generate_series(0, {MOR_BASE_ROWS - 1})) AS id)
+  WHERE id % {MOR_DEL_MOD} != 0
+),
+b AS (
+  SELECT id, ({1740787200000} + id * 5000) // 10 % 1000 AS cents
+  FROM (SELECT unnest(generate_series(0, {MOR_REINSERT - 1})) AS id)
+),
+live AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT CAST(id % {N_BUCKETS} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM live GROUP BY bucket ORDER BY bucket
 """

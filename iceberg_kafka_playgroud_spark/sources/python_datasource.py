@@ -282,3 +282,133 @@ SELECT CAST(id % {N_BUCKETS} AS BIGINT) AS bucket,
        CAST({DEFAULT_ROWS} AS BIGINT) AS manifest_rows
 FROM fab GROUP BY bucket ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Custom Python STREAMING source (SimpleDataSourceStreamReader) — the
+# readStream half of the Spark 4 Python DataSource V2 surface. The
+# driver tracks offsets as plain dicts ({"i": next_row}); each
+# micro-batch reads [start, end) of the same deterministic fabric, so
+# offset bookkeeping — not the row rule — is what this source proves:
+# every row is emitted exactly once across however many micro-batches
+# the trigger schedules.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+STREAM_CHUNK = 120  # rows per micro-batch read
+
+
+def _fabric_rows(lo: int, hi: int):
+    # a LIST iterator, not a generator: the driver-side prefetch cache
+    # copy.copy()s the returned iterator, which generators don't support
+    return iter(
+        [
+            (
+                rid,
+                FABRIC_BASE_MS + rid * 5000,
+                f"user_{rid % 1000}",
+                ((FABRIC_BASE_MS + rid * 5000) // 10 % 1000) / 100.0,
+            )
+            for rid in range(lo, hi)
+        ]
+    )
+
+
+class FabricStreamReader(SimpleDataSourceStreamReader):
+    """Bounded stream: offsets advance by STREAM_CHUNK until n_rows."""
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("n_rows", DEFAULT_ROWS))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i = start["i"]
+        hi = min(i + STREAM_CHUNK, self.n_rows)
+        return _fabric_rows(i, hi), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay path for recovery: offsets alone reconstruct the batch
+        return _fabric_rows(start["i"], end["i"])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class FabricStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "purchase_fabric_stream"
+
+    def schema(self) -> str:
+        return "id bigint, ts_ms bigint, user_id string, amount double"
+
+    def simpleStreamReader(self, schema) -> FabricStreamReader:
+        return FabricStreamReader(self.options)
+
+
+def _register_stream(spark: SparkSession) -> None:
+    key = "spark_graft.fabric_stream_registered"
+    if spark.conf.get(key, None) != "1":
+        spark.dataSource.register(FabricStreamDataSource)
+        spark.conf.set(key, "1")
+
+
+def source_python_stream_reader(spark: SparkSession, sf: str) -> DataFrame:
+    """Read the fabric through the custom Python STREAMING source and
+    fold to the per-bucket audit — proving initialOffset/read offset
+    bookkeeping delivers every row exactly once across micro-batches.
+    The Python microbatch stream does not support Trigger.AvailableNow
+    (Spark logs the single-batch fallback), so the query runs the real
+    default-trigger loop and stops once the bounded generator drains —
+    exactly DEFAULT_ROWS rows in ≥ n_rows/STREAM_CHUNK micro-batches.
+    The oracle regenerates the rows from generate_series, identical to
+    the batch source's: same rule, different transport.
+    """
+    import tempfile
+    import time
+    import uuid
+
+    _register_stream(spark)
+    name = f"fab_stream_{uuid.uuid4().hex[:12]}"
+    stream = (
+        spark.readStream.format("purchase_fabric_stream")
+        .option("n_rows", str(DEFAULT_ROWS))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fab_stream_ckpt_"))
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while spark.table(name).count() < DEFAULT_ROWS:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"python stream source stalled: "
+                    f"{spark.table(name).count()}/{DEFAULT_ROWS} rows"
+                )
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy((F.col("id") % N_BUCKETS).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("amount") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["source_python_stream_reader"] = source_python_stream_reader
+ORACLES["source_python_stream_reader"] = ORACLES["source_python_datasource"]

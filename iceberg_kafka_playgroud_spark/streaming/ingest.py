@@ -1319,3 +1319,41 @@ from ..operators.curation import ORACLES as _CUR_ORACLES  # noqa: E402
 ORACLES["stream_decontaminate_gate"] = _CUR_ORACLES[
     "decontaminate_fuzzy_minhash"
 ]
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    """ST7 via the NATIVE ``dropDuplicatesWithinWatermark`` (Spark
+    3.5+): unlike plain streaming ``dropDuplicates`` — whose per-key
+    state lives forever — this evicts a key's state once the watermark
+    passes its event time + delay, the production configuration for an
+    unbounded at-least-once bus (state is bounded by the watermark
+    horizon, not topic history).
+
+    The replayed topic is unioned with itself, so every event arrives
+    exactly twice AT THE SAME EVENT TIME — each duplicate pair is
+    always inside any watermark window regardless of how the file
+    source batches the replay, which keeps the result
+    batch-boundary-independent: per-type counts of distinct events,
+    the batch-DISTINCT oracle. (Duplicates farther apart than the
+    delay may legitimately survive this operator; the fixture has no
+    cross-time duplicate ids — ``stream_exact_dedup`` covers the
+    infinite-retention semantics.)
+    """
+    stream = events_file_stream(spark, sf)
+    doubled = stream.union(stream)
+    deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = _run_to_memory(deduped, "append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+QUERIES["stream_dedup_within_watermark"] = stream_dedup_within_watermark
+ORACLES["stream_dedup_within_watermark"] = """
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
