@@ -1331,3 +1331,98 @@ SELECT band_idx,
        CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS candidate_pair_bound
 FROM sizes GROUP BY band_idx ORDER BY band_idx
 """
+
+
+def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Signature-calibration audit: how well does MinHash agreement
+    predict exact Jaccard? For every banded candidate pair, count the
+    matching signature positions (0–8) and compare the implied
+    estimate (matches/8) against the exact shingle Jaccard — grouped
+    by match count: pair count, mean exact Jaccard, and mean absolute
+    estimator error, all in integer ppm. This is the tuning table that
+    justifies (or indicts) the banding threshold before a 100 TB run:
+    if high-match pairs have low true Jaccard the hash family is too
+    small; if low-match pairs hide high Jaccard the bands are too
+    strict.
+
+    Plan: candidate-set-sized throughout — the cached band pairs, the
+    shared exact verifier, and two doc-keyed joins against the
+    8-column signature table (doc-count-sized, shuffles only signature
+    rows for docs in some pair). No float accumulation: per-pair ppm
+    floors first, integer sums after.
+    """
+    sh, cand = _minhash_candidates(spark, sf)
+    pairs = _jaccard_on_candidates(sh, cand, "d1", "d2", threshold=None)
+    sig = minhash_signatures(sh)
+    matches = sum(
+        (F.col(f"g1.h{i}") == F.col(f"g2.h{i}")).cast("long")
+        for i in range(N_HASHES)
+    )
+    per_pair = (
+        pairs.join(sig.alias("g1"), F.col("g1.doc_id") == F.col("d1"))
+        .join(sig.alias("g2"), F.col("g2.doc_id") == F.col("d2"))
+        .select(
+            matches.alias("n_sig_match"),
+            F.floor(F.col("jaccard") * 1_000_000).cast("long").alias("jac_ppm"),
+        )
+        .withColumn(
+            "est_ppm", (F.col("n_sig_match") * 1_000_000 / N_HASHES).cast("long")
+        )
+    )
+    return (
+        per_pair.groupBy("n_sig_match")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.floor(F.sum("jac_ppm") / F.count("*")).cast("long").alias("mean_jaccard_ppm"),
+            F.floor(
+                F.sum(F.abs(F.col("est_ppm") - F.col("jac_ppm"))) / F.count("*")
+            )
+            .cast("long")
+            .alias("mean_abs_err_ppm"),
+        )
+        .orderBy("n_sig_match")
+    )
+
+
+QUERIES["dedup_minhash_calibration"] = dedup_minhash_calibration
+ORACLES["dedup_minhash_calibration"] = f"""
+WITH {_SHINGLES_CTE},
+{_MINHASH_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_idx=b.band_idx AND a.band_val=b.band_val AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id=c.d1
+  JOIN sh s2 ON s2.doc_id=c.d2 AND s2.shingle=s1.shingle
+  GROUP BY c.d1, c.d2
+),
+scored AS (
+  SELECT d1, d2,
+         round(CAST(i AS DOUBLE)/CAST(n1.n + n2.n - i AS DOUBLE), 6) AS jaccard
+  FROM inter JOIN sizes n1 ON n1.doc_id=d1 JOIN sizes n2 ON n2.doc_id=d2
+),
+per_pair AS (
+  SELECT ({" + ".join(f"CASE WHEN g1.h{i} = g2.h{i} THEN 1 ELSE 0 END" for i in range(8))})
+           AS n_sig_match,
+         CAST(floor(jaccard * 1000000) AS BIGINT) AS jac_ppm
+  FROM scored
+  JOIN sig g1 ON g1.doc_id = scored.d1
+  JOIN sig g2 ON g2.doc_id = scored.d2
+),
+est AS (
+  SELECT n_sig_match, jac_ppm,
+         CAST(n_sig_match * 1000000 / 8 AS BIGINT) AS est_ppm
+  FROM per_pair
+)
+SELECT CAST(n_sig_match AS BIGINT) AS n_sig_match,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(jac_ppm) // COUNT(*) AS BIGINT) AS mean_jaccard_ppm,
+       CAST(SUM(abs(est_ppm - jac_ppm)) // COUNT(*) AS BIGINT)
+         AS mean_abs_err_ppm
+FROM est GROUP BY n_sig_match ORDER BY n_sig_match
+"""

@@ -780,3 +780,83 @@ SELECT c.from_type, c.to_type, c.n_transitions,
 FROM cnt c JOIN tot t ON c.from_type = t.from_type
 ORDER BY c.from_type, c.to_type
 """
+
+
+AUTOCORR_LAG = 7  # weekly seasonality probe
+
+
+def events_autocorr_lag7(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-7 autocorrelation of daily purchase revenue — the
+    seasonality detector run before choosing a forecasting model (a
+    high r₇ says weekly periodicity dominates). Pearson r over the
+    (y_t, y_{t−7}) pairs of OBSERVED days (gap days contribute no
+    pair, the standard treatment for sparse series).
+
+    Exactness: the five sufficient statistics (n, Σx, Σy, Σxy, Σxx,
+    Σyy) are int64 over exact cents; r is then num/√(d₁·d₂) — the
+    int64 components are emitted alongside, and every float op (two
+    casts, one multiply, one sqrt — IEEE-exact in both engines, unlike
+    a round()) is identical on both sides. Day-collapsed before any
+    join: the pair join runs on calendar-day cardinality.
+    """
+    daily = (
+        _daily_revenue(spark, sf)
+        .groupBy("day")
+        .agg(F.sum("revenue_cents").cast("long").alias("y"))
+    )
+    lag = daily.select(
+        F.date_add(F.col("day"), AUTOCORR_LAG).alias("day"),
+        F.col("y").alias("x"),
+    )
+    pairs = daily.join(lag, "day")
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "n",
+        num.cast("long").alias("r_num"),
+        d1.cast("long").alias("r_den_x"),
+        d2.cast("long").alias("r_den_y"),
+        (
+            num.cast("double")
+            / F.sqrt(d1.cast("double") * d2.cast("double"))
+        ).alias("autocorr_lag7"),
+    )
+
+
+QUERIES["events_autocorr_lag7"] = events_autocorr_lag7
+ORACLES["events_autocorr_lag7"] = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pairs AS (
+  SELECT d.y AS y, l.y AS x
+  FROM daily d JOIN daily l ON d.day = l.day + INTERVAL {AUTOCORR_LAG} DAY
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs
+)
+SELECT n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS r_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS r_den_x,
+       CAST(n * syy - sy * sy AS BIGINT) AS r_den_y,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS autocorr_lag7
+FROM agg
+"""
