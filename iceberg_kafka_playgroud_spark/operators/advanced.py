@@ -2944,3 +2944,194 @@ JOIN deg db ON db.p = p.b
 ORDER BY jaccard_ppm DESC, p.a ASC, p.b ASC
 LIMIT {LINKPRED_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# theta sketches (set algebra) + KLL sketches (mergeable quantiles)
+# ---------------------------------------------------------------------------
+
+THETA_Y1, THETA_Y2 = 1995, 1996
+THETA_BASE_BOUND_PPM = 50_000  # 5%: single-sketch + union estimates
+THETA_SETOP_BOUND_PPM = 100_000  # 10%: intersection/difference compound error
+
+
+def sketch_theta_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta-sketch set algebra — the FOURTH sketch family (after KMV,
+    count-min, HLL) and the only one that answers set-OPERATION
+    cardinalities: customers who ordered in 1995 vs 1996 as two theta
+    sketches built in one pass each, then |A|, |B|, |A∪B|, |A∩B|,
+    |A\\B| all read off the sketches (native datasketches
+    `theta_sketch_agg` / `theta_union` / `theta_intersection` /
+    `theta_difference`). HLL can union but NEVER intersect or
+    subtract; theta's k-minimum-sample composes through all three —
+    the audience-overlap / churn-cohort primitive at 100 TB, where the
+    exact answer needs a full distinct-join per question and the
+    sketch answers all of them from two 32 KB summaries.
+
+    Audit contract (`agg_approx_distinct` pattern): estimates are
+    pinned within 5% (base/union) / 10% (intersection/difference —
+    set-op error compounds with the populations' overlap profile, doc:
+    DataSketches theta error analysis) of exact; the boolean is exact
+    and the oracle emits the exact counts.
+    """
+    o = load_table(spark, sf, "orders").select(
+        F.year("o_orderdate").alias("y"), "o_custkey"
+    )
+    a = o.where(F.col("y") == THETA_Y1).agg(
+        F.theta_sketch_agg("o_custkey").alias("ska")
+    )
+    b = o.where(F.col("y") == THETA_Y2).agg(
+        F.theta_sketch_agg("o_custkey").alias("skb")
+    )
+    est = (
+        a.crossJoin(b)
+        .select(
+            F.explode(
+                F.map_from_arrays(
+                    F.array(
+                        F.lit("1_year_a"),
+                        F.lit("2_year_b"),
+                        F.lit("3_union"),
+                        F.lit("4_intersection"),
+                        F.lit("5_difference"),
+                    ),
+                    F.array(
+                        F.theta_sketch_estimate("ska"),
+                        F.theta_sketch_estimate("skb"),
+                        F.theta_sketch_estimate(F.theta_union("ska", "skb")),
+                        F.theta_sketch_estimate(
+                            F.theta_intersection("ska", "skb")
+                        ),
+                        F.theta_sketch_estimate(
+                            F.theta_difference("ska", "skb")
+                        ),
+                    ),
+                )
+            ).alias("scope", "est")
+        )
+    )
+    ca = o.where(F.col("y") == THETA_Y1).select("o_custkey").distinct()
+    cb = o.where(F.col("y") == THETA_Y2).select("o_custkey").distinct()
+    exact = None
+    for scope, frame in [
+        ("1_year_a", ca),
+        ("2_year_b", cb),
+        ("3_union", ca.union(cb).distinct()),
+        ("4_intersection", ca.intersect(cb)),
+        ("5_difference", ca.subtract(cb)),
+    ]:
+        part = frame.agg(F.count("*").cast("long").alias("n_exact")).select(
+            F.lit(scope).alias("scope"), "n_exact"
+        )
+        exact = part if exact is None else exact.unionByName(part)
+    bound = F.when(
+        F.col("scope").isin("4_intersection", "5_difference"),
+        F.lit(THETA_SETOP_BOUND_PPM),
+    ).otherwise(F.lit(THETA_BASE_BOUND_PPM))
+    within = (
+        F.abs(F.col("est") - F.col("n_exact")) * F.lit(1_000_000)
+        <= F.col("n_exact") * bound
+    )
+    return (
+        est.join(exact, "scope")
+        .select("scope", "n_exact", within.alias("within_bound"))
+        .orderBy("scope")
+    )
+
+
+QUERIES["sketch_theta_set_ops"] = sketch_theta_set_ops
+ORACLES["sketch_theta_set_ops"] = f"""
+WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE year(o_orderdate) = {THETA_Y1}),
+b AS (SELECT DISTINCT o_custkey FROM orders
+      WHERE year(o_orderdate) = {THETA_Y2})
+SELECT '1_year_a' AS scope, CAST((SELECT COUNT(*) FROM a) AS BIGINT)
+         AS n_exact, TRUE AS within_bound
+UNION ALL SELECT '2_year_b', CAST((SELECT COUNT(*) FROM b) AS BIGINT), TRUE
+UNION ALL SELECT '3_union',
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS BIGINT), TRUE
+UNION ALL SELECT '4_intersection',
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT), TRUE
+UNION ALL SELECT '5_difference',
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS BIGINT), TRUE
+ORDER BY scope
+"""
+
+
+KLL_TARGETS_PPM = (250_000, 500_000, 750_000, 950_000)
+KLL_RANK_BOUND_PPM = 50_000  # 5% rank error: k=200 gives 1.65% @99%
+
+
+def sketch_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantiles via KLL sketches — the re-aggregatable
+    percentile pattern: per-day KLL sketches of order value (exact
+    int64 cents) are built in one pass (`kll_sketch_agg_bigint`), the
+    GLOBAL quartiles + p95 come from `kll_merge_agg_bigint` over the
+    day-sized sketch table — the serving-layer rollup that answers
+    "p95 this week" without re-scanning raw data (exact percentiles
+    cannot merge; sketches are the only path at 100 TB).
+
+    Audit contract: a KLL quantile estimate is about RANK, not value —
+    for each target rank the exact rank interval of the estimated
+    value (count(<x), count(<=x)) must lie within 5 rank-% of the
+    target (k = 200 → 1.65% normalized rank error at 99% confidence;
+    the generous bound keeps the exact boolean stable under KLL's
+    randomized compaction). The oracle emits the exact row count and
+    TRUE per target.
+    """
+    o = load_table(spark, sf, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("day").agg(
+        F.kll_sketch_agg_bigint("cents").alias("sk")
+    )
+    merged = daily.agg(F.kll_merge_agg_bigint("sk").alias("sk"))
+    qhat = merged.select(
+        *[
+            F.kll_sketch_get_quantile_bigint(
+                "sk", F.lit(t / 1_000_000)
+            ).alias(f"q{t}")
+            for t in KLL_TARGETS_PPM
+        ]
+    )
+    ranks = o.crossJoin(F.broadcast(qhat)).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        *[
+            x
+            for t in KLL_TARGETS_PPM
+            for x in (
+                F.sum((F.col("cents") < F.col(f"q{t}")).cast("long")).alias(
+                    f"lo{t}"
+                ),
+                F.sum((F.col("cents") <= F.col(f"q{t}")).cast("long")).alias(
+                    f"hi{t}"
+                ),
+            )
+        ],
+    )
+    out = None
+    for t in KLL_TARGETS_PPM:
+        lo_ppm = F.col(f"lo{t}") * F.lit(1_000_000) / F.col("n_rows")
+        hi_ppm = F.col(f"hi{t}") * F.lit(1_000_000) / F.col("n_rows")
+        within = (F.lit(t) >= lo_ppm - F.lit(KLL_RANK_BOUND_PPM)) & (
+            F.lit(t) <= hi_ppm + F.lit(KLL_RANK_BOUND_PPM)
+        )
+        part = ranks.select(
+            F.lit(t).cast("long").alias("target_ppm"),
+            "n_rows",
+            within.alias("rank_within_5pct"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("target_ppm")
+
+
+QUERIES["sketch_kll_quantiles"] = sketch_kll_quantiles
+ORACLES["sketch_kll_quantiles"] = f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+SELECT CAST(t.target_ppm AS BIGINT) AS target_ppm, n.n_rows,
+       TRUE AS rank_within_5pct
+FROM (VALUES {", ".join(f"({t})" for t in KLL_TARGETS_PPM)})
+       AS t(target_ppm), n
+ORDER BY target_ppm
+"""
