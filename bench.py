@@ -70,6 +70,12 @@ def main() -> None:
         # global shuffle (both data-heavy, the engine's target class)
         "dedup_semantic_semdedup",
         "curation_global_shuffle",
+        # round-7 second wave: PQ codebook training + ADC scan,
+        # trigram span-union coverage, signature-calibration join —
+        # all corpus-sized, the 100 TB-representative class
+        "ann_pq_adc_topk",
+        "text_boilerplate_coverage",
+        "dedup_minhash_calibration",
     ):
         if extra not in qs:
             raise SystemExit(f"bench: unknown headline query {extra!r}")

@@ -3135,3 +3135,56 @@ FROM (VALUES {", ".join(f"({t})" for t in KLL_TARGETS_PPM)})
        AS t(target_ppm), n
 ORDER BY target_ppm
 """
+
+
+def arrow_map_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """`mapInArrow` — the Arrow-RecordBatch escape hatch that completes
+    the X5 Python surface (pandas scalar / grouped agg / grouped map /
+    UDTF already covered): the Python function sees raw Arrow batches
+    with NO pandas conversion on either side, the right tier when the
+    per-batch logic is itself vectorized (pyarrow.compute, numpy over
+    zero-copy buffers, or a C-extension tokenizer). Here each batch is
+    shredded to per-doc char and separator counts with pyarrow.compute
+    kernels only — zero Python-per-row work — then folded per source;
+    the oracle recomputes both measures relationally.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def shred(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.count_substring(text, " "), pa.int64()),
+                ],
+                names=["doc_id", "source", "n_chars", "n_spaces"],
+            )
+
+    d = load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    out = d.mapInArrow(
+        shred, "doc_id long, source string, n_chars long, n_spaces long"
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum("n_spaces").cast("long").alias("spaces_total"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["arrow_map_batches"] = arrow_map_batches
+ORACLES["arrow_map_batches"] = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS chars_total,
+       CAST(SUM(length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+         AS spaces_total
+FROM documents GROUP BY source ORDER BY source
+"""

@@ -689,3 +689,58 @@ ORACLES = {
         FROM events GROUP BY 1, 2
     """,
 }
+
+
+def json_variant_shred(spark: SparkSession, sf: str) -> DataFrame:
+    """VARIANT semi-structured path (Spark 4): a JSON payload is
+    assembled from typed columns (`to_json`), parsed ONCE into the
+    binary VARIANT encoding (`parse_json` — the open-format shredded
+    representation that replaces repeated string re-parsing), then
+    fields come back out with typed `variant_get` paths, including a
+    miss (`try_variant_get` on an absent key → NULL, not error). The
+    engine-surface claim is the roundtrip: shredding JSON through
+    VARIANT loses nothing — so the oracle computes the same aggregate
+    straight from the typed columns.
+
+    Scale: VARIANT parse + path extraction are JVM expression-tree
+    ops (whole-stage codegen, no Python); one event_type-keyed
+    aggregate after a narrow projection.
+    """
+    e = load_table(spark, sf, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("type"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.from_json("props", "k INT").alias("meta"),
+        )
+    )
+    v = e.select(F.parse_json(payload).alias("v"))
+    shredded = v.select(
+        F.variant_get("v", "$.type", "string").alias("event_type"),
+        F.variant_get("v", "$.cents", "bigint").alias("cents"),
+        F.variant_get("v", "$.meta.k", "int").alias("k"),
+        F.try_variant_get("v", "$.missing", "int").alias("absent"),
+    )
+    return (
+        shredded.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.count("absent").cast("long").alias("n_absent_hits"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["json_variant_shred"] = json_variant_shred
+ORACLES["json_variant_shred"] = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS k_sum,
+       CAST(0 AS BIGINT) AS n_absent_hits
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -1357,3 +1357,34 @@ ORACLES["stream_dedup_within_watermark"] = """
     SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
     FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def batch_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
+    """Native ``session_window`` in a BATCH aggregation — the same
+    30-minute-gap session grouping as ``stream_sessionize`` without a
+    streaming harness (Spark's session_window is a plain grouping
+    expression in batch; most engines make sessionization a
+    window-function exercise). The oracle is the identical lag/cumsum
+    sessionization — pinning that the native operator and the manual
+    rewrite (``event_sessionize_batch``) agree event-for-event.
+
+    Scale: one user-keyed shuffle with map-side session merging —
+    exactly the plan the lag/cumsum rewrite produces, minus one
+    window pass.
+    """
+    from ..schema import load_table
+
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+QUERIES["batch_session_window_native"] = batch_session_window_native
+ORACLES["batch_session_window_native"] = ORACLES["stream_sessionize"]
