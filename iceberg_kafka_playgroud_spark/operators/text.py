@@ -1295,9 +1295,11 @@ def text_boilerplate_coverage(spark: SparkSession, sf: str) -> DataFrame:
                 F.sequence(F.col("pos"), F.col("pos") + (BOILER_N - 1))
             ).alias("tok_pos"),
         )
-        .distinct()
+        # count_distinct, not distinct()+count: one doc-keyed shuffle
+        # with partial aggregation instead of a global distinct
+        # shuffle followed by a second count shuffle
         .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("covered_tokens"))
+        .agg(F.count_distinct("tok_pos").cast("long").alias("covered_tokens"))
     )
     return (
         d.join(covered, "doc_id", "left")

@@ -78,6 +78,9 @@ def _ops():
         "text_bm25_retrieval": text.text_bm25_retrieval,
         "bpe_train_merges": text.bpe_train_merges,
         "chunk_exact_dedup": curation.chunk_exact_dedup,
+        # round-7 second-wave heavies (documents-only)
+        "text_boilerplate_coverage": text.text_boilerplate_coverage,
+        "dedup_minhash_calibration": dedup.dedup_minhash_calibration,
     }
 
 
