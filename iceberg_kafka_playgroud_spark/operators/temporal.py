@@ -860,3 +860,97 @@ SELECT n,
                 * CAST(n * syy - sy * sy AS DOUBLE)) AS autocorr_lag7
 FROM agg
 """
+
+
+M4_BUCKETS = 16
+
+
+def events_m4_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    equal-width time bucket keep min, max, first, and last value —
+    the error-free line-chart reduction (those four points are exactly
+    what a pixel column can show), the standard dashboard-serving
+    rollup over a raw series too big to ship.
+
+    Exact and deterministic: values are int64 cents; first/last
+    tie-break on (ts, event_id) via struct-min/max (never `min_by`,
+    whose tie choice is undefined); bucket edges are integer
+    microsecond arithmetic from the global [min, max] span (the last
+    bucket absorbs the right edge). One events-keyed aggregate after a
+    broadcast 1-row span attach — map-side combined, no window.
+    """
+    e = load_table(spark, sf, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    base = e.select(
+        F.col("ts"),
+        F.col("event_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    span = base.agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi")
+    )
+    b = base.crossJoin(F.broadcast(span)).select(
+        F.least(
+            F.lit(M4_BUCKETS - 1),
+            ((F.col("us") - F.col("lo")) * M4_BUCKETS)
+            / (F.col("hi") - F.col("lo") + 1),
+        )
+        .cast("long")
+        .alias("bucket"),
+        "ts",
+        "event_id",
+        "cents",
+    )
+    first_s = F.min(F.struct("ts", "event_id", "cents"))
+    last_s = F.max(F.struct("ts", "event_id", "cents"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.min("cents").alias("v_min"),
+            F.max("cents").alias("v_max"),
+            first_s.getField("cents").alias("v_first"),
+            last_s.getField("cents").alias("v_last"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["events_m4_downsample"] = events_m4_downsample
+ORACLES["events_m4_downsample"] = f"""
+WITH base AS (
+  SELECT ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'
+),
+span AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM base),
+b AS (
+  SELECT least({M4_BUCKETS - 1},
+               ((us - lo) * {M4_BUCKETS}) // (hi - lo + 1)) AS bucket,
+         ts, event_id, cents
+  FROM base CROSS JOIN span
+),
+firsts AS (
+  SELECT bucket, cents AS v_first,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY ts ASC, event_id ASC) AS rk
+  FROM b
+),
+lasts AS (
+  SELECT bucket, cents AS v_last,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM b
+)
+SELECT g.bucket, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(cents) AS BIGINT) AS v_min,
+       CAST(MAX(cents) AS BIGINT) AS v_max,
+       CAST(any_value(f.v_first) AS BIGINT) AS v_first,
+       CAST(any_value(l.v_last) AS BIGINT) AS v_last
+FROM b g
+JOIN (SELECT bucket, v_first FROM firsts WHERE rk = 1) f USING (bucket)
+JOIN (SELECT bucket, v_last FROM lasts WHERE rk = 1) l USING (bucket)
+GROUP BY g.bucket ORDER BY g.bucket
+"""

@@ -1336,3 +1336,106 @@ SELECT CAST(id % {N_BUCKETS} AS BIGINT) AS bucket,
        CAST(SUM(cents) AS BIGINT) AS cents_sum
 FROM live GROUP BY bucket ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# sort-clustered rewrite (OPTIMIZE ... ZORDER/SORT analog)
+# ---------------------------------------------------------------------------
+
+SORTED_REWRITE_FILES = N_BUCKETS  # same file count, different clustering
+
+
+def snapshot_sorted_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """Clustering rewrite — Iceberg's ``rewrite_data_files(strategy =>
+    'sort')`` / Delta ``OPTIMIZE ZORDER``: the demo table's hash
+    buckets each span the ENTIRE timestamp range (every file pair
+    overlaps → a time-predicate scan must open every file); one
+    replace commit rewrites the same 1200 rows into CONTIGUOUS
+    time-chunk files. The audit reads per-file min/max FROM THE DATA
+    and counts overlapping file pairs + the summed file span: 6
+    overlapping pairs → 0, total span 4× range → 1× — the min/max
+    pruning win that makes sorted layout pay at 100 TB (Iceberg plans
+    with exactly these per-file bounds).
+
+    Deterministic: chunk = id·files ÷ rows (no range-sampler
+    boundaries); the pair join is bounded by file count (manifest-
+    sized, never data-sized). The complementary `zorder_layout_audit`
+    scores multi-column interleaving; this op proves the WRITE path +
+    the before/after pruning delta on the snapshot lifecycle.
+    """
+    import atexit
+    import shutil
+
+    table_dir = tempfile.mkdtemp(prefix="sorted_tbl_")
+    atexit.register(shutil.rmtree, table_dir, ignore_errors=True)
+    n_rows = N_PER_APPEND * N_APPENDS
+    commit_append(spark, table_dir, _fabric_slice(spark, 0, n_rows))
+    base = 1740787200000
+    parent = current_snapshot_id(table_dir)
+    cur = read_snapshot(spark, table_dir, parent)
+    idx = ((F.col("timestamp") - base) / 5000).cast("long")
+    clustered = cur.withColumn(
+        BUCKET_COL, (idx * SORTED_REWRITE_FILES / n_rows).cast("long")
+    )
+    sid = parent + 1
+    out = os.path.join(table_dir, DATA_DIR, f"s{sid}")
+    new_files = _write_bucketed(clustered, out)
+    _write_manifest(
+        table_dir,
+        {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "operation": "replace-sorted",
+            "schema": _schema_json(cur),
+            "files": new_files,
+            "added_files": len(new_files),
+            "total_records": sum(f["record_count"] for f in new_files),
+        },
+    )
+
+    def audit(snapshot_id: int, stage: str) -> DataFrame:
+        data = read_snapshot(spark, table_dir, snapshot_id).select(
+            F.input_file_name().alias("f"),
+            ((F.col("timestamp") - base) / 5000).cast("long").alias("i"),
+        )
+        stats = data.groupBy("f").agg(
+            F.min("i").alias("lo"), F.max("i").alias("hi")
+        )
+        a, b = stats.alias("a"), stats.alias("b")
+        overlaps = a.join(
+            b,
+            (F.col("a.f") < F.col("b.f"))
+            & (F.col("a.lo") <= F.col("b.hi"))
+            & (F.col("b.lo") <= F.col("a.hi")),
+        ).agg(F.count("*").cast("long").alias("overlapping_pairs"))
+        summary = stats.agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(F.col("hi") - F.col("lo")).cast("long").alias("span_id_units"),
+        )
+        return summary.crossJoin(overlaps).select(
+            F.lit(stage).alias("stage"),
+            "n_files",
+            "span_id_units",
+            "overlapping_pairs",
+        )
+
+    return audit(parent, "1_hash_buckets").unionByName(
+        audit(sid, "2_sort_clustered")
+    )
+
+
+QUERIES["snapshot_sorted_rewrite"] = snapshot_sorted_rewrite
+# closed form: 4 hash-bucket files hold ids ≡ b (mod 4) over [0, 1200)
+# → per-file span (1200-4) each, every pair overlaps (C(4,2) = 6);
+# 4 contiguous chunks of 300 ids → span 299 each, 0 overlaps
+ORACLES["snapshot_sorted_rewrite"] = f"""
+SELECT * FROM (VALUES
+  ('1_hash_buckets', CAST({N_BUCKETS} AS BIGINT),
+   CAST({N_BUCKETS * (N_PER_APPEND * N_APPENDS - N_BUCKETS)} AS BIGINT),
+   CAST({N_BUCKETS * (N_BUCKETS - 1) // 2} AS BIGINT)),
+  ('2_sort_clustered', CAST({SORTED_REWRITE_FILES} AS BIGINT),
+   CAST({SORTED_REWRITE_FILES * (N_PER_APPEND * N_APPENDS // SORTED_REWRITE_FILES - 1)} AS BIGINT),
+   CAST(0 AS BIGINT)))
+  AS t(stage, n_files, span_id_units, overlapping_pairs)
+ORDER BY stage
+"""
