@@ -98,6 +98,7 @@ _PRIORITY = [
     "sketch_theta_set_ops", "sketch_kll_quantiles",
     "batch_session_window_native", "json_variant_shred", "arrow_map_batches",
     "events_m4_downsample", "snapshot_sorted_rewrite",
+    "batch_observe_metrics", "write_dynamic_partition_overwrite",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

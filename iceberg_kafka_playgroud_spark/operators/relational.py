@@ -2432,3 +2432,110 @@ ORACLES = {
         "ORDER BY numwait DESC, s_name ASC LIMIT 100"
     ),
 }
+
+
+def batch_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """`df.observe()` — accumulator-style metrics riding the SAME job
+    as the real work (Spark's named-observation API, the streaming
+    StreamingQueryProgress surface in batch form): the orders scan is
+    written out once (noop sink stands in for the production write)
+    and the row count, exact cents total, and max key are collected as
+    a side effect of THAT job — no second scan, which at 100 TB is the
+    difference between free observability and doubling the pipeline.
+    The returned frame is the metrics row itself; the oracle
+    recomputes the same aggregates relationally.
+    """
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf, "orders")
+    obs = Observation("orders_write_audit")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents_total"
+        ),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["cents_total"]),
+                int(m["max_orderkey"]),
+            )
+        ],
+        "n_rows long, cents_total long, max_orderkey long",
+    )
+
+
+QUERIES["batch_observe_metrics"] = batch_observe_metrics
+ORACLES["batch_observe_metrics"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_total,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+FROM orders
+"""
+
+
+DPO_YEAR, DPO_MONTH = 1995, 3  # the partition the second write replaces
+
+
+def write_dynamic_partition_overwrite(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic partition overwrite (`partitionOverwriteMode=dynamic`):
+    the idempotent-backfill write mode — a full per-month partitioned
+    orders extract, then a CORRECTED rewrite of exactly one month
+    (its cents doubled); dynamic mode replaces ONLY the partitions the
+    second write touches, static mode would wipe the whole table (the
+    classic backfill foot-gun this op pins). Read back per-year
+    totals: every month keeps its original cents except the corrected
+    one.
+
+    Scale: partition-pruned writes are how a 100 TB lake re-states a
+    bad day without touching the other 3650; the audit is one
+    partition-discovering scan folded per year.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="dpo_orders_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    o = load_table(spark, sf, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    o.write.partitionBy("y", "m").parquet(out, mode="overwrite")
+    fix = o.where(
+        (F.col("y") == DPO_YEAR) & (F.col("m") == DPO_MONTH)
+    ).withColumn("cents", F.col("cents") * 2)
+    (
+        fix.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("y", "m")
+        .parquet(out, mode="overwrite")
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("y").cast("int").alias("year"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+        .orderBy("year")
+    )
+
+
+QUERIES["write_dynamic_partition_overwrite"] = write_dynamic_partition_overwrite
+ORACLES["write_dynamic_partition_overwrite"] = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+                * CASE WHEN year(o_orderdate) = {DPO_YEAR}
+                        AND month(o_orderdate) = {DPO_MONTH}
+                       THEN 2 ELSE 1 END) AS BIGINT) AS cents_total
+FROM orders GROUP BY 1 ORDER BY 1
+"""
