@@ -3188,3 +3188,99 @@ SELECT source,
          AS spaces_total
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+BOT_MIN_GAPS = 5  # users with fewer inter-event gaps are not judged
+BOT_CV2_PPM = 750_000  # flag if cv² = var/mean² < 0.75 (Poisson → 1.0)
+BOT_TOP = 50
+
+
+def events_bot_regularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Bot / scripted-traffic screen: humans emit events with bursty
+    inter-arrival gaps; schedulers emit metronomic ones. Per user, the
+    squared coefficient of variation of inter-event gaps (cv² =
+    variance/mean²) is computed from exact int64 second-gap moment
+    sums; a memoryless (Poisson) visitor shows cv² ≈ 1, so users below
+    0.75 are flagged as suspiciously regular — reported as the top-50
+    most metronomic (cv² asc, user asc), the triage list an abuse
+    queue works through (a production run would tighten the cut after
+    inspecting this table — which is the point of emitting it).
+
+    Integer-exact: cv² compares as the cross-multiply
+    n·Σg²−(Σg)² < thr·(Σg)²/10⁶ → 10⁶·(n·Σg²−(Σg)²) < thr·(Σg)²
+    (DECIMAL(38) cross-products — gaps in seconds keep every term far
+    under 38 digits); the reported cv2_ppm is one integer division.
+    Plan: lag over (user) partitions — user-keyed, parallel — then a
+    user-sized moment aggregate and a TakeOrdered(50). No global
+    window, no float accumulation.
+    """
+    e = load_table(spark, sf, "events").select(
+        # whole seconds via integer µs div — DuckDB's epoch() returns
+        # FRACTIONAL double seconds, so the oracle floors the same way
+        "user_id",
+        (F.unix_micros("ts") / 1_000_000).cast("long").alias("s"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    gaps = (
+        e.withColumn("gap", F.col("s") - F.lag("s").over(w))
+        .where(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).cast("long").alias("sgg"),
+        )
+        .where((F.col("n_gaps") >= BOT_MIN_GAPS) & (F.col("sg") > 0))
+    )
+    var_num = (
+        F.col("n_gaps").cast("decimal(38,0)") * F.col("sgg")
+        - F.col("sg").cast("decimal(38,0)") * F.col("sg")
+    )
+    mean_sq = F.col("sg").cast("decimal(38,0)") * F.col("sg")
+    flagged = gaps.where(
+        var_num * F.lit(1_000_000) < mean_sq * F.lit(BOT_CV2_PPM)
+    )
+    # report via IEEE double (identical nearest-double conversion +
+    # one division in both engines) — decimal division ROUNDS to a
+    # result scale that Spark and DuckDB pick differently
+    cv2_ppm = F.floor(
+        var_num.cast("double") * F.lit(1_000_000.0) / mean_sq.cast("double")
+    ).cast("long")
+    return (
+        flagged.select(
+            "user_id", "n_gaps", cv2_ppm.alias("cv2_ppm")
+        )
+        .orderBy(F.col("cv2_ppm").asc(), F.col("user_id").asc())
+        .limit(BOT_TOP)
+    )
+
+
+QUERIES["events_bot_regularity"] = events_bot_regularity
+ORACLES["events_bot_regularity"] = f"""
+WITH g AS (
+  SELECT user_id, s - LAG(s) OVER (PARTITION BY user_id
+                                   ORDER BY s, event_id) AS gap
+  FROM (SELECT user_id, epoch_us(ts) // 1000000 AS s, event_id FROM events)
+),
+m AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS sg,
+         CAST(SUM(gap * gap) AS BIGINT) AS sgg
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+  HAVING COUNT(*) >= {BOT_MIN_GAPS} AND SUM(gap) > 0
+),
+scored AS (
+  SELECT user_id, n_gaps,
+         CAST(n_gaps AS DECIMAL(38,0)) * sgg
+           - CAST(sg AS DECIMAL(38,0)) * sg AS var_num,
+         CAST(sg AS DECIMAL(38,0)) * sg AS mean_sq
+  FROM m
+)
+SELECT user_id, n_gaps,
+       CAST(floor(CAST(var_num AS DOUBLE) * 1000000
+                  / CAST(mean_sq AS DOUBLE)) AS BIGINT) AS cv2_ppm
+FROM scored
+WHERE var_num * 1000000 < mean_sq * {BOT_CV2_PPM}
+ORDER BY cv2_ppm ASC, user_id ASC LIMIT {BOT_TOP}
+"""

@@ -368,3 +368,80 @@ ORACLES["dq_star_schema_ri_audit"] = (
     + ") SELECT fk_edge, n_fact_rows, n_orphan_rows, n_orphan_keys, "
     "n_orphan_rows = 0 AS passed FROM long ORDER BY fk_edge"
 )
+
+
+# floor(log10(1 + 1/d) * 1e6) — exact integer literals shared with the
+# oracle so no engine computes a log
+BENFORD_EXP_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def dq_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law screen over order totals — the forensic DQ test
+    for fabricated or re-keyed monetary data (organic amounts follow
+    log-uniform leading digits; invented ones don't): per leading
+    digit of the exact cents value, observed frequency vs the Benford
+    expectation, both in integer ppm with the expectation baked in as
+    literals (neither engine computes a log at query time). The
+    deviation column is what a monitoring rule thresholds; this
+    fixture's synthetic uniform prices FAIL Benford loudly — which is
+    exactly what the screen is for.
+
+    One scan → digit-keyed 9-row aggregate, map-side combined.
+    """
+    o = load_table(spark, sf, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+    tot = o.agg(F.count("*").cast("long").alias("n_tot"))
+    exp_map = F.create_map(
+        *[
+            x
+            for d, ppm in BENFORD_EXP_PPM.items()
+            for x in (F.lit(d), F.lit(ppm))
+        ]
+    )
+    obs_ppm = (F.col("n_obs") * 1_000_000 / F.col("n_tot")).cast("long")
+    return (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+        .crossJoin(F.broadcast(tot))  # 1-row corpus total
+        .select(
+            "digit",
+            "n_obs",
+            obs_ppm.alias("obs_ppm"),
+            F.element_at(exp_map, F.col("digit")).cast("long").alias("exp_ppm"),
+            F.abs(obs_ppm - F.element_at(exp_map, F.col("digit")))
+            .cast("long")
+            .alias("abs_dev_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+QUERIES["dq_benford_audit"] = dq_benford_audit
+ORACLES["dq_benford_audit"] = f"""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+exp AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"({d}, {p})" for d, p in BENFORD_EXP_PPM.items())})
+    AS t(digit, exp_ppm)
+),
+obs AS (
+  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(COUNT(*) * 1000000 // (SELECT COUNT(*) FROM o) AS BIGINT)
+           AS obs_ppm
+  FROM o GROUP BY 1
+)
+SELECT obs.digit, obs.n_obs, obs.obs_ppm,
+       CAST(exp.exp_ppm AS BIGINT) AS exp_ppm,
+       CAST(abs(obs.obs_ppm - exp.exp_ppm) AS BIGINT) AS abs_dev_ppm
+FROM obs JOIN exp ON exp.digit = obs.digit
+ORDER BY obs.digit
+"""

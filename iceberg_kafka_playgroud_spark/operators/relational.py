@@ -2539,3 +2539,77 @@ SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
                        THEN 2 ELSE 1 END) AS BIGINT) AS cents_total
 FROM orders GROUP BY 1 ORDER BY 1
 """
+
+
+CORRUPT_ROWS = 500
+CORRUPT_MOD = 7  # every 7th line is truncated mid-record
+
+
+def source_json_corrupt_records(spark: SparkSession, sf: str) -> DataFrame:
+    """Permissive malformed-record ingestion — the production JSON
+    posture: a feed where every CORRUPT_MOD-th line is truncated
+    mid-record is read with `mode=PERMISSIVE` +
+    `columnNameOfCorruptRecord`, so bad lines become rows with the
+    raw line preserved in the quarantine column and fields NULL
+    instead of failing the job (FAILFAST) or silently vanishing
+    (DROPMALFORMED). The audit proves all three contracts at once:
+    good rows parse with exact values, corrupt rows are COUNTED not
+    dropped, and the quarantine column captures the raw text for
+    replay. The oracle replays the deterministic corruption rule
+    closed-form.
+
+    Scale: schema-explicit JSONL scan (no inference pass), narrow
+    fold — the quarantine pattern is how a 100 TB ingest keeps one
+    bad producer from stalling the lake.
+    """
+    import atexit
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="corrupt_jsonl_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    path = os.path.join(stage, "feed.jsonl")
+    with open(path, "w") as fh:
+        for i in range(CORRUPT_ROWS):
+            line = _json.dumps(
+                {"id": i, "cents": (i * 37) % 1000}, separators=(",", ":")
+            )
+            if i % CORRUPT_MOD == 0:
+                line = line[:-2]  # truncate mid-record: invalid JSON
+            fh.write(line + "\n")
+    df = (
+        spark.read.schema("id long, cents long, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count(F.col("id")).cast("long").alias("n_good"),
+        F.count(F.col("_bad")).cast("long").alias("n_quarantined"),
+        F.sum("cents").cast("long").alias("cents_good_sum"),
+        F.sum(F.length("_bad")).cast("long").alias("quarantine_chars"),
+    )
+
+
+QUERIES["source_json_corrupt_records"] = source_json_corrupt_records
+ORACLES["source_json_corrupt_records"] = f"""
+WITH lines AS (
+  SELECT id, (id * 37) % 1000 AS cents,
+         length('{{"id":' || id || ',"cents":' || ((id * 37) % 1000)
+                || '}}') - 2 AS bad_len,
+         id % {CORRUPT_MOD} = 0 AS corrupt
+  FROM (SELECT unnest(generate_series(0, {CORRUPT_ROWS - 1})) AS id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quarantined,
+       CAST(SUM(CASE WHEN corrupt THEN NULL ELSE cents END) AS BIGINT)
+         AS cents_good_sum,
+       CAST(SUM(CASE WHEN corrupt THEN bad_len ELSE NULL END) AS BIGINT)
+         AS quarantine_chars
+FROM lines
+"""
