@@ -562,3 +562,117 @@ def test_kmv_estimate_within_theory_bound(spark, sf_dir):
     else:
         rel_bound = 5.0 / (advanced.KMV_K - 1) ** 0.5
         assert row["err_ppm"] <= rel_bound * 1_000_000
+
+
+# --- round-7 allocation planners ------------------------------------------
+
+
+def test_waterfill_cap_is_maximal_feasible(spark, sf_dir):
+    """The waterfill invariants, checked against the data (not the
+    oracle): spend(cap) ≤ budget < spend(cap+1), every uncapped source
+    keeps all its tokens, and capped sources all sit exactly at the
+    water level."""
+    from iceberg_kafka_playgroud_spark.operators.curation import (
+        WATERFILL_DEN,
+        WATERFILL_NUM,
+        mixture_token_waterfill,
+    )
+
+    rows = mixture_token_waterfill(spark, sf_dir).collect()
+    cap = rows[0]["water_level"]
+    total = sum(r["n_tokens"] for r in rows)
+    budget = total * WATERFILL_NUM // WATERFILL_DEN
+    spend = sum(min(r["n_tokens"], cap) for r in rows)
+    spend_next = sum(min(r["n_tokens"], cap + 1) for r in rows)
+    assert spend <= budget < spend_next
+    for r in rows:
+        if r["capped"]:
+            assert r["alloc_tokens"] == cap <= r["n_tokens"]
+        else:
+            assert r["alloc_tokens"] == r["n_tokens"] <= cap
+
+
+def test_largest_remainder_allocation_exact(spark, sf_dir):
+    """Hamilton-method invariants: quotas sum EXACTLY to the budget,
+    every quota is floor or floor+1 of the proportional share, and no
+    source out-ranks another against remainder order."""
+    from iceberg_kafka_playgroud_spark.operators.curation import (
+        EVAL_SHARE_DEN,
+        split_largest_remainder,
+    )
+
+    rows = split_largest_remainder(spark, sf_dir).collect()
+    n_total = sum(r["n_docs"] for r in rows)
+    budget = n_total // EVAL_SHARE_DEN
+    assert sum(r["quota"] for r in rows) == budget
+    for r in rows:
+        base = budget * r["n_docs"] // n_total
+        assert r["quota"] in (base, base + 1)
+    # extras go to the largest remainders (ties by source asc)
+    key = lambda r: (-(budget * r["n_docs"] % n_total), r["source"])  # noqa: E731
+    ordered = sorted(rows, key=key)
+    extras = [bool(r["extra"]) for r in ordered]
+    assert extras == sorted(extras, reverse=True)
+
+
+def test_m4_buckets_cover_and_bound(spark, sf_dir):
+    """M4 invariants vs raw data: bucket point counts sum to the
+    series length, and v_min ≤ v_first, v_last ≤ v_max per bucket."""
+    from iceberg_kafka_playgroud_spark.operators.temporal import (
+        events_m4_downsample,
+    )
+    from iceberg_kafka_playgroud_spark.schema import load_table
+
+    rows = events_m4_downsample(spark, sf_dir).collect()
+    n_purch = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["n_points"] for r in rows) == n_purch
+    for r in rows:
+        assert r["v_min"] <= r["v_first"] <= r["v_max"]
+        assert r["v_min"] <= r["v_last"] <= r["v_max"]
+
+
+def test_theta_sketch_estimates_match_exact_small(spark, sf_dir):
+    """Below the sketch's nominal k the theta estimate is EXACT — the
+    sf0.001/sf0.01 populations are all under k=4096, so within_bound
+    must hold with zero slack (a failure here means the sketch
+    wiring, not the error bound, broke)."""
+    from iceberg_kafka_playgroud_spark.operators.advanced import (
+        sketch_theta_set_ops,
+    )
+
+    rows = sketch_theta_set_ops(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["within_bound"] for r in rows)
+
+
+def test_mor_read_applies_sequence_rule(spark):
+    """Equality-delete MOR: a key deleted at seq 2 disappears from the
+    seq-1 data but its seq-3 re-insert survives; and time travel to
+    the pre-delete snapshot still sees every original row."""
+    from iceberg_kafka_playgroud_spark import snapshots as S
+
+    import tempfile
+
+    table_dir = tempfile.mkdtemp(prefix="mor_prop_")
+    base = 1740787200000
+    S.commit_append(spark, table_dir, S._fabric_slice(spark, 0, 200))
+    idx = ((F.col("timestamp") - base) / 5000).cast("long")
+    keys = (
+        S._fabric_slice(spark, 0, 200)
+        .where(idx % 10 == 0)
+        .select("timestamp")
+    )
+    S.commit_equality_delete(spark, table_dir, keys, ["timestamp"])
+    S.commit_append(spark, table_dir, S._fabric_slice(spark, 0, 50))
+    # pre-delete snapshot unaffected (time travel reads raw files)
+    assert S.read_snapshot_mor(spark, table_dir, 1).count() == 200
+    # post: 200 - 20 deleted + 50 re-inserted (5 of which are
+    # resurrected deleted keys)
+    assert S.read_snapshot_mor(spark, table_dir, 3).count() == 230
+    import shutil
+
+    shutil.rmtree(table_dir, ignore_errors=True)
