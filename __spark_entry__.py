@@ -101,6 +101,7 @@ _PRIORITY = [
     "batch_observe_metrics", "write_dynamic_partition_overwrite",
     "dq_benford_audit", "events_bot_regularity",
     "source_json_corrupt_records",
+    "session_top_paths", "catalog_view_roundtrip",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -261,3 +261,65 @@ ORACLES = {
         FROM fab WHERE id >= 500
     """,
 }
+
+
+def catalog_view_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """View surface (C-family completion): a TEMP VIEW defined as SQL
+    over the orders table, visible in the session catalog's table
+    listing with tableType VIEW, queried through a second view layered
+    on the first (view-on-view resolution), and dropped — the
+    query-layer abstraction the reference exposes through its SQL
+    passthrough. The result is the layered view's aggregate; catalog
+    visibility is pinned by the in_catalog column (count of the two
+    names present while live).
+
+    Views are logical-plan macros: Catalyst inlines them, so the
+    layered read compiles to the same single-scan aggregate as the
+    raw query — zero materialization.
+    """
+    from .schema import load_table
+
+    load_table(spark, sf, "orders").createOrReplaceTempView(
+        "orders_base_v"
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW orders_year_v AS
+           SELECT year(o_orderdate) AS y,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders_base_v"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW orders_year_sum_v AS
+           SELECT y, COUNT(*) AS n_orders, SUM(cents) AS cents_total
+           FROM orders_year_v GROUP BY y"""
+    )
+    live = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.tableType in ("TEMPORARY", "VIEW") or t.isTemporary
+    }
+    n_visible = len({"orders_year_v", "orders_year_sum_v"} & live)
+    out = spark.sql(
+        f"""SELECT CAST(y AS INTEGER) AS year,
+                   CAST(n_orders AS BIGINT) AS n_orders,
+                   CAST(cents_total AS BIGINT) AS cents_total,
+                   CAST({n_visible} AS BIGINT) AS in_catalog
+            FROM orders_year_sum_v ORDER BY y"""
+    )
+    # materialization-free drop: the result plan above is already
+    # resolved (views are inlined at analysis), so dropping now
+    # proves the frame does not depend on the catalog entries
+    spark.catalog.dropTempView("orders_year_v")
+    spark.catalog.dropTempView("orders_year_sum_v")
+    return out
+
+
+QUERIES["catalog_view_roundtrip"] = catalog_view_roundtrip
+ORACLES["catalog_view_roundtrip"] = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_total,
+       CAST(2 AS BIGINT) AS in_catalog
+FROM orders GROUP BY 1 ORDER BY 1
+"""

@@ -3284,3 +3284,93 @@ FROM scored
 WHERE var_num * 1000000 < mean_sq * {BOT_CV2_PPM}
 ORDER BY cv2_ppm ASC, user_id ASC LIMIT {BOT_TOP}
 """
+
+
+PATH_DEPTH = 3  # first N steps of each session
+PATH_TOP = 20
+
+
+def session_top_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top user journeys: sessionize (30-minute gap), take each
+    session's first PATH_DEPTH event types in order, and count
+    sessions per path string — the "what do people actually do first"
+    table product analytics reads daily (and the input to Markov /
+    funnel modeling; `events_markov_transitions` is its first-order
+    summary).
+
+    Deterministic: step order is (ts, event_id); the per-session step
+    array is array_sort(collect_list(struct(step, type))) — never a
+    bare collect_list, whose arrival order is undefined. All windows
+    are user- or session-partitioned; the path count is one shuffle on
+    path strings and the top-20 a TakeOrdered.
+    """
+    e = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_user))
+    new_sess = (
+        F.lag("ts").over(w_user).isNull() | (gap_s > 30 * 60 * 1_000_000)
+    ).cast("long")
+    sess = e.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w_user.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    w_sess = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    steps = (
+        sess.withColumn("step", F.row_number().over(w_sess))
+        .where(F.col("step") <= PATH_DEPTH)
+    )
+    paths = (
+        steps.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("step", "event_type"))
+            ).alias("arr")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform("arr", lambda x: x["event_type"])
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(PATH_TOP)
+    )
+
+
+QUERIES["session_top_paths"] = session_top_paths
+ORACLES["session_top_paths"] = f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+),
+steps AS (
+  SELECT user_id, session_id, event_type,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS step
+  FROM sess
+),
+paths AS (
+  SELECT array_to_string(list(event_type ORDER BY step), '>') AS path
+  FROM steps WHERE step <= {PATH_DEPTH}
+  GROUP BY user_id, session_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC LIMIT {PATH_TOP}
+"""
