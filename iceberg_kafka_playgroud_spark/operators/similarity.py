@@ -2025,3 +2025,189 @@ _PQ_ORACLE = f"""
 
 QUERIES["ann_pq_adc_topk"] = ann_pq_adc_topk
 ORACLES["ann_pq_adc_topk"] = _PQ_ORACLE
+
+
+NPROBE_CURVE = (1, 2, 4, 8, 16)  # 16 = all cells → recall must hit 10⁶
+
+
+def ann_ivf_nprobe_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """The IVF tuning curve: recall@TOP_K against the exact
+    brute-force neighbors for nprobe ∈ {1,2,4,8,16} — the
+    accuracy/cost trade table every ANN deployment reads before
+    picking its probe count (the last row probes ALL K_CELLS cells,
+    so its recall is 10⁶ ppm by construction — a built-in sanity
+    anchor).
+
+    One probe pass computes each candidate's best probe rank; the
+    per-nprobe top-k is then a filter + query-partitioned rank over
+    the SAME scored pairs (no re-scan per sweep point). Candidates and
+    ground truth reuse the deterministic first-K_CELLS codebook, so
+    the oracle replays the identical procedure; recall is integer ppm.
+
+    Scale: the probe join stays cell-keyed; the sweep multiplies only
+    the candidate-set-sized rank pass, not the corpus work.
+    """
+    import numpy as np
+
+    em, corpus, cent_ids, cent_mat = _ivf_build(spark, sf)
+    q_rows = (
+        em.filter(F.col("vec_id") < N_QUERIES)
+        .limit(MAX_QUERY_ROWS + 1)
+        .collect()
+    )
+    assert len(q_rows) <= MAX_QUERY_ROWS
+    q_mat = np.array([r["vec"] for r in q_rows], dtype=np.float64)
+    q_sims = _cell_sim_matrix(q_mat, cent_mat)
+    probe_tuples = []
+    for i, r in enumerate(q_rows):
+        order = sorted(
+            range(len(cent_ids)), key=lambda k: (-q_sims[i, k], cent_ids[k])
+        )
+        for pr, k in enumerate(order, start=1):
+            probe_tuples.append(
+                (r["vec_id"], int(cent_ids[k]), pr, list(r["vec"]))
+            )
+    probes = spark.createDataFrame(
+        probe_tuples,
+        "query_id long, cell long, probe_rank int, qvec array<double>",
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.min("probe_rank").alias("mpr"),
+            F.first(
+                F.round(cosine(F.col("qvec"), F.col("vec")), 6), True
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    brute = (
+        em.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(r["vec_id"], list(r["vec"])) for r in q_rows],
+                    "query_id long, qvec array<double>",
+                )
+            )
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
+        )
+    )
+    wq = W.partitionBy("query_id")
+    btop = (
+        brute.withColumn(
+            "rank",
+            F.row_number().over(
+                wq.orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+            ),
+        )
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    out = None
+    for np_ in NPROBE_CURVE:
+        itop = (
+            scored.filter(F.col("mpr") <= np_)
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    wq.orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+                ),
+            )
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        hits = itop.join(btop, ["query_id", "neighbor_id"]).agg(
+            F.count("*").cast("long").alias("n_hits")
+        )
+        part = hits.select(
+            F.lit(np_).cast("long").alias("nprobe"),
+            "n_hits",
+            (F.col("n_hits") * 1_000_000 / (TOP_K * N_QUERIES))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("nprobe")
+
+
+def _nprobe_cte(np_: int) -> str:
+    return f"""
+ivf{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored WHERE mpr <= {np_}
+  ) WHERE rank <= {TOP_K}
+)"""
+
+
+ORACLES["ann_ivf_nprobe_curve"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS ce FROM embeddings
+  WHERE vec_id < {K_CELLS}
+),
+allsims AS (
+  SELECT e.vec_id, c.cell_id,
+         round({_DOT.format(a='e.embedding', b='c.ce')}
+               / ({_NORM.format(a='e.embedding')} * {_NORM.format(a='c.ce')}), 6) AS csim
+  FROM embeddings e, cents c
+),
+assign AS (
+  SELECT vec_id, cell_id AS cell FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id) AS rn
+    FROM allsims
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell_id AS cell, rn AS probe_rank FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id) AS rn
+    FROM allsims WHERE vec_id < {N_QUERIES}
+  )
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, MIN(p.probe_rank) AS mpr,
+         any_value(round({_DOT.format(a='q.embedding', b='e.embedding')}
+               / ({_NORM.format(a='q.embedding')} * {_NORM.format(a='e.embedding')}), 6)) AS sim
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY p.query_id, a.vec_id
+),
+brute AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id FROM (
+    SELECT q.vec_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             round({_DOT.format(a='q.embedding', b='e.embedding')}
+               / ({_NORM.format(a='q.embedding')} * {_NORM.format(a='e.embedding')}), 6) DESC,
+             e.vec_id) AS rank
+    FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q,
+         (SELECT * FROM embeddings WHERE vec_id >= {N_QUERIES}) e
+  ) q(vec_id, vec_id_1, rank)
+  JOIN embeddings e ON e.vec_id = q.vec_id_1
+  JOIN embeddings qq ON qq.vec_id = q.vec_id
+  WHERE q.rank <= {TOP_K}
+),
+{",".join(_nprobe_cte(n) for n in NPROBE_CURVE)}
+{" UNION ALL ".join(
+    f'''SELECT CAST({n} AS BIGINT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) * 1000000 // {TOP_K * N_QUERIES} AS BIGINT)
+             AS recall_ppm
+    FROM ivf{n} i JOIN brute b
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id'''
+    for n in NPROBE_CURVE)}
+ORDER BY nprobe
+"""
+QUERIES["ann_ivf_nprobe_curve"] = ann_ivf_nprobe_curve
