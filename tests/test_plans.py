@@ -692,3 +692,38 @@ def test_triangle_count_shuffle_fallback_matches(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(advanced, "TRIANGLE_BROADCAST_MAX", 0)
     fallback = advanced.graph_triangle_count(spark, sf_dir).collect()
     assert [r.asDict() for r in base] == [r.asDict() for r in fallback]
+
+
+def test_pq_topk_is_take_ordered(spark, sf_dir):
+    """PQ ADC: the candidate scan ends in a TakeOrderedAndProject
+    (per-partition top-k, no global sort), and the ADC itself is a
+    literal lookup — no join against a distance table."""
+    from iceberg_kafka_playgroud_spark.operators import similarity
+
+    plan = physical_plan(similarity.ann_pq_adc_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_paths_windows_are_partitioned(spark, sf_dir):
+    """Session path mining: every window carries a PARTITION BY (user
+    / session) and the final top-20 is a TakeOrdered — nothing
+    funnels the event stream through one task."""
+    from iceberg_kafka_playgroud_spark.operators import advanced
+
+    plan = physical_plan(advanced.session_top_paths(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_boilerplate_coverage_single_distinct_pass(spark, sf_dir):
+    """Boilerplate coverage: the span union must be ONE count_distinct
+    aggregate (partial + final), not a distinct() shuffle followed by
+    a count shuffle — and the boilerplate set join must not broadcast
+    the corpus side (the gram stream is the streamed side)."""
+    from iceberg_kafka_playgroud_spark.operators import text
+
+    plan = physical_plan(text.text_boilerplate_coverage(spark, sf_dir))
+    # the high-df gram SET (aggregated, filtered) may broadcast; the
+    # corpus-sized gram stream itself must never be a build side
+    assert "CartesianProduct" not in plan
+    assert "count(distinct" in plan.lower()
