@@ -102,7 +102,7 @@ _PRIORITY = [
     "dq_benford_audit", "events_bot_regularity",
     "source_json_corrupt_records",
     "session_top_paths", "catalog_view_roundtrip",
-    "ann_ivf_nprobe_curve",
+    "ann_ivf_nprobe_curve", "multimodal_silence_trim",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

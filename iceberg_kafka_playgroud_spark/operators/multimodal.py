@@ -640,3 +640,127 @@ ORACLES = {
         WHERE t.j % 4 = 0
     """,
 }
+
+
+TRIM_THRESH_MSQ = 9600  # window is "silence" if Σb² < thresh · n_samples
+
+
+def multimodal_silence_trim(spark: SparkSession, sf: str) -> DataFrame:
+    """Energy-based edge trim (the VAD preprocessing step): reusing
+    the windowed sum-of-squares frame from ``multimodal_audio_rms``,
+    windows below a mean-square threshold are "silence", and each
+    asset keeps only [first active … last active] — leading/trailing
+    low-energy content is trimmed, interior quiet passages are KEPT
+    (that's what distinguishes edge-trim from gating). Folded per
+    source: assets, windows, windows trimmed from each edge, and
+    fully-silent assets (dropped whole).
+
+    Composition shape: relational window aggregation ON TOP of a
+    mapInPandas DSP frame — the energy pass is executor-local NumPy
+    over Arrow batches (exact int64 Σb²), the trim decision is a
+    doc-keyed min/max aggregate, all thresholds integer
+    cross-multiplies. No float accumulation anywhere.
+    """
+    import numpy as np
+
+    src = with_payload(load_table(spark, sf, "documents"))
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "win_idx": [], "n_samples": [], "ss": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                for j in range(0, (len(b) - 1) // FRAME_BYTES + 1):
+                    w = b[FRAME_BYTES * j : FRAME_BYTES * (j + 1)]
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(j)
+                    out["n_samples"].append(len(w))
+                    out["ss"].append(int((w * w).sum()))
+            yield pd.DataFrame(out)
+
+    wins = src.mapInPandas(
+        energy, schema="doc_id long, win_idx long, n_samples long, ss long"
+    )
+    active = F.col("ss") >= F.lit(TRIM_THRESH_MSQ) * F.col("n_samples")
+    per_doc = wins.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.min(F.when(active, F.col("win_idx"))).alias("first_active"),
+        F.max(F.when(active, F.col("win_idx"))).alias("last_active"),
+    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_assets"),
+            F.sum("n_windows").cast("long").alias("n_windows"),
+            F.sum(F.coalesce(F.col("first_active"), F.lit(0)))
+            .cast("long")
+            .alias("lead_trimmed"),
+            F.sum(
+                F.when(
+                    F.col("last_active").isNotNull(),
+                    F.col("n_windows") - 1 - F.col("last_active"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("tail_trimmed"),
+            F.sum(F.col("first_active").isNull().cast("long"))
+            .cast("long")
+            .alias("all_silent_assets"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["multimodal_silence_trim"] = multimodal_silence_trim
+ORACLES["multimodal_silence_trim"] = f"""
+WITH docs AS (
+  SELECT doc_id, source, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, source, h, n,
+         unnest(generate_series(0,
+             CAST(ceil(CAST(n AS DOUBLE) / {FRAME_BYTES}) - 1 AS BIGINT)))
+           AS win_idx
+  FROM docs
+),
+stats AS (
+  SELECT doc_id, source, win_idx,
+         least({FRAME_BYTES}, n - {FRAME_BYTES} * win_idx) AS ns,
+         list_aggregate(list_transform(
+             generate_series(1, least({FRAME_BYTES},
+                                      n - {FRAME_BYTES} * win_idx)),
+             i -> CAST(CAST(concat('0x',
+                      substring(h, CAST({2 * FRAME_BYTES} * win_idx + 2*i - 1
+                                AS INT), 2)) AS INTEGER) AS BIGINT)
+                  * CAST(concat('0x',
+                      substring(h, CAST({2 * FRAME_BYTES} * win_idx + 2*i - 1
+                                AS INT), 2)) AS INTEGER)), 'sum')
+           AS ss
+  FROM wins
+),
+per_doc AS (
+  SELECT doc_id, any_value(source) AS source,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         MIN(CASE WHEN ss >= {TRIM_THRESH_MSQ} * ns THEN win_idx END)
+           AS first_active,
+         MAX(CASE WHEN ss >= {TRIM_THRESH_MSQ} * ns THEN win_idx END)
+           AS last_active
+  FROM stats GROUP BY doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(SUM(n_windows) AS BIGINT) AS n_windows,
+       CAST(SUM(COALESCE(first_active, 0)) AS BIGINT) AS lead_trimmed,
+       CAST(SUM(CASE WHEN last_active IS NOT NULL
+                     THEN n_windows - 1 - last_active ELSE 0 END) AS BIGINT)
+         AS tail_trimmed,
+       CAST(SUM(CASE WHEN first_active IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS all_silent_assets
+FROM per_doc GROUP BY source ORDER BY source
+"""

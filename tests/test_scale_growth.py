@@ -272,3 +272,81 @@ def test_no_unbounded_global_window_anywhere(spark):
         "unpartitioned data-sized windows (add a PARTITION BY, a "
         f"bounding truncation, or a documented whitelist entry): {offenders}"
     )
+
+
+@pytest.fixture(scope="module")
+def scaled_embeddings_dir(spark, tmp_path_factory):
+    """10× embedding corpus: 10 vec_id-shifted copies, each with a
+    copy-specific SIGN-FLIP pattern over the dimensions. A shared flip
+    pattern preserves every within-copy dot product exactly (s_i² = 1),
+    so each copy is a geometry-identical replica of the original
+    workload, while differing patterns decorrelate vectors ACROSS
+    copies (expected cross-copy cosine ≈ 0) — a genuine 10× of the
+    same ANN/near-dup shape with no artificial cross-copy duplicate
+    explosion."""
+    from iceberg_kafka_playgroud_spark.schema import load_table
+
+    base = str(tmp_path_factory.mktemp("scale10emb"))
+    em = load_table(spark, SRC_SF, "embeddings")
+    copies = []
+    for c in range(COPIES):
+        # flip dims where bit (i % 10) of a copy-keyed pattern is set:
+        # deterministic, ~half the dims per copy pair differ
+        pattern = c * 0x9E3779B1 & 0x3FF
+        # bit (i % 10) of the copy-keyed pattern, via arithmetic
+        # (shiftright needs a literal shift amount, not a Column)
+        flip = F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(
+                F.floor(
+                    F.lit(pattern) / F.pow(F.lit(2.0), (i % 10).cast("double"))
+                ).cast("long")
+                % 2
+                == 1,
+                -x,
+            ).otherwise(x),
+        )
+        copies.append(
+            em.select(
+                (F.col("vec_id") + F.lit(c * 100_000_000)).alias("vec_id"),
+                flip.alias("embedding"),
+                "label",
+            )
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.repartition(32).write.mode("overwrite").parquet(
+        f"{base}/embeddings.parquet"
+    )
+    yield base
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _embedding_ops():
+    from iceberg_kafka_playgroud_spark.operators import similarity
+
+    return {
+        "ann_topk_blocked": similarity.ann_topk_blocked,
+        "ann_topk_ivf": similarity.ann_topk_ivf,
+        "ann_pq_adc_topk": similarity.ann_pq_adc_topk,
+        "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
+        "embedding_kmeans_lloyd": similarity.embedding_kmeans_lloyd,
+        "dedup_semantic_semdedup": similarity.dedup_semantic_semdedup,
+    }
+
+
+def test_embedding_ops_grow_linearly(spark, scaled_embeddings_dir):
+    rows = []
+    for name, fn in _embedding_ops().items():
+        t1 = _best_of(fn, spark, SRC_SF)
+        t10 = _best_of(fn, spark, scaled_embeddings_dir)
+        ratio = t10 / t1
+        rows.append((name, t1, t10, ratio))
+    table = "\n".join(
+        f"  {n:<30} 1x={a:6.2f}s 10x={b:6.2f}s ratio={r:5.1f}x"
+        for n, a, b, r in rows
+    )
+    print("\nembedding scale growth (10x corpus):\n" + table)
+    bad = [(n, r) for n, _, _, r in rows if r > COPIES * LINEAR_SLACK]
+    assert not bad, f"superlinear growth {bad}:\n{table}"
