@@ -64,12 +64,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries per round.  Round 7 ordering: the 34 queries that have
 # never received a driver row (demoted past the r6 window; all 34
 # independently verified at sf0.01 by the r6 judge) lead, so the
-# driver's own ledger reaches full registry coverage.  The 17 new
-# round-7 operators follow; slots 35-50 take the first 16, the rest
-# (hll rollup, fertility, upsert, streaming decontamination gate —
-# locally verified + suite-proven) queue at 51+ for the r8 window.
-# Everything else in staleness order: r2-era greens, r4-era, round-6
-# rows (freshest), then r5 greens.
+# driver's own ledger reaches full registry coverage.  The 50 new
+# round-7 operators follow (every one verified at sf0.01 by the
+# builder this round); slots 35-50 take the first 16, the rest queue
+# at 51+ for the r8 window.  Everything else in staleness order:
+# r2-era greens, r4-era, round-6 rows (freshest), then r5 greens.
 _PRIORITY = [
     # -- the 34 never-driver-checked queries (front of r7 window) --
     "basket_pair_frequency", "ann_index_persist_probe",
