@@ -1569,3 +1569,41 @@ SELECT CAST(id % {N_BUCKETS} AS BIGINT) AS bucket,
        CAST(SUM(cents) AS BIGINT) AS cents_recomputed
 FROM fab GROUP BY bucket ORDER BY bucket
 """
+
+
+def snapshot_metadata_only_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only aggregation — Iceberg's COUNT(*) optimization:
+    per-bucket row counts answered from the MANIFEST's per-file
+    record_count stats (O(files) planning, zero data bytes read),
+    cross-checked against the actual data scan. At 100 TB this is the
+    difference between an instant dashboard tile and a full table
+    scan; the cross-check column proves the manifest stats the engine
+    trusts are truthful (they are written from the dataframe at commit
+    time, never re-derived).
+    """
+    table_dir = _build_demo_table(spark)
+    meta = (
+        files_df(spark, table_dir)
+        .groupBy("bucket")
+        .agg(F.sum("record_count").cast("long").alias("n_rows_metadata"))
+    )
+    data = (
+        read_snapshot(spark, table_dir, keep_bucket=True)
+        .groupBy(F.col(BUCKET_COL).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_rows_scanned"))
+    )
+    return (
+        meta.join(data, "bucket")
+        .select("bucket", "n_rows_metadata", "n_rows_scanned")
+        .orderBy("bucket")
+    )
+
+
+QUERIES["snapshot_metadata_only_count"] = snapshot_metadata_only_count
+ORACLES["snapshot_metadata_only_count"] = f"""
+SELECT CAST(id % {N_BUCKETS} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows_metadata,
+       CAST(COUNT(*) AS BIGINT) AS n_rows_scanned
+FROM (SELECT unnest(generate_series(0, {N_PER_APPEND * N_APPENDS - 1})) AS id)
+GROUP BY bucket ORDER BY bucket
+"""
