@@ -892,13 +892,16 @@ def events_m4_downsample(spark: SparkSession, sf: str) -> DataFrame:
         F.min("us").alias("lo"), F.max("us").alias("hi")
     )
     b = base.crossJoin(F.broadcast(span)).select(
+        # integer `div`, not double `/`+cast: when the true quotient
+        # sits within 1 ulp below an integer, IEEE division rounds UP
+        # to it and the cast keeps it — DuckDB's `//` (exact integer
+        # floor) would disagree by one bucket
         F.least(
-            F.lit(M4_BUCKETS - 1),
-            ((F.col("us") - F.col("lo")) * M4_BUCKETS)
-            / (F.col("hi") - F.col("lo") + 1),
-        )
-        .cast("long")
-        .alias("bucket"),
+            F.lit(M4_BUCKETS - 1).cast("long"),
+            F.expr(
+                f"((us - lo) * {M4_BUCKETS}) div (hi - lo + 1)"
+            ),
+        ).alias("bucket"),
         "ts",
         "event_id",
         "cents",

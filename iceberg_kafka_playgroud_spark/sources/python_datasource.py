@@ -367,11 +367,15 @@ def source_python_stream_reader(spark: SparkSession, sf: str) -> DataFrame:
     The oracle regenerates the rows from generate_series, identical to
     the batch source's: same rule, different transport.
     """
+    import atexit
+    import shutil
     import tempfile
     import time
     import uuid
 
     _register_stream(spark)
+    ckpt = tempfile.mkdtemp(prefix="fab_stream_ckpt_")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
     name = f"fab_stream_{uuid.uuid4().hex[:12]}"
     stream = (
         spark.readStream.format("purchase_fabric_stream")
@@ -382,7 +386,7 @@ def source_python_stream_reader(spark: SparkSession, sf: str) -> DataFrame:
         stream.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fab_stream_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     try:
