@@ -104,6 +104,7 @@ _PRIORITY = [
     "ann_ivf_nprobe_curve", "multimodal_silence_trim",
     "stat_crosstab_contingency", "rollup_grouping_id",
     "snapshot_incremental_view_maintenance", "snapshot_metadata_only_count",
+    "orders_gini_concentration", "events_peak_detection",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

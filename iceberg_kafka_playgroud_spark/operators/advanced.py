@@ -3374,3 +3374,69 @@ SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
 FROM paths GROUP BY path
 ORDER BY n_sessions DESC, path ASC LIMIT {PATH_TOP}
 """
+
+
+def orders_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of customer spend — the revenue-concentration
+    KPI (0 = spend spread evenly, →1 = a few whales): with spend
+    sorted ascending and ranked 1..n, G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n.
+    Both numerator terms are exact int64 sums over cents; the rank is
+    the distributed prefix-sum rank (``distributed.ranked_total`` — no
+    single-partition window over the customer frame), and the only
+    float ops are the two final IEEE divisions, identical in the
+    oracle. Emits the integer sufficient statistics alongside so the
+    float is auditable.
+    """
+    from .distributed import ranked_total
+
+    o = load_table(spark, sf, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked, n = ranked_total(
+        spend, [F.col("cents").asc(), F.col("o_custkey").asc()], "i"
+    )
+    agg = ranked.agg(
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("s_ix"),
+        F.sum("cents").cast("long").alias("s_x"),
+    )
+    n_lit = F.lit(int(n)).cast("long")
+    gini = (
+        F.lit(2.0) * F.col("s_ix").cast("double")
+        / (n_lit.cast("double") * F.col("s_x").cast("double"))
+        - (n_lit + 1).cast("double") / n_lit.cast("double")
+    )
+    return agg.select(
+        n_lit.alias("n_customers"),
+        "s_ix",
+        "s_x",
+        gini.alias("gini"),
+    )
+
+
+QUERIES["orders_gini_concentration"] = orders_gini_concentration
+ORACLES["orders_gini_concentration"] = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i
+  FROM spend
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(i * cents) AS BIGINT) AS s_ix,
+         CAST(SUM(cents) AS BIGINT) AS s_x
+  FROM ranked
+)
+SELECT n AS n_customers, s_ix, s_x,
+       2.0 * CAST(s_ix AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s_x AS DOUBLE))
+         - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+FROM agg
+"""

@@ -957,3 +957,59 @@ JOIN (SELECT bucket, v_first FROM firsts WHERE rk = 1) f USING (bucket)
 JOIN (SELECT bucket, v_last FROM lasts WHERE rk = 1) l USING (bucket)
 GROUP BY g.bucket ORDER BY g.bucket
 """
+
+
+def events_peak_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Local-maximum detection over the daily revenue series — the
+    alerting primitive ("was yesterday a spike?"): a day is a peak if
+    its exact cents revenue strictly exceeds BOTH calendar neighbors
+    (missing neighbor = day stands alone on that side and qualifies,
+    the boundary convention alert rules use). Neighbors come from two
+    self-joins on day±1 — calendar-day-keyed equi-joins, NOT an
+    ordered window, so there is no single-partition frame to whitelist
+    and the plan is three day-cardinality frames end to end.
+    """
+    daily = (
+        _daily_revenue(spark, sf)
+        .groupBy("day")
+        .agg(F.sum("revenue_cents").cast("long").alias("y"))
+    )
+    prev = daily.select(
+        F.date_add(F.col("day"), 1).alias("day"), F.col("y").alias("y_prev")
+    )
+    nxt = daily.select(
+        F.date_sub(F.col("day"), 1).alias("day"), F.col("y").alias("y_next")
+    )
+    return (
+        daily.join(prev, "day", "left")
+        .join(nxt, "day", "left")
+        .where(
+            (F.col("y") > F.coalesce(F.col("y_prev"), F.lit(-1)))
+            & (F.col("y") > F.coalesce(F.col("y_next"), F.lit(-1)))
+        )
+        .select(
+            "day",
+            "y",
+            F.coalesce(F.col("y_prev"), F.lit(-1)).alias("y_prev"),
+            F.coalesce(F.col("y_next"), F.lit(-1)).alias("y_next"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["events_peak_detection"] = events_peak_detection
+ORACLES["events_peak_detection"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT d.day, d.y,
+       COALESCE(p.y, -1) AS y_prev,
+       COALESCE(n.y, -1) AS y_next
+FROM daily d
+LEFT JOIN daily p ON p.day = d.day - INTERVAL 1 DAY
+LEFT JOIN daily n ON n.day = d.day + INTERVAL 1 DAY
+WHERE d.y > COALESCE(p.y, -1) AND d.y > COALESCE(n.y, -1)
+ORDER BY d.day
+"""
