@@ -1426,3 +1426,156 @@ SELECT CAST(n_sig_match AS BIGINT) AS n_sig_match,
          AS mean_abs_err_ppm
 FROM est GROUP BY n_sig_match ORDER BY n_sig_match
 """
+
+
+def dedup_cluster_cohesion(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-cohesion audit — the check that catches TRANSITIVE
+    CHAINING, the classic connected-components dedup failure (A~B and
+    B~C link A and C into one cluster even when A and C share almost
+    nothing): per component, the verified-edge density
+    (edges / C(size,2)) and the weakest verified Jaccard, rolled up by
+    cluster size. Tight clusters show density near 10⁶ ppm and high
+    min-Jaccard; long chains show low density — the signal to switch
+    the keep-policy from cluster-canonical to pairwise.
+
+    Costs nothing new at scale: the edges ARE the (cached) verified
+    MinHash pairs and the labels the (cached) CC output — two
+    component-keyed joins over candidate-set-sized data, then a
+    size-bucket rollup. Integer ppm throughout.
+    """
+    edges = dedup_minhash_lsh(spark, sf).select(
+        "d1", "d2", F.floor(F.col("jaccard") * 1_000_000).cast("long").alias("jac_ppm")
+    )
+    cc = dedup_connected_components(spark, sf).select(
+        F.col("doc_id").alias("d1"), "component", "component_size"
+    )
+    per_comp = (
+        edges.join(cc, "d1")
+        .groupBy("component", "component_size")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.min("jac_ppm").cast("long").alias("min_jac_ppm"),
+            F.sum("jac_ppm").cast("long").alias("sum_jac_ppm"),
+        )
+        .withColumn(
+            "density_ppm",
+            (
+                F.col("n_edges")
+                * F.lit(1_000_000)
+                / (
+                    F.col("component_size")
+                    * (F.col("component_size") - 1)
+                    / 2
+                )
+            ).cast("long"),
+        )
+    )
+    return (
+        per_comp.groupBy("component_size")
+        .agg(
+            F.count("*").cast("long").alias("n_components"),
+            F.sum("n_edges").cast("long").alias("n_edges"),
+            F.floor(F.sum("density_ppm") / F.count("*"))
+            .cast("long")
+            .alias("mean_density_ppm"),
+            F.min("min_jac_ppm").cast("long").alias("weakest_edge_jac_ppm"),
+        )
+        .orderBy("component_size")
+    )
+
+
+QUERIES["dedup_cluster_cohesion"] = dedup_cluster_cohesion
+ORACLES["dedup_cluster_cohesion"] = f"""
+WITH pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+cc AS ({ORACLES["dedup_connected_components"]}),
+per_comp AS (
+  SELECT cc.component, cc.component_size,
+         CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(MIN(CAST(floor(p.jaccard * 1000000) AS BIGINT)) AS BIGINT)
+           AS min_jac_ppm,
+         CAST((COUNT(*) * 1000000)
+              / (cc.component_size * (cc.component_size - 1) / 2)
+              AS BIGINT) AS density_ppm
+  FROM pairs p JOIN cc ON cc.doc_id = p.d1
+  GROUP BY cc.component, cc.component_size
+)
+SELECT CAST(component_size AS BIGINT) AS component_size,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(SUM(n_edges) AS BIGINT) AS n_edges,
+       CAST(SUM(density_ppm) // COUNT(*) AS BIGINT) AS mean_density_ppm,
+       CAST(MIN(min_jac_ppm) AS BIGINT) AS weakest_edge_jac_ppm
+FROM per_comp GROUP BY component_size ORDER BY component_size
+"""
+
+
+def dedup_loss_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup survivorship telemetry: which sources LOSE the most
+    documents when near-dup clusters keep only their highest-quality
+    member — the per-domain loss report a curation run publishes
+    before committing a dedup pass (a source losing half its mass to
+    clusters canonicalized elsewhere is a mixture change, not just a
+    size change). Removed = cluster members that are not their
+    cluster's canonical; integer ppm against the source's full count.
+    """
+    cc = dedup_connected_components(spark, sf).select(
+        "doc_id", "component"
+    )
+    canon = dedup_cluster_canonical(spark, sf).select(
+        "component", F.col("canonical_doc_id").alias("doc_id"), F.lit(1).alias("keep")
+    )
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    members = cc.join(canon, ["component", "doc_id"], "left").join(d, "doc_id")
+    per_src_cluster = members.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_in_clusters"),
+        F.sum(F.when(F.col("keep").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+    )
+    totals = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        totals.join(per_src_cluster, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_in_clusters", F.lit(0)).cast("long").alias("n_in_clusters"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            (
+                F.coalesce("n_removed", F.lit(0)) * F.lit(1_000_000) / F.col("n_docs")
+            )
+            .cast("long")
+            .alias("removed_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["dedup_loss_by_source"] = dedup_loss_by_source
+ORACLES["dedup_loss_by_source"] = f"""
+WITH cc AS ({ORACLES["dedup_connected_components"]}),
+canon AS ({ORACLES["dedup_cluster_canonical"]}),
+members AS (
+  SELECT cc.doc_id, cc.component, d.source,
+         CASE WHEN can.canonical_doc_id IS NOT NULL THEN 1 END AS keep
+  FROM cc
+  JOIN documents d ON d.doc_id = cc.doc_id
+  LEFT JOIN canon can
+    ON can.component = cc.component AND can.canonical_doc_id = cc.doc_id
+),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in_clusters,
+         CAST(SUM(CASE WHEN keep IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+  FROM members GROUP BY source
+),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY source
+)
+SELECT t.source, t.n_docs,
+       CAST(COALESCE(p.n_in_clusters, 0) AS BIGINT) AS n_in_clusters,
+       CAST(COALESCE(p.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(p.n_removed, 0) * 1000000 // t.n_docs AS BIGINT)
+         AS removed_ppm
+FROM totals t LEFT JOIN per_src p ON p.source = t.source
+ORDER BY t.source
+"""
