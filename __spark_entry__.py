@@ -106,6 +106,7 @@ _PRIORITY = [
     "snapshot_incremental_view_maintenance", "snapshot_metadata_only_count",
     "orders_gini_concentration", "events_peak_detection",
     "dedup_cluster_cohesion", "dedup_loss_by_source",
+    "orders_reorder_intervals", "vocab_coverage_curve",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -3440,3 +3440,65 @@ SELECT n AS n_customers, s_ix, s_x,
          - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
 FROM agg
 """
+
+
+def orders_reorder_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Reorder-cadence distribution: days between a customer's
+    consecutive orders, bucketed into log2 bins — the repeat-purchase
+    rhythm behind churn models and inventory planning (and the input
+    to "expected next order" features). Per-customer lag over
+    customer-partitioned windows (parallel), then a bin-cardinality
+    rollup with exact integer day gaps; ties on the same day count as
+    0-day gaps in bucket −1's own bin (log2 of 0 mapped to bucket 0
+    via greatest(gap,1)).
+    """
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day"), "o_orderkey"
+    )
+    w = W.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (
+        o.withColumn("gap_days", F.datediff("day", F.lag("day").over(w)))
+        .where(F.col("gap_days").isNotNull())
+        .select(
+            # exact integer floor(log2): binary-digit count, never a
+            # float log (log2(2^k) can land 1 ulp under k and floor a
+            # power-of-two gap into the wrong bucket)
+            (
+                F.length(F.conv(F.greatest(F.col("gap_days"), F.lit(1)), 10, 2))
+                - 1
+            )
+            .cast("long")
+            .alias("bucket_log2_days"),
+            "gap_days",
+        )
+    )
+    return (
+        gaps.groupBy("bucket_log2_days")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.min("gap_days").cast("long").alias("min_days"),
+            F.max("gap_days").cast("long").alias("max_days"),
+            F.sum("gap_days").cast("long").alias("sum_days"),
+        )
+        .orderBy("bucket_log2_days")
+    )
+
+
+QUERIES["orders_reorder_intervals"] = orders_reorder_intervals
+ORACLES["orders_reorder_intervals"] = """
+WITH gaps AS (
+  SELECT datediff('day',
+           LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+           CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT CAST(length(bin(CAST(greatest(gap_days, 1) AS BIGINT))) - 1 AS BIGINT)
+         AS bucket_log2_days,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_days) AS BIGINT) AS min_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_days,
+       CAST(SUM(gap_days) AS BIGINT) AS sum_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""

@@ -1716,3 +1716,74 @@ SELECT source, t AS n_tokens,
        CAST(cap AS BIGINT) AS water_level
 FROM per_src CROSS JOIN cap ORDER BY source
 """
+
+
+COVERAGE_KS = (10, 100, 1000)
+
+
+def vocab_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Head-heaviness curve: what fraction of all token occurrences do
+    the top-10 / top-100 / top-1000 terms cover — the number that
+    decides tokenizer vocab size and stopword policy (a corpus where
+    10 terms cover half the mass tokenizes very differently from a
+    flat one). Exact integer ppm against the total token count.
+
+    Plan: ONE term-count aggregate (map-side combined) reused by every
+    curve point; each k is a TakeOrderedAndProject over the term table
+    plus a 1-row sum — no global rank window, no vocab-sized sort, and
+    k is a constant so every downstream frame is constant-bounded.
+    """
+    d = load_table(spark, sf, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    counts = d.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    counts = counts.localCheckpoint(eager=False)
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+    )
+    out = None
+    for k in COVERAGE_KS:
+        top = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(k)
+        part = (
+            top.agg(F.sum("cnt").cast("long").alias("covered_tokens"))
+            .crossJoin(F.broadcast(totals))
+            .select(
+                F.lit(k).cast("long").alias("top_k"),
+                "vocab_size",
+                "covered_tokens",
+                (F.col("covered_tokens") * 1_000_000 / F.col("total_tokens"))
+                .cast("long")
+                .alias("coverage_ppm"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("top_k")
+
+
+QUERIES["vocab_coverage_curve"] = vocab_coverage_curve
+ORACLES["vocab_coverage_curve"] = f"""
+WITH counts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term FROM documents)
+  GROUP BY term
+),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk
+  FROM counts
+),
+tot AS (
+  SELECT SUM(cnt) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM counts
+)
+{" UNION ALL ".join(
+    f'''SELECT CAST({k} AS BIGINT) AS top_k, tot.vocab_size,
+           CAST(SUM(r.cnt) AS BIGINT) AS covered_tokens,
+           CAST(SUM(r.cnt) * 1000000 // any_value(tot.total_tokens) AS BIGINT)
+             AS coverage_ppm
+    FROM ranked r CROSS JOIN tot
+    WHERE r.rk <= {k} GROUP BY tot.vocab_size'''
+    for k in COVERAGE_KS)}
+ORDER BY top_k
+"""
