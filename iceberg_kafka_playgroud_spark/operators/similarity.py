@@ -2227,3 +2227,88 @@ brute AS (
 ORDER BY nprobe
 """
 QUERIES["ann_ivf_nprobe_curve"] = ann_ivf_nprobe_curve
+
+
+DIM_VAR_BOTTOM = 8  # lowest-variance dimensions reported
+
+
+def embedding_dim_variance(spark: SparkSession, sf: str) -> DataFrame:
+    """Dead-dimension screen: per-dimension variance of the embedding
+    corpus, lowest-N reported — the design input for PQ subspace
+    splits and Matryoshka truncation (a dimension carrying no variance
+    wastes a codebook slot; a handful of dominant ones argue for OPQ
+    rotation). Variance in exact fixed-point: coordinates quantize to
+    int64 (the ``embedding_kmeans_lloyd`` recipe), variance numerator
+    n·Σq² − (Σq)² stays integral in DECIMAL(38), and the only float is
+    the audited per-dimension variance display (two casts + one
+    division + one subtraction, identical in the oracle).
+
+    Plan: one posexplode → 64-key aggregate (map-side combined ints);
+    the bottom-N is a TakeOrdered over a dimension-sized frame.
+    """
+    base = load_table(spark, sf, "embeddings").select(
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") * PI_XSCALE + F.lit(0.5)
+                ).cast("long"),
+            )
+        ).alias("dim", "q")
+    )
+    agg = base.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    )
+    var_num = F.col("n").cast("decimal(38,0)") * F.col("sqq") - F.col(
+        "sq"
+    ).cast("decimal(38,0)") * F.col("sq")
+    variance = var_num.cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    return (
+        agg.select(
+            F.col("dim").cast("long").alias("dim"),
+            "n",
+            # milli-variance as BIGINT (variance ≤ coordinate-range²,
+            # corpus-size-independent — DECIMAL isn't driver-hashable)
+            F.floor(variance * F.lit(1000.0)).cast("long").alias("var_milli"),
+            variance.alias("variance_fp"),
+            var_num.alias("_vn"),
+        )
+        .orderBy(F.col("_vn").asc(), F.col("dim").asc())
+        .limit(DIM_VAR_BOTTOM)
+        .drop("_vn")
+    )
+
+
+QUERIES["embedding_dim_variance"] = embedding_dim_variance
+ORACLES["embedding_dim_variance"] = f"""
+WITH q AS (
+  SELECT i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {PI_XSCALE} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, {EMB_DIM})) AS t(i)
+),
+agg AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS sq,
+         CAST(SUM(q * q) AS BIGINT) AS sqq
+  FROM q GROUP BY dim
+)
+SELECT dim, n, var_milli, variance_fp FROM (
+  SELECT CAST(dim AS BIGINT) AS dim, n,
+         CAST(floor(CAST(CAST(n AS DECIMAL(38,0)) * sqq
+              - CAST(sq AS DECIMAL(38,0)) * sq AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1000) AS BIGINT)
+           AS var_milli,
+         CAST(CAST(n AS DECIMAL(38,0)) * sqq
+              - CAST(sq AS DECIMAL(38,0)) * sq AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS variance_fp,
+         CAST(n AS DECIMAL(38,0)) * sqq - CAST(sq AS DECIMAL(38,0)) * sq
+           AS vn
+  FROM agg
+  ORDER BY vn ASC, dim ASC LIMIT {DIM_VAR_BOTTOM}
+)
+"""

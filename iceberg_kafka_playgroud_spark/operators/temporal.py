@@ -1013,3 +1013,96 @@ LEFT JOIN daily n ON n.day = d.day + INTERVAL 1 DAY
 WHERE d.y > COALESCE(p.y, -1) AND d.y > COALESCE(n.y, -1)
 ORDER BY d.day
 """
+
+
+DOW_ANOM_TOP = 3  # most-anomalous days reported per weekday
+
+
+def events_dow_adjusted_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekday-adjusted anomaly ranking: a Monday is only anomalous
+    relative to OTHER Mondays — per ISO weekday, mean and variance of
+    daily revenue from exact int64 moment sums, every day scored by
+    its squared residual against its own weekday (the naive unadjusted
+    z-score fires on every weekend; this is the production form), and
+    the top-3 per weekday reported. Ranking needs NO division: within
+    a weekday the variance term is constant, so ordering by the
+    decimal cross-product r² = (n·y − Σy)² is ordering by z²; the
+    displayed z_milli is the single audited float expression
+    (|r|·1000/√(n·(nΣy²−(Σy)²)), identical IEEE ops in the oracle).
+
+    Day-collapsed before everything: weekday stats are 7-row frames,
+    the rank window is weekday-partitioned over day-cardinality rows.
+    """
+    daily = (
+        _daily_revenue(spark, sf)
+        .groupBy("day")
+        .agg(F.sum("revenue_cents").cast("long").alias("y"))
+        .withColumn("dow", F.dayofweek("day").cast("long"))
+    )
+    stats = daily.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    j = daily.join(F.broadcast(stats), "dow")
+    r = F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("sy")
+    var_n3 = F.col("n").cast("decimal(38,0)") * (
+        F.col("n").cast("decimal(38,0)") * F.col("syy")
+        - F.col("sy").cast("decimal(38,0)") * F.col("sy")
+    )
+    scored = j.select(
+        "dow",
+        "day",
+        "y",
+        (r * r).alias("r2"),
+        F.floor(
+            F.abs(r).cast("double")
+            * F.lit(1000.0)
+            / F.sqrt(var_n3.cast("double"))
+        )
+        .cast("long")
+        .alias("z_milli"),
+    )
+    w = W.partitionBy("dow").orderBy(F.col("r2").desc(), F.col("day").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= DOW_ANOM_TOP)
+        .select("dow", F.col("rk").cast("long").alias("rk"), "day", "y", "z_milli")
+        .orderBy("dow", "rk")
+    )
+
+
+QUERIES["events_dow_adjusted_anomaly"] = events_dow_adjusted_anomaly
+ORACLES["events_dow_adjusted_anomaly"] = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y,
+         CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 3
+),
+stats AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM daily GROUP BY dow
+),
+scored AS (
+  SELECT d.dow, d.day, d.y,
+         (CAST(s.n AS DECIMAL(38,0)) * d.y - s.sy)
+           * (CAST(s.n AS DECIMAL(38,0)) * d.y - s.sy) AS r2,
+         CAST(floor(abs(CAST(CAST(s.n AS DECIMAL(38,0)) * d.y - s.sy
+                        AS DOUBLE)) * 1000
+              / sqrt(CAST(CAST(s.n AS DECIMAL(38,0))
+                     * (CAST(s.n AS DECIMAL(38,0)) * s.syy
+                        - CAST(s.sy AS DECIMAL(38,0)) * s.sy) AS DOUBLE)))
+           AS BIGINT) AS z_milli
+  FROM daily d JOIN stats s ON s.dow = d.dow
+)
+SELECT dow, CAST(rk AS BIGINT) AS rk, day, y, z_milli FROM (
+  SELECT dow, day, y, z_milli,
+         row_number() OVER (PARTITION BY dow
+                            ORDER BY r2 DESC, day ASC) AS rk
+  FROM scored
+) WHERE rk <= {DOW_ANOM_TOP}
+ORDER BY dow, rk
+"""
