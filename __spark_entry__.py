@@ -108,6 +108,8 @@ _PRIORITY = [
     "dedup_cluster_cohesion", "dedup_loss_by_source",
     "orders_reorder_intervals", "vocab_coverage_curve",
     "events_dow_adjusted_anomaly", "embedding_dim_variance",
+    "text_gopher_quality_rules", "text_ttr_lexical_diversity",
+    "mixture_temperature_weights", "dedup_prefix_template",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -1787,3 +1787,88 @@ tot AS (
     for k in COVERAGE_KS)}
 ORDER BY top_k
 """
+
+
+# -- temperature-scaled mixture weights ------------------------------
+# T = 0.5: sampling weight ∝ p^(1/T) = p² — the standard multilingual
+# upweighting transform (mT5/XLM-R style) at the one temperature where
+# the math stays in exact integer arithmetic (squares), so both
+# engines agree bit-for-bit at any corpus size.
+
+
+def mixture_temperature_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled source sampling weights: natural weight
+    (token share) vs T=0.5 temperature weight (share of squared token
+    counts) in exact ppm, plus the boost direction — the mixture
+    planner that decides how much to upweight head sources (T<1
+    sharpens toward big sources; the common T>1 flattening is the same
+    formula with the exponent inverted, checked here at the integer
+    point).
+
+    Scale: one map-side-combined groupBy(source) → sources-sized
+    frame; totals broadcast back via a 1-row cross join. Squares and
+    their sums run in DECIMAL(38,0) (int64 would wrap at ~3e9 tokens
+    per source); the ppm floor-division is computed as
+    (num − num % tot) / tot so no engine rounding enters.
+    """
+    d = load_table(spark, sf, "documents")
+    per_src = (
+        d.select("source", F.size(tokens(F.col("text"))).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("toks"))
+    )
+    per_src = per_src.select(
+        "source",
+        "toks",
+        (F.col("toks").cast("decimal(38,0)") * F.col("toks")).alias("toks_sq"),
+    )
+    tot = per_src.agg(
+        F.sum("toks").cast("decimal(38,0)").alias("t1"),
+        F.sum("toks_sq").cast("decimal(38,0)").alias("t2"),
+    )
+
+    def _ppm(num, den):
+        scaled = num * F.lit(1_000_000)
+        return ((scaled - scaled % den) / den).cast("long")
+
+    out = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        _ppm(F.col("toks").cast("decimal(38,0)"), F.col("t1")).alias(
+            "w_natural_ppm"
+        ),
+        _ppm(F.col("toks_sq"), F.col("t2")).alias("w_t05_ppm"),
+    )
+    return out.select(
+        "source",
+        "toks",
+        "w_natural_ppm",
+        "w_t05_ppm",
+        (F.col("w_t05_ppm") - F.col("w_natural_ppm")).alias("boost_ppm"),
+    ).orderBy("source")
+
+
+QUERIES["mixture_temperature_weights"] = mixture_temperature_weights
+ORACLES["mixture_temperature_weights"] = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != '')))
+              AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+sq AS (
+  SELECT source, toks, CAST(toks AS HUGEINT) * toks AS toks_sq FROM per_src
+),
+tot AS (
+  SELECT CAST(SUM(toks) AS HUGEINT) AS t1, SUM(toks_sq) AS t2 FROM sq
+)
+SELECT s.source, s.toks,
+       CAST(CAST(s.toks AS HUGEINT) * 1000000 // t.t1 AS BIGINT)
+         AS w_natural_ppm,
+       CAST(s.toks_sq * 1000000 // t.t2 AS BIGINT) AS w_t05_ppm,
+       CAST(s.toks_sq * 1000000 // t.t2
+            - CAST(s.toks AS HUGEINT) * 1000000 // t.t1 AS BIGINT)
+         AS boost_ppm
+FROM sq s CROSS JOIN tot t
+ORDER BY s.source
+"""

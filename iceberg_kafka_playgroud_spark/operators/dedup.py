@@ -1579,3 +1579,60 @@ SELECT t.source, t.n_docs,
 FROM totals t LEFT JOIN per_src p ON p.source = t.source
 ORDER BY t.source
 """
+
+
+# -- prefix-template detection ---------------------------------------
+PREFIX_TOKENS = 8  # leading tokens that define the template key
+
+
+def dedup_prefix_template(spark: SparkSession, sf: str) -> DataFrame:
+    """Template detection by shared document prefix: docs whose first
+    PREFIX_TOKENS normalized tokens are identical form a template
+    cluster (the form-letter / scraped-boilerplate shape that full-doc
+    exact dedup misses when bodies differ). Emits the cluster-size
+    histogram — how many templates exist at each multiplicity and how
+    many docs they absorb — the report a curation run reads before
+    deciding a per-template keep quota.
+
+    Scale: the prefix key is a scan-local md5 of a bounded slice
+    (never the whole doc); clustering is one map-side-combinable
+    groupBy(key) and the histogram a second groupBy over
+    cluster-count-sized data. No window, no join, 100 TB-safe.
+    """
+    d = load_table(spark, sf, "documents").select(
+        tokens(normalized(F.col("text"))).alias("toks")
+    )
+    keyed = d.select(
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", 1, PREFIX_TOKENS))
+        ).alias("pkey")
+    )
+    clusters = keyed.groupBy("pkey").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("long").alias("n_templates"),
+            (F.count("*") * F.col("cluster_size")).cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+QUERIES["dedup_prefix_template"] = dedup_prefix_template
+_PFX_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+ORACLES["dedup_prefix_template"] = f"""
+WITH keyed AS (
+  SELECT md5(array_to_string(
+           list_filter(string_split({_PFX_NORM}, ' '), x -> x != '')
+             [1:{PREFIX_TOKENS}], ' ')) AS pkey
+  FROM documents
+),
+clusters AS (
+  SELECT pkey, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM keyed GROUP BY pkey
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_templates,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+FROM clusters GROUP BY cluster_size ORDER BY cluster_size
+"""

@@ -1358,3 +1358,167 @@ SELECT d.source,
 FROM d LEFT JOIN covered c USING (doc_id)
 GROUP BY d.source ORDER BY d.source
 """
+
+
+# -- Gopher-style rule battery ---------------------------------------
+# Bounds follow the published Gopher/MassiveText filter set (Rae et
+# al. 2021 §A1.1), scaled to the fixture's short synthetic docs. Mean
+# word length is compared by integer cross-multiplication (sum_chars
+# vs bound*n_tokens) so no division enters the rule — bit-exact in
+# both engines and at any corpus size.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEANLEN_MIN = 3  # mean word length lower bound (chars)
+GOPHER_MEANLEN_MAX = 10  # upper bound
+GOPHER_MIN_STOPWORDS = 2  # distinct function words required
+
+
+def text_gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveText rule battery — the standard pre-training
+    document filter expressed as pure Column arithmetic (no UDFs):
+    word-count bounds, mean-word-length bounds, and the
+    stopword-presence rule, with per-source failure tallies per rule
+    plus the all-rules-pass count (rules overlap, so the per-rule
+    columns intentionally do not sum to n_docs - n_pass).
+
+    Scale: one scan-local projection computes every rule flag, then a
+    single map-side-combinable groupBy(source) — no shuffle wider than
+    sources, no window, 100 TB-safe by construction. Parity: all
+    comparisons are integer (token counts, char sums, distinct
+    stopword counts); mean-length bounds use cross-multiplication.
+    """
+    d = load_table(spark, sf, "documents").select(
+        "source", tokens(F.col("text")).alias("toks")
+    )
+    d = d.select(
+        "source",
+        F.size("toks").alias("nt"),
+        F.aggregate(
+            "toks", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("chars"),
+        F.size(
+            F.array_distinct(
+                F.filter("toks", lambda w: F.lower(w).isin(*STOPWORDS))
+            )
+        ).alias("n_stop"),
+    )
+    flags = d.select(
+        "source",
+        (
+            (F.col("nt") < GOPHER_MIN_WORDS)
+            | (F.col("nt") > GOPHER_MAX_WORDS)
+        ).cast("long").alias("f_words"),
+        (
+            (F.col("chars") < F.lit(GOPHER_MEANLEN_MIN) * F.col("nt"))
+            | (F.col("chars") > F.lit(GOPHER_MEANLEN_MAX) * F.col("nt"))
+        ).cast("long").alias("f_meanlen"),
+        (F.col("n_stop") < GOPHER_MIN_STOPWORDS).cast("long").alias("f_stop"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("f_words").cast("long").alias("fail_word_count"),
+            F.sum("f_meanlen").cast("long").alias("fail_mean_len"),
+            F.sum("f_stop").cast("long").alias("fail_stopwords"),
+            F.sum(
+                F.when(
+                    (F.col("f_words") + F.col("f_meanlen") + F.col("f_stop"))
+                    == 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["text_gopher_quality_rules"] = text_gopher_quality_rules
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+ORACLES["text_gopher_quality_rules"] = f"""
+WITH d AS (
+  SELECT source,
+         len({_TOKS}) AS nt,
+         list_sum(list_transform({_TOKS}, x -> len(x))) AS chars,
+         len(list_distinct(list_filter({_TOKS},
+             x -> list_contains([{_SW_SQL}], lower(x))))) AS n_stop
+  FROM documents
+),
+flags AS (
+  SELECT source,
+         CASE WHEN nt < {GOPHER_MIN_WORDS} OR nt > {GOPHER_MAX_WORDS}
+              THEN 1 ELSE 0 END AS f_words,
+         CASE WHEN chars < {GOPHER_MEANLEN_MIN} * nt
+                OR chars > {GOPHER_MEANLEN_MAX} * nt
+              THEN 1 ELSE 0 END AS f_meanlen,
+         CASE WHEN n_stop < {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END AS f_stop
+  FROM d
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f_words) AS BIGINT) AS fail_word_count,
+       CAST(SUM(f_meanlen) AS BIGINT) AS fail_mean_len,
+       CAST(SUM(f_stop) AS BIGINT) AS fail_stopwords,
+       CAST(SUM(CASE WHEN f_words + f_meanlen + f_stop = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM flags GROUP BY source ORDER BY source
+"""
+
+
+def text_ttr_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-token ratio (lexical diversity) per document, folded to a
+    per-source profile: mean TTR in exact milli units plus the count
+    of low-diversity docs (TTR < 0.5 — heavily repetitive text, the
+    cheap screen that catches keyword-stuffed / generated spam before
+    the costlier repetition filter runs).
+
+    Scale: distinct-token counting is array_distinct inside the row
+    (scan-local, no explode shuffle); the fold is one groupBy(source).
+    All arithmetic integer: ttr_milli = 1000*distinct DIV total; the
+    mean is SUM(ttr_milli) DIV n at milli resolution.
+    """
+    d = load_table(spark, sf, "documents").select(
+        "source", tokens(F.col("text")).alias("toks")
+    )
+    per_doc = d.select(
+        "source",
+        F.floor(
+            F.size(F.array_distinct("toks"))
+            * F.lit(1000)
+            / F.greatest(F.size("toks"), F.lit(1))
+        )
+        .cast("long")
+        .alias("ttr_milli"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.floor(F.sum("ttr_milli") / F.count("*"))
+            .cast("long")
+            .alias("mean_ttr_milli"),
+            F.min("ttr_milli").cast("long").alias("min_ttr_milli"),
+            F.sum((F.col("ttr_milli") < 500).cast("long"))
+            .cast("long")
+            .alias("n_low_diversity"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["text_ttr_lexical_diversity"] = text_ttr_lexical_diversity
+ORACLES["text_ttr_lexical_diversity"] = f"""
+WITH per_doc AS (
+  SELECT source,
+         1000 * len(list_distinct({_TOKS}))
+           // greatest(len({_TOKS}), 1) AS ttr_milli
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ttr_milli) // COUNT(*) AS BIGINT) AS mean_ttr_milli,
+       CAST(MIN(ttr_milli) AS BIGINT) AS min_ttr_milli,
+       CAST(SUM(CASE WHEN ttr_milli < 500 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity
+FROM per_doc GROUP BY source ORDER BY source
+"""
