@@ -110,6 +110,9 @@ _PRIORITY = [
     "events_dow_adjusted_anomaly", "embedding_dim_variance",
     "text_gopher_quality_rules", "text_ttr_lexical_diversity",
     "mixture_temperature_weights", "dedup_prefix_template",
+    "ann_radius_count", "embedding_knn_label_eval",
+    "stream_chained_windows", "events_activity_powerlaw",
+    "multimodal_aspect_bucket", "graph_bfs_reachability",
     # -- r2-era greens (33): oldest driver rows in the registry --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -3502,3 +3502,147 @@ SELECT CAST(length(bin(CAST(greatest(gap_days, 1) AS BIGINT))) - 1 AS BIGINT)
 FROM gaps WHERE gap_days IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """
+
+
+def events_activity_powerlaw(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-tail audit of per-user activity: users bucketed by the
+    binary magnitude of their event count (bucket = bit-length of n =
+    ⌊log₂ n⌋ + 1 — computed as the length of the binary string so NO
+    floating log enters; a libm ulp can never flip a bucket), with
+    exact user- and event-mass shares per bucket in ppm. The
+    log-binned degree histogram is the standard power-law sanity check
+    before sizing skew mitigations (salting thresholds, hot-key caps).
+
+    Scale: one map-side-combined groupBy(user) then a groupBy over
+    ~60 magnitude buckets; totals broadcast from a 1-row aggregate.
+    """
+    e = load_table(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
+    bucketed = per_user.select(
+        F.length(F.bin(F.col("n"))).cast("long").alias("bucket"), "n"
+    )
+    hist = bucketed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    tot = hist.agg(
+        F.sum("n_users").cast("long").alias("tu"),
+        F.sum("n_events").cast("long").alias("te"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_users",
+            "n_events",
+            F.floor(F.col("n_users") * F.lit(1_000_000) / F.col("tu"))
+            .cast("long")
+            .alias("user_ppm"),
+            F.floor(F.col("n_events") * F.lit(1_000_000) / F.col("te"))
+            .cast("long")
+            .alias("event_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["events_activity_powerlaw"] = events_activity_powerlaw
+ORACLES["events_activity_powerlaw"] = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+),
+hist AS (
+  SELECT CAST(length(bin(n)) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(n) AS BIGINT) AS n_events
+  FROM per_user GROUP BY 1
+),
+tot AS (SELECT SUM(n_users) AS tu, SUM(n_events) AS te FROM hist)
+SELECT bucket, n_users, n_events,
+       CAST(n_users * 1000000 // tu AS BIGINT) AS user_ppm,
+       CAST(n_events * 1000000 // te AS BIGINT) AS event_ppm
+FROM hist, tot ORDER BY bucket
+"""
+
+
+BFS_MAX_LEVEL = 4  # bounded frontier rounds (graph diameter cap)
+BFS_SEED_SUPPKEYS = 2  # seeds = suppliers with s_suppkey < this
+
+
+def graph_bfs_reachability(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS over the supplier↔customer trade graph (same
+    bipartite edge construction as ``graph_pagerank``): minimum hop
+    distance from a seed supplier set, reported as the level → node
+    count histogram — the reachability profile behind blast-radius
+    and influence-spread questions ("how much of the graph is within
+    k hops of these accounts").
+
+    Plan: classic distributed frontier BFS — per round one equi-join
+    of the (distributed) frontier against the edge table keyed by src,
+    an anti-join against the visited set, and a ``localCheckpoint`` to
+    cut lineage; rounds are bounded by BFS_MAX_LEVEL, state is
+    nodes-sized and distributed, nothing collects. The DuckDB oracle
+    is a recursive CTE with UNION (set) semantics over (node, lvl)
+    states, truncated to the same level bound, then min-lvl per node.
+    """
+    li = load_table(spark, sf, "lineitem").select(
+        (F.col("l_suppkey") * 2).alias("a"), F.col("l_orderkey")
+    )
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", (F.col("o_custkey") * 2 + 1).alias("b")
+    )
+    pairs = li.join(o, li.l_orderkey == o.o_orderkey).select("a", "b").distinct()
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_suppkey") < BFS_SEED_SUPPKEYS)
+        .select((F.col("s_suppkey") * 2).alias("node"))
+        .withColumn("lvl", F.lit(0).cast("long"))
+    )
+    visited = frontier.localCheckpoint(eager=True)
+    frontier = visited
+    for lvl in range(1, BFS_MAX_LEVEL + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")).distinct(), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("lvl", F.lit(lvl).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        visited.groupBy("lvl")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("lvl")
+    )
+
+
+QUERIES["graph_bfs_reachability"] = graph_bfs_reachability
+ORACLES["graph_bfs_reachability"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l.l_suppkey * 2 AS a, o.o_custkey * 2 + 1 AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b, a FROM pairs
+),
+walk(node, lvl) AS (
+  SELECT s_suppkey * 2, 0 FROM supplier WHERE s_suppkey < {BFS_SEED_SUPPKEYS}
+  UNION
+  SELECT e.dst, w.lvl + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.lvl < {BFS_MAX_LEVEL}
+),
+best AS (SELECT node, MIN(lvl) AS lvl FROM walk GROUP BY node)
+SELECT CAST(lvl AS BIGINT) AS lvl, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM best GROUP BY lvl ORDER BY lvl
+"""

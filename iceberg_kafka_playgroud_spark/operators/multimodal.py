@@ -764,3 +764,100 @@ SELECT source,
          AS all_silent_assets
 FROM per_doc GROUP BY source ORDER BY source
 """
+
+
+# -- aspect-ratio bucketing -------------------------------------------
+# SDXL-style training buckets: aspect ratio in exact milli units; each
+# image snaps to the nearest bucket (|ar − b| asc, then smaller b on
+# exact midpoints). Fake dims derive from the payload byte length with
+# coprime multipliers so the fixture exercises many ratios.
+ASPECT_BUCKETS = (500, 750, 1000, 1333, 2000)
+
+
+def multimodal_aspect_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Aspect-ratio bucketing for image training batches: decode each
+    payload's (width, height) — STUBBED deterministically from the
+    byte length, the real decoder being a PIL header read — compute
+    the exact milli aspect ratio, snap to the nearest of
+    ASPECT_BUCKETS, and report per-bucket membership + ratio spread.
+    Batch composers group same-bucket images so a batch shares one
+    crop geometry; the histogram is how you validate the bucket list
+    covers the corpus before training.
+
+    Plumbing is the real shape: binary in via Arrow-batched
+    mapInPandas, integer dims out, bucket snap as pure Column
+    arithmetic (scan-local, one sources×buckets groupBy — no shuffle
+    wider than the bucket list even at 100 TB).
+    """
+    import numpy as np
+
+    src = with_payload(load_table(spark, sf, "documents"))
+
+    def decode_dims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len).to_numpy(dtype="int64")
+            # STUB decode: header-read stand-in (deterministic, coprime
+            # multipliers spread lengths over many width/height pairs)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": 256 + (n * 7919) % 1024,
+                    "height": 256 + (n * 104729) % 1024,
+                }
+            )
+
+    dims = src.mapInPandas(
+        decode_dims, "doc_id long, width long, height long"
+    )
+    ar = dims.select(
+        "doc_id",
+        F.floor(F.col("width") * F.lit(1000) / F.col("height"))
+        .cast("long")
+        .alias("ar_milli"),
+    )
+    buckets = F.array(*[F.lit(b) for b in ASPECT_BUCKETS])
+    snapped = ar.select(
+        "ar_milli",
+        F.aggregate(
+            buckets,
+            F.lit(-1).cast("long"),
+            lambda best, b: F.when(
+                (best < 0)
+                | (F.abs(b - F.col("ar_milli")) < F.abs(best - F.col("ar_milli"))),
+                b.cast("long"),
+            ).otherwise(best),
+        ).alias("bucket_milli"),
+    )
+    return (
+        snapped.groupBy("bucket_milli")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.min("ar_milli").cast("long").alias("min_ar_milli"),
+            F.max("ar_milli").cast("long").alias("max_ar_milli"),
+        )
+        .orderBy("bucket_milli")
+    )
+
+
+QUERIES["multimodal_aspect_bucket"] = multimodal_aspect_bucket
+_BUCKET_LIST = ", ".join(str(b) for b in ASPECT_BUCKETS)
+ORACLES["multimodal_aspect_bucket"] = f"""
+WITH dims AS (
+  SELECT doc_id,
+         256 + (strlen(text) * 7919) % 1024 AS width,
+         256 + (strlen(text) * 104729) % 1024 AS height
+  FROM documents
+),
+ar AS (SELECT doc_id, width * 1000 // height AS ar_milli FROM dims),
+snapped AS (
+  SELECT ar_milli,
+         (SELECT b FROM unnest([{_BUCKET_LIST}]) AS t(b)
+          ORDER BY abs(b - ar_milli), b LIMIT 1) AS bucket_milli
+  FROM ar
+)
+SELECT CAST(bucket_milli AS BIGINT) AS bucket_milli,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(MIN(ar_milli) AS BIGINT) AS min_ar_milli,
+       CAST(MAX(ar_milli) AS BIGINT) AS max_ar_milli
+FROM snapped GROUP BY bucket_milli ORDER BY bucket_milli
+"""

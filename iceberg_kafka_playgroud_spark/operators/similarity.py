@@ -2312,3 +2312,243 @@ SELECT dim, n, var_milli, variance_fp FROM (
   ORDER BY vn ASC, dim ASC LIMIT {DIM_VAR_BOTTOM}
 )
 """
+
+
+# -- cosine radius (range) search ------------------------------------
+RADIUS_T = 0.30  # cosine radius for the range search
+
+
+def ann_radius_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (radius) search: per query, how many corpus vectors sit
+    within cosine ≥ RADIUS_T, plus the nearest similarity — the
+    density probe behind "find everything similar enough" retrieval
+    (dedup radius tuning, coverage analysis), complementing the top-k
+    family which fixes k instead of the radius.
+
+    Plan: queries broadcast (bounded by N_QUERIES), corpus streams
+    through executors once; the aggregate is map-side-combined per
+    query so only N_QUERIES partials shuffle. Same round-6 cosine as
+    the top-k baseline (``_topk_cosine``), so FP association cannot
+    flip a threshold decision. At 100 TB the same plan holds — it is
+    one narrow pass; an IVF variant would prune cells whose centroid
+    bound caps the radius, but the exact pass is already linear.
+    """
+    em = load_table(spark, sf, "embeddings").select(
+        "vec_id", _to_double(F.col("embedding")).alias("vec")
+    )
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    pairs = F.broadcast(q).crossJoin(em).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sims = pairs.select(
+        "query_id",
+        F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
+    )
+    return (
+        sims.groupBy("query_id")
+        .agg(
+            F.sum((F.col("sim") >= RADIUS_T).cast("long"))
+            .cast("long")
+            .alias("n_within"),
+            F.max("sim").alias("max_sim"),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["ann_radius_count"] = ann_radius_count
+ORACLES["ann_radius_count"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+sims AS (
+  SELECT q.query_id,
+         round({_DOT.format(a='q.qe', b='e.embedding')}
+               / ({_NORM.format(a='q.qe')} * {_NORM.format(a='e.embedding')}),
+               6) AS sim
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+)
+SELECT query_id,
+       CAST(SUM(CASE WHEN sim >= {RADIUS_T} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within,
+       MAX(sim) AS max_sim
+FROM sims GROUP BY query_id ORDER BY query_id
+"""
+
+
+# -- kNN label-agreement eval ----------------------------------------
+KNN_K = 5  # neighbors voting in the label eval
+
+
+def embedding_knn_label_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-quality eval: leave-one-out kNN label agreement — for
+    EVERY vector, take its KNN_K nearest neighbors (round-6 cosine,
+    neighbor-id tie-break), majority-vote their labels (count desc,
+    label asc on ties), and score agreement with the vector's own
+    label per class. The standard "do embeddings respect the taxonomy"
+    probe run before trusting vectors for clustering or dedup.
+
+    Plan (the all-vectors kNN, not the bounded-query top-k): the
+    corpus is hashed into N_BLOCKS blocks; each block-pair group
+    computes its cross-block cosines with the bit-exact fold kernel
+    shared with ``embedding_near_dup_pairs`` (kNN keeps whole rows, so
+    no threshold prefilter applies) and emits at most KNN_K candidates
+    per vector per group, so the downstream
+    per-vector window ranks ≤ KNN_K·N_BLOCKS rows per vector —
+    partitioned by vec_id, never global. Per-task memory is two
+    blocks; nothing collects.
+    """
+    import numpy as np
+
+    em = load_table(spark, sf, "embeddings").select(
+        "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).alias("bid")
+    )
+    keys = spark.createDataFrame(
+        [(i, j) for i in range(N_BLOCKS) for j in range(i, N_BLOCKS)],
+        "bi int, bj int",
+    )
+    left = em.join(F.broadcast(keys), em.bid == keys.bi).select(
+        "bi", "bj", "vec_id", "embedding", F.lit("L").alias("side")
+    )
+    right = em.join(
+        F.broadcast(keys.filter(F.col("bi") < F.col("bj"))), em.bid == keys.bj
+    ).select("bi", "bj", "vec_id", "embedding", F.lit("R").alias("side"))
+    both = left.unionByName(right)
+
+    def block_knn(key, pdf):
+        bi, bj = key
+        out_q, out_n, out_s = [], [], []
+
+        def emit(ids_a, mat_a, ids_b, mat_b, self_block: bool) -> None:
+            # exact kernel on ALL cross pairs (no threshold prefilter —
+            # kNN needs full rows); per-vector top-K inside the group
+            sims = np.empty((len(ids_a), len(ids_b)))
+            for r in range(len(ids_a)):
+                sims[r] = _round_half_up(
+                    _fold_cosine(
+                        np.repeat(mat_a[r][None, :], len(ids_b), axis=0), mat_b
+                    )
+                )
+            if self_block:
+                np.fill_diagonal(sims, -np.inf)
+            k = min(KNN_K, sims.shape[1])
+            for r in range(len(ids_a)):
+                row = sims[r]
+                # top-k by (sim desc, neighbor id asc)
+                order = np.lexsort((ids_b, -row))[:k]
+                keep = row[order] > -np.inf
+                out_q.append(np.full(keep.sum(), ids_a[r]))
+                out_n.append(ids_b[order][keep])
+                out_s.append(row[order][keep])
+
+        if bi == bj:
+            if len(pdf) >= 2:
+                ids = pdf["vec_id"].to_numpy()
+                mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                emit(ids, mat, ids, mat, self_block=True)
+        else:
+            lrows = pdf[pdf["side"] == "L"]
+            rrows = pdf[pdf["side"] == "R"]
+            if len(lrows) and len(rrows):
+                la = lrows["vec_id"].to_numpy()
+                lm = np.array(lrows["embedding"].tolist(), dtype=np.float64)
+                ra = rrows["vec_id"].to_numpy()
+                rm = np.array(rrows["embedding"].tolist(), dtype=np.float64)
+                emit(la, lm, ra, rm, self_block=False)
+                emit(ra, rm, la, lm, self_block=False)
+        if not out_q:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "sim": []}
+            ).astype({"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"})
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_q).astype("int64"),
+                "neighbor_id": np.concatenate(out_n).astype("int64"),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    cand = both.groupBy("bi", "bj").applyInPandas(
+        block_knn, "vec_id long, neighbor_id long, sim double"
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    topk = cand.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KNN_K
+    )
+    labels = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    nlab = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    votes = (
+        topk.join(nlab, "neighbor_id")
+        .groupBy("vec_id", "nlabel")
+        .agg(F.count("*").alias("c"))
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("nlabel"))
+    pred = (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("nlabel").alias("pred"))
+    )
+    scored = pred.join(labels, "vec_id")
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum((F.col("pred") == F.col("label")).cast("long"))
+            .cast("long")
+            .alias("n_agree"),
+            F.floor(
+                F.sum((F.col("pred") == F.col("label")).cast("long"))
+                * F.lit(1_000_000)
+                / F.count("*")
+            )
+            .cast("long")
+            .alias("agree_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES["embedding_knn_label_eval"] = embedding_knn_label_eval
+ORACLES["embedding_knn_label_eval"] = f"""
+WITH sims AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         round({_DOT.format(a='a.embedding', b='b.embedding')}
+               / ({_NORM.format(a='a.embedding')}
+                  * {_NORM.format(a='b.embedding')}), 6) AS sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+),
+topk AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, neighbor_id) AS rk
+    FROM sims
+  ) WHERE rk <= {KNN_K}
+),
+votes AS (
+  SELECT t.vec_id, CAST(e.label AS BIGINT) AS nlabel, COUNT(*) AS c
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+  GROUP BY t.vec_id, e.label
+),
+pred AS (
+  SELECT vec_id, nlabel AS pred FROM (
+    SELECT vec_id, nlabel,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c DESC, nlabel) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT CAST(e.label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       CAST(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS agree_ppm
+FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id
+GROUP BY e.label ORDER BY label
+"""

@@ -1388,3 +1388,59 @@ def batch_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["batch_session_window_native"] = batch_session_window_native
 ORACLES["batch_session_window_native"] = ORACLES["stream_sessionize"]
+
+
+def stream_chained_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Chained stateful windows (Spark 3.5+/4 multiple-stateful-ops):
+    a 10-minute tumbling count per event type re-aggregated into
+    1-hour sums INSIDE the same streaming query via ``window_time`` —
+    the two-tier rollup (fine pre-agg feeding a coarse serving window)
+    that previously required two jobs and an intermediate topic.
+    Append mode end-to-end, so both tiers keep watermark-driven state
+    eviction; with availableNow over the bounded replay the result
+    equals the batch double-aggregation oracle.
+
+    Scale: tier 1 shuffles on (10-min window, type) with map-side
+    partial counts; tier 2 re-keys the ALREADY-AGGREGATED stream
+    (windows × types rows, not events), so the second stateful op is
+    orders of magnitude lighter than the first — the canonical
+    pre-aggregation cascade.
+    """
+    stream = events_file_stream(spark, sf)
+    fine = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n10"))
+    )
+    coarse = (
+        fine.groupBy(
+            F.window(F.window_time("window"), "1 hour").alias("hour_w"),
+            "event_type",
+        )
+        .agg(F.sum("n10").cast("long").alias("n"))
+    )
+    out = _run_to_memory(coarse, "append")
+    return out.select(
+        F.col("hour_w.start").alias("hour_start"), "event_type", "n"
+    ).orderBy("hour_start", "event_type")
+
+
+QUERIES["stream_chained_windows"] = stream_chained_windows
+# append-mode semantics: a window is emitted only once the final
+# watermark (max event time − 10 min delay) passes its END, so the
+# oracle applies the same cutoff to the batch double-aggregation —
+# the replay's trailing windows are *correctly* unemitted state.
+ORACLES["stream_chained_windows"] = """
+WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events),
+fine AS (
+  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS w10, event_type,
+         COUNT(*) AS n10
+  FROM events GROUP BY w10, event_type
+)
+SELECT time_bucket(INTERVAL 1 HOUR, w10) AS hour_start, event_type,
+       CAST(SUM(n10) AS BIGINT) AS n
+FROM fine, wm
+GROUP BY hour_start, event_type
+HAVING hour_start + INTERVAL 1 HOUR <= MAX(wm.w)
+ORDER BY hour_start, event_type
+"""
