@@ -499,6 +499,8 @@ def _orders_in_format(spark: SparkSession, sf: str, fmt: str) -> DataFrame:
             w.option("header", "true").csv(stage)
         elif fmt == "orc":
             w.orc(stage)
+        elif fmt == "xml":
+            w.format("xml").option("rowTag", "order").save(stage)
         else:
             w.json(stage)
         _FMT_STAGE_MEMO[key] = stage
@@ -511,6 +513,13 @@ def _orders_in_format(spark: SparkSession, sf: str, fmt: str) -> DataFrame:
         # schema (no re-supply) — the summary hash proves no
         # type/precision drift against the parquet-sourced oracle
         return spark.read.orc(stage)
+    if fmt == "xml":
+        return (
+            spark.read.schema(o.schema)
+            .format("xml")
+            .option("rowTag", "order")
+            .load(stage)
+        )
     return spark.read.schema(o.schema).json(stage)
 
 
@@ -552,6 +561,15 @@ def source_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     format (vectorized reader, predicate pushdown, column pruning all
     apply exactly as for parquet)."""
     return _format_roundtrip_summary(_orders_in_format(spark, sf, "orc"))
+
+
+def source_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """XML source (native in Spark 4): orders → row-tagged XML files →
+    schema-driven read → the shared roundtrip summary. Exercises the
+    StAX record reader + explicit-schema coercion path; the same
+    exact-cents hash as CSV/JSONL/ORC proves no type or precision
+    drift through the markup roundtrip."""
+    return _format_roundtrip_summary(_orders_in_format(spark, sf, "xml"))
 
 
 # --------------------------------------------------------------------------
@@ -1765,6 +1783,7 @@ QUERIES = {
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
     "source_orc_roundtrip": source_orc_roundtrip,
+    "source_xml_roundtrip": source_xml_roundtrip,
     "join_inner_dim": join_inner_dim,
     "join_left_outer": join_left_outer,
     "join_right_outer": join_right_outer,
@@ -1978,6 +1997,15 @@ ORACLES = {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "source_jsonl_roundtrip": """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents_total,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+                 AS n_days
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "source_xml_roundtrip": """
         SELECT o_orderstatus, COUNT(*) AS n_orders,
                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                  AS cents_total,
