@@ -156,22 +156,47 @@ def main() -> None:
     # ratio over the common subset only; <1.0 means Spark is faster
     common = [n for n in names if n in duckdb_timings]
     spark_common = sum(timings[n] for n in common)
+    # r7 verdict task #6: the driver records only the last ~2 KB of
+    # stdout, and one all-inclusive JSON line overflowed it (BENCH_r07
+    # "parsed": null).  Emit the full detail FIRST (and to a side
+    # file), then a compact summary as the LAST line so the captured
+    # tail always parses.
+    detail = {
+        "metric": "headline_queries_detail",
+        "queries": timings,
+        "queries_cold": cold,
+        "duckdb_queries": duckdb_timings,
+        "duckdb_errors": duckdb_errors,
+        "sf": sf,
+    }
+    print(json.dumps(detail))
+    try:
+        with open("BENCH_DETAIL.json", "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
     out = {
         "metric": "headline_queries_total",
         "value": spark_total,
         "unit": "sec",
         "queries": timings,
         "value_cold": round(sum(cold.values()), 3),
-        "queries_cold": cold,
         "sf": sf,
     }
     if duckdb_timings:
         out["duckdb_total"] = duckdb_total
-        out["duckdb_queries"] = duckdb_timings
         out["ratio"] = round(spark_common / max(duckdb_total, 1e-9), 3)
     if duckdb_errors:
-        out["duckdb_errors"] = duckdb_errors
-    print(json.dumps(out))
+        out["duckdb_error_count"] = len(duckdb_errors)
+    line = json.dumps(out)
+    if len(line) > 2000:
+        # keep only the 6 slowest warm queries if the map alone would
+        # overflow the driver's tail capture
+        worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:6])
+        out["queries"] = worst
+        out["queries_truncated_to_worst"] = len(worst)
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

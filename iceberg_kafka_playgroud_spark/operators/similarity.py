@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import warnings
 from typing import Iterator
 
 import pandas as pd
@@ -72,6 +73,67 @@ EMB_DIM = 64
 SKETCH_BITS = 128
 BAND_BITS = 4  # bands = SKETCH_BITS / BAND_BITS = 32
 QUANT = 1000  # fixed-point scale: q_j = floor(x_j * 1000), exact in IEEE
+
+# Random-pair candidate rate above which sign-LSH banding stops
+# pruning and candidate volume grows ~n² (the r7 late finding: 1.7 M →
+# 171 M candidates on a 10× decorrelated corpus at threshold 0.45).
+LSH_MAX_RANDOM_RATE = 0.01
+
+
+def lsh_random_collision_rate(
+    band_bits: int = BAND_BITS,
+    n_bands: int = SKETCH_BITS // BAND_BITS,
+    background_sim: float = 0.0,
+) -> float:
+    """Expected fraction of RANDOM pairs that become LSH candidates.
+
+    For sign-random-projection sketches, two vectors at cosine s agree
+    on one sketch bit with probability p = 1 − arccos(s)/π (Goemans–
+    Williamson); a band of b bits collides with p^b, and any of the
+    n_bands bands colliding makes the pair a candidate:
+    rate = 1 − (1 − p^b)^n_bands.  For an uncorrelated background
+    (s ≈ 0, p = 1/2) this is pure band geometry — if it is not ≪ 1,
+    candidate volume is Θ(n²) regardless of threshold.
+    """
+    s = max(-1.0, min(1.0, background_sim))
+    p = 1.0 - math.acos(s) / math.pi
+    return 1.0 - (1.0 - p**band_bits) ** n_bands
+
+
+def check_lsh_regime(
+    threshold: float,
+    *,
+    band_bits: int = BAND_BITS,
+    n_bands: int = SKETCH_BITS // BAND_BITS,
+    max_random_rate: float = LSH_MAX_RANDOM_RATE,
+    strict: bool = False,
+) -> float:
+    """Guard against running banded LSH outside its effective regime.
+
+    Returns the expected random-pair candidate rate for the given band
+    geometry.  When that rate exceeds ``max_random_rate`` — i.e. the
+    geometry needed for recall at ``threshold`` admits a quadratic
+    candidate stream — warns (default) or raises (``strict=True``,
+    the setting a 100 TB caller should use), pointing at
+    ``dedup_semantic_semdedup`` (cluster-local exact Gram, O(Σcᵢ²))
+    as the low-threshold alternative.  r7 verdict "What's wrong #2".
+    """
+    rate = lsh_random_collision_rate(band_bits, n_bands)
+    if rate > max_random_rate:
+        p_t = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+        recall = 1.0 - (1.0 - p_t**band_bits) ** n_bands
+        msg = (
+            f"LSH band geometry ({n_bands} bands × {band_bits} bits) at "
+            f"threshold {threshold} admits ~{rate:.0%} of RANDOM pairs as "
+            f"candidates (threshold-pair recall {recall:.0%}) — candidate "
+            f"volume is Θ(n²) at corpus scale. Use a higher threshold / "
+            f"more bits per band, or switch to dedup_semantic_semdedup "
+            f"(cluster-local exact similarity) for low-threshold regimes."
+        )
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    return rate
 
 
 def _to_double(arr: Column) -> Column:
@@ -373,6 +435,11 @@ def embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     so correctness is exact parity, not a recall bound.
     """
     import numpy as np
+
+    # Regime guard (warn-only here: the fixture corpus is small and the
+    # result is oracle-paired; a scale caller should invoke
+    # check_lsh_regime(strict=True) before launching this at 100 TB).
+    check_lsh_regime(NEAR_DUP_THRESHOLD)
 
     em = load_table(spark, sf, "embeddings")
     bands = sketch_bands(em)

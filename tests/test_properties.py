@@ -676,3 +676,36 @@ def test_mor_read_applies_sequence_rule(spark):
     import shutil
 
     shutil.rmtree(table_dir, ignore_errors=True)
+
+
+# --- LSH regime guard (r7 verdict task #3) --------------------------------
+
+
+def test_lsh_regime_guard_warns_and_raises():
+    """At the committed geometry (32 bands x 4 bits) the random-pair
+    candidate rate is ~87% -- sub-regime for any threshold.  strict
+    raises; non-strict warns; a tight geometry passes silently."""
+    import warnings as _w
+
+    import pytest
+
+    from iceberg_kafka_playgroud_spark.operators import similarity as sim
+
+    rate = sim.lsh_random_collision_rate()
+    assert 0.8 < rate < 0.95  # 1-(1-0.5^4)^32
+
+    with pytest.raises(ValueError, match="semdedup"):
+        sim.check_lsh_regime(0.45, strict=True)
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got = sim.check_lsh_regime(0.45)
+        assert any(issubclass(r.category, RuntimeWarning) for r in rec)
+    assert got == pytest.approx(rate)
+
+    # 8 bands x 16 bits: random rate 8 * 0.5^16 ~= 0.012%% -- in-regime
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        tight = sim.check_lsh_regime(0.9, band_bits=16, n_bands=8)
+        assert not rec
+    assert tight < sim.LSH_MAX_RANDOM_RATE
