@@ -1256,12 +1256,19 @@ def text_boilerplate_coverage(spark: SparkSession, sf: str) -> DataFrame:
     double-count (exact span union via distinct positions, not a naive
     per-hit x N).
 
-    Plan at 100 TB: the gram explode is scan-local; document frequency
-    is one gram-keyed aggregate (map-side combined ints); the
-    boilerplate set joins back as a gram-keyed equi-join (never
-    broadcast-forced — the high-df vocabulary can be large, AQE sizes
-    it); the span union is a (doc, pos) distinct that shuffles only
-    HIT positions, a boilerplate-mass-sized stream, not the corpus.
+    Plan at 100 TB: the gram explode is scan-local AND RUNS ONCE — the
+    exploded frame is persisted (memory-and-disk, spill-safe) because
+    both consumers need it: the document-frequency aggregate and the
+    coverage join (r7 verdict: recomputing the explode per consumer
+    was the slowest warm headliner; one materialization + two cached
+    reads beat two tokenize+explode passes). Column pruning still
+    applies to the cached batches (the df aggregate reads only
+    (gram, doc_id)). Document frequency is one gram-keyed aggregate
+    (map-side combined ints); the boilerplate set joins back as a
+    gram-keyed equi-join (never broadcast-forced — the high-df
+    vocabulary can be large, AQE sizes it); the span union is a
+    (doc, pos) distinct that shuffles only HIT positions, a
+    boilerplate-mass-sized stream, not the corpus.
     """
     d = load_table(spark, sf, "documents").select(
         "doc_id", "source", tokens(F.col("text")).alias("toks")
@@ -1281,6 +1288,10 @@ def text_boilerplate_coverage(spark: SparkSession, sf: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
         ).alias("g"),
     ).select("doc_id", "source", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    # persist(): default MEMORY_AND_DISK — the gram stream is consumed
+    # by BOTH the df aggregate and the coverage join; without this the
+    # tokenize+explode pass runs twice (r7 verdict task #4)
+    grams = grams.persist()
     boiler = (
         grams.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("df"))
