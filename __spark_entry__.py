@@ -91,6 +91,16 @@ _PRIORITY = [
     "embedding_knn_label_eval", "stream_chained_windows", "events_activity_powerlaw",
     "multimodal_aspect_bucket", "graph_bfs_reachability", "source_xml_roundtrip",
     # -- new round-8 operators queue here as they land --
+    "text_pmi_bigrams",
+    "text_zipf_slope",
+    "sample_systematic_pps",
+    "basket_diversity_simpson",
+    "embedding_dbscan_core",
+    "graph_label_propagation",
+    "cogroup_asof_attribution",
+    "snapshot_file_size_audit",
+    "multimodal_color_histogram",
+    "stream_stream_left_outer",
     # -- staleness order: r2/r4/r6/r5-era greens --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

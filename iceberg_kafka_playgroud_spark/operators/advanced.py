@@ -3646,3 +3646,287 @@ best AS (SELECT node, MIN(lvl) AS lvl FROM walk GROUP BY node)
 SELECT CAST(lvl AS BIGINT) AS lvl, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM best GROUP BY lvl ORDER BY lvl
 """
+
+
+# -- basket diversity (Gini–Simpson) ----------------------------------
+
+
+def basket_diversity_simpson(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-customer purchase diversity via the Gini–Simpson index over
+    part brands, rolled up by market segment — the assortment-breadth
+    metric (1 − Σp²: probability two random purchased items are
+    DIFFERENT brands). Entropy would need a logarithm; Gini–Simpson is
+    rational, so the whole statistic stays in exact integer
+    cross-multiplication: simpson_ppm = (n² − Σc²)·10⁶ // n² — bit-
+    identical in any engine, no libm anywhere.
+
+    Plan at 100 TB: two fact-sized equi-joins (lineitem→orders for the
+    customer key, lineitem→part for the brand — both shuffle-keyed,
+    AQE-sized), then two nested map-side-combined aggregations
+    (brand-per-customer counts, then per-customer Σc²) and a tiny
+    segment rollup. No windows, no driver state.
+    """
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    counts = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("o_custkey", "p_brand")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    per_cust = counts.groupBy("o_custkey").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("ssq"),
+    )
+    per_cust = per_cust.select(
+        "o_custkey",
+        "n",
+        (
+            (F.col("n") * F.col("n") - F.col("ssq")) * F.lit(1_000_000)
+            / (F.col("n") * F.col("n"))
+        )
+        .cast("long")
+        .alias("simpson_ppm"),
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.floor(F.sum("simpson_ppm") / F.count("*"))
+            .cast("long")
+            .alias("mean_simpson_ppm"),
+            F.max("simpson_ppm").cast("long").alias("max_simpson_ppm"),
+            F.sum((F.col("simpson_ppm") == 0).cast("long"))
+            .cast("long")
+            .alias("n_monobrand"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES["basket_diversity_simpson"] = basket_diversity_simpson
+ORACLES["basket_diversity_simpson"] = """
+WITH counts AS (
+  SELECT o_custkey, p_brand, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY o_custkey, p_brand
+),
+per_cust AS (
+  SELECT o_custkey, CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS ssq
+  FROM counts GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, n,
+         CAST((n * n - ssq) * 1000000 // (n * n) AS BIGINT) AS simpson_ppm
+  FROM per_cust
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(simpson_ppm) // COUNT(*) AS BIGINT) AS mean_simpson_ppm,
+       CAST(MAX(simpson_ppm) AS BIGINT) AS max_simpson_ppm,
+       CAST(SUM(CASE WHEN simpson_ppm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_monobrand
+FROM scored JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# -- label propagation communities ------------------------------------
+
+LPA_ROUNDS = 3  # fixed synchronous rounds (deterministic, unrolled)
+
+
+def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    supplier↔customer trade graph (same bipartite edge build as
+    ``graph_pagerank``/``graph_bfs_reachability``): every node starts
+    as its own label; each round it adopts its neighbors' most
+    frequent label, ties broken by smallest label — the deterministic
+    variant of Raghavan et al.'s LPA. Exactly LPA_ROUNDS synchronous
+    rounds (not run-to-convergence: async/convergent LPA is
+    order-dependent, the fixed-round form is reproducible in any
+    engine), then the community-size histogram.
+
+    Plan at 100 TB: per round ONE edge-keyed equi-join (edges never
+    change — localCheckpoint'ed once) + a (node, label)-keyed count +
+    a node-partitioned rank window — all partitioned by graph keys,
+    state is nodes-sized, rounds bounded by the constant. The same
+    shape GraphX/Pregel compiles LPA to.
+    """
+    li = load_table(spark, sf, "lineitem").select(
+        (F.col("l_suppkey") * 2).alias("a"), F.col("l_orderkey")
+    )
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", (F.col("o_custkey") * 2 + 1).alias("b")
+    )
+    pairs = li.join(o, li.l_orderkey == o.o_orderkey).select("a", "b").distinct()
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").cast("long").alias("lbl")
+    ).localCheckpoint(eager=True)
+    rnk = W.partitionBy("dst").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    for _ in range(LPA_ROUNDS):
+        labels = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst", "lbl")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(rnk))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "lbl")
+            .localCheckpoint(eager=True)
+        )
+    comm = labels.groupBy("lbl").agg(F.count("*").cast("long").alias("sz"))
+    return (
+        comm.groupBy("sz")
+        .agg(
+            F.count("*").cast("long").alias("n_communities"),
+            F.sum("lbl").cast("long").alias("label_checksum"),
+        )
+        .orderBy("sz")
+    )
+
+
+def _lpa_oracle() -> str:
+    base = """
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b AS src, a AS dst FROM pairs
+),
+lbl0 AS (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS lbl FROM edges)"""
+    for r in range(1, LPA_ROUNDS + 1):
+        base += f""",
+lbl{r} AS (
+  SELECT node, lbl FROM (
+    SELECT e.dst AS node, l.lbl,
+           ROW_NUMBER() OVER (PARTITION BY e.dst
+             ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+    FROM edges e JOIN lbl{r - 1} l ON e.src = l.node
+    GROUP BY e.dst, l.lbl
+  ) WHERE rn = 1
+)"""
+    return base + f""",
+comm AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz
+         FROM lbl{LPA_ROUNDS} GROUP BY lbl)
+SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_communities,
+       CAST(SUM(lbl) AS BIGINT) AS label_checksum
+FROM comm GROUP BY sz ORDER BY sz
+"""
+
+
+QUERIES["graph_label_propagation"] = graph_label_propagation
+ORACLES["graph_label_propagation"] = _lpa_oracle()
+
+
+# -- cogrouped-pandas as-of attribution -------------------------------
+
+
+def cogroup_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Cogrouped applyInPandas (the remaining pandas-API surface after
+    scalar / grouped-agg / grouped-map / mapInPandas / mapInArrow):
+    per user, as-of attach each purchase to the latest click at-or-
+    before it — ``df.groupBy(k).cogroup(other.groupBy(k))`` delivers
+    BOTH sides of a key to one Arrow-batched pandas function, the
+    canonical shape for custom per-key merges (pd.merge_asof here)
+    that SQL joins express awkwardly.
+
+    Everything crossing the Arrow boundary is integer (epoch
+    microseconds, exact cents), so the pandas pass is arithmetic-free
+    and bit-exact. At 100 TB this is one co-partitioned shuffle of the
+    two inputs on user_id, then embarrassingly parallel per-key work —
+    the same cost as the equivalent join, with per-task memory bounded
+    by the largest single user's history.
+    """
+    ev = load_table(spark, sf, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("c_us")
+    )
+
+    def attach(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_purchases": pd.Series([], dtype="int64"),
+                    "n_matched": pd.Series([], dtype="int64"),
+                    "gap_us_sum": pd.Series([], dtype="int64"),
+                    "cents_sum": pd.Series([], dtype="int64"),
+                }
+            )
+        left = left.sort_values("ts_us")
+        if right.empty:
+            matched = pd.Series([], dtype="int64")
+            n_matched, gap_sum = 0, 0
+        else:
+            right = right.sort_values("c_us")
+            m = pd.merge_asof(
+                left[["ts_us"]],
+                right[["c_us"]],
+                left_on="ts_us",
+                right_on="c_us",
+                direction="backward",
+            )
+            ok = m["c_us"].notna()
+            n_matched = int(ok.sum())
+            gap_sum = int((m.loc[ok, "ts_us"] - m.loc[ok, "c_us"]).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_purchases": [len(left)],
+                "n_matched": [n_matched],
+                "gap_us_sum": [gap_sum],
+                "cents_sum": [int(left["cents"].sum())],
+            }
+        )
+
+    out = p.groupBy("user_id").cogroup(c.groupBy("user_id")).applyInPandas(
+        attach,
+        schema=(
+            "user_id long, n_purchases long, n_matched long, "
+            "gap_us_sum long, cents_sum long"
+        ),
+    )
+    return out.orderBy("user_id")
+
+
+QUERIES["cogroup_asof_attribution"] = cogroup_asof_attribution
+ORACLES["cogroup_asof_attribution"] = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS c_us FROM events
+  WHERE event_type = 'click'
+),
+m AS (
+  SELECT p.user_id, p.ts_us, p.cents,
+         (SELECT MAX(c_us) FROM c
+          WHERE c.user_id = p.user_id AND c.c_us <= p.ts_us) AS c_us
+  FROM p
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(c_us) AS BIGINT) AS n_matched,
+       CAST(COALESCE(SUM(ts_us - c_us), 0) AS BIGINT) AS gap_us_sum,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM m GROUP BY user_id ORDER BY user_id
+"""

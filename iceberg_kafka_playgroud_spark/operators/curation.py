@@ -1872,3 +1872,70 @@ SELECT s.source, s.toks,
 FROM sq s CROSS JOIN tot t
 ORDER BY s.source
 """
+
+
+# -- systematic PPS sampling ------------------------------------------
+
+PPS_SAMPLE_K = 200  # target sample size
+
+
+def sample_systematic_pps(spark: SparkSession, sf: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: documents
+    are laid out on a line by cumulative weight (n_chars — the token-
+    mass proxy) and every ⌈W/K⌉-th position is selected, so a doc's
+    selection probability is proportional to its length and long docs
+    can be picked at most once per stride. This is the deterministic
+    PPS design survey statistics uses (Madow systematic sampling) —
+    the right shape for "sample K docs weighted by token count" over a
+    training corpus, and unlike A-ES reservoir keys it needs no
+    transcendental functions, so selection is integer-exact in any
+    engine.
+
+    Plan at 100 TB: the cumulative weight is the distributed
+    range-partitioned prefix sum (``distributed.running_sum_total`` —
+    one bounded O(partitions) collect, never a single-partition
+    window); selection is then a scan-local integer predicate
+    (⌊cum/stride⌋ > ⌊(cum−w)/stride⌋). Deterministic given the
+    (doc_id) order — reshuffle the line by a seeded hash first if the
+    storage order itself is biased.
+    """
+    from .distributed import running_sum_total
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    )
+    cum, total = running_sum_total(d, [F.col("doc_id")], "w", "cum")
+    stride = max(total // PPS_SAMPLE_K, 1)
+    return (
+        cum.where(
+            F.floor(F.col("cum") / stride)
+            > F.floor((F.col("cum") - F.col("w")) / stride)
+        )
+        .select("doc_id", "source", "w", "cum")
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["sample_systematic_pps"] = sample_systematic_pps
+
+
+def _pps_oracle() -> str:
+    # the stride depends on the corpus total, so the oracle computes it
+    # the same way: one scalar subquery, integer division
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+         CAST(SUM(n_chars) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM documents
+),
+s AS (SELECT greatest(CAST(SUM(w) AS BIGINT) // {PPS_SAMPLE_K}, 1)
+        AS stride FROM d)
+SELECT doc_id, source, w, cum
+FROM d CROSS JOIN s
+WHERE cum // stride > (cum - w) // stride
+ORDER BY doc_id
+"""
+
+
+ORACLES["sample_systematic_pps"] = _pps_oracle()

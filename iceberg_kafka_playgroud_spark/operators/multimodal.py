@@ -861,3 +861,107 @@ SELECT CAST(bucket_milli AS BIGINT) AS bucket_milli,
        CAST(MAX(ar_milli) AS BIGINT) AS max_ar_milli
 FROM snapped GROUP BY bucket_milli ORDER BY bucket_milli
 """
+
+
+# -- per-channel color histogram --------------------------------------
+
+HIST_CHANNELS = 3  # fake-decode: bytes as interleaved RGB triples
+HIST_BUCKET_SHIFT = 6  # byte >> 6 → 4 intensity buckets per channel
+
+
+def multimodal_color_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-channel intensity histogram over "decoded" pixels, rolled
+    up by origin — the color-statistics pass vision pipelines run for
+    normalization constants and black/blank-frame screening. The stub
+    decode reads the payload as interleaved RGB byte triples
+    (channel = byte_pos % 3, intensity = byte value); a real decoder
+    drops in at the np.frombuffer line without touching the plumbing.
+
+    ASCII-only payloads are selected first (octet_length == char
+    length, checked identically in both engines) so byte values equal
+    code points and the oracle can replay the histogram from the text
+    column. Plan at 100 TB: one Arrow-batched mapInPandas pass
+    (vectorized numpy bincount per item, no per-byte Python), emitting
+    ≤ channels×buckets partial rows per item; the (origin, channel,
+    bucket) rollup is map-side combined — shuffle is statistics-sized,
+    not pixel-sized.
+    """
+    import numpy as np
+
+    docs = load_table(spark, sf, "documents").where(
+        F.octet_length("text") == F.length("text")
+    )
+    src = with_payload(docs)
+    n_buckets = 256 >> HIST_BUCKET_SHIFT
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            origins, chans, buckets, counts, vsums = [], [], [], [], []
+            for origin, payload in zip(
+                pdf["media_meta"].map(lambda m: m["origin"]), pdf["payload"]
+            ):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8)
+                for c in range(HIST_CHANNELS):
+                    ch = a[c::HIST_CHANNELS]
+                    if ch.size == 0:
+                        continue
+                    b = ch >> HIST_BUCKET_SHIFT
+                    cnt = np.bincount(b, minlength=n_buckets)
+                    vs = np.bincount(
+                        b, weights=ch.astype(np.int64), minlength=n_buckets
+                    ).astype(np.int64)
+                    for k in range(n_buckets):
+                        if cnt[k]:
+                            origins.append(origin)
+                            chans.append(c)
+                            buckets.append(k)
+                            counts.append(int(cnt[k]))
+                            vsums.append(int(vs[k]))
+            yield pd.DataFrame(
+                {
+                    "origin": pd.Series(origins, dtype="object"),
+                    "channel": pd.Series(chans, dtype="int64"),
+                    "bucket": pd.Series(buckets, dtype="int64"),
+                    "n_bytes": pd.Series(counts, dtype="int64"),
+                    "value_sum": pd.Series(vsums, dtype="int64"),
+                }
+            )
+
+    partials = src.mapInPandas(
+        hist,
+        schema=(
+            "origin string, channel long, bucket long, "
+            "n_bytes long, value_sum long"
+        ),
+    )
+    return (
+        partials.groupBy("origin", "channel", "bucket")
+        .agg(
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+            F.sum("value_sum").cast("long").alias("value_sum"),
+        )
+        .orderBy("origin", "channel", "bucket")
+    )
+
+
+QUERIES["multimodal_color_histogram"] = multimodal_color_histogram
+ORACLES["multimodal_color_histogram"] = f"""
+WITH d AS (
+  SELECT source AS origin, text FROM documents
+  WHERE octet_length(encode(text)) = length(text)
+),
+b AS (
+  SELECT origin,
+         CAST((i - 1) % {HIST_CHANNELS} AS BIGINT) AS channel,
+         ascii(substring(text, i, 1)) AS v
+  FROM (SELECT origin, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM d)
+)
+SELECT origin, channel,
+       CAST(v // {1 << HIST_BUCKET_SHIFT} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_bytes,
+       CAST(SUM(v) AS BIGINT) AS value_sum
+FROM b GROUP BY origin, channel, bucket
+ORDER BY origin, channel, bucket
+"""

@@ -2619,3 +2619,90 @@ SELECT CAST(e.label AS BIGINT) AS label,
 FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id
 GROUP BY e.label ORDER BY label
 """
+
+
+# -- DBSCAN-style density roles ---------------------------------------
+
+DBSCAN_MIN_NEIGHBORS = 2  # core point: ≥ this many eps-neighbors
+
+
+def embedding_dbscan_core(spark: SparkSession, sf: str) -> DataFrame:
+    """DBSCAN density classification of the embedding corpus at
+    eps = NEAR_DUP_THRESHOLD cosine: CORE points have ≥
+    DBSCAN_MIN_NEIGHBORS neighbors within eps, BORDER points are
+    non-core with at least one core neighbor, the rest are NOISE.
+    This is the density triage that separates "template cluster
+    member" (core/border — candidates for aggressive dedup) from
+    "isolated document" (noise — keep) before a semantic-dedup pass.
+
+    Plan at 100 TB: the eps-neighbor graph IS
+    ``embedding_near_dup_pairs``'s block-partitioned exact pair scan
+    (per-task memory two blocks, pairs materialize only above eps —
+    sparse because eps sits above the random-background cosine;
+    for sub-background eps use cluster-local SemDeDup instead, same
+    guidance as ``check_lsh_regime``). Everything after is
+    vertex-keyed: degree aggregate, a semi-join against the core set,
+    and one roll-up — all candidate-graph-sized, corpus never
+    re-shuffled.
+    """
+    em = load_table(spark, sf, "embeddings").select("vec_id", "label")
+    pairs = embedding_near_dup_pairs(spark, sf)
+    nbrs = pairs.select(
+        F.col("d1").alias("v"), F.col("d2").alias("nbr")
+    ).unionByName(pairs.select(F.col("d2").alias("v"), F.col("d1").alias("nbr")))
+    deg = nbrs.groupBy("v").agg(F.count("*").cast("long").alias("degree"))
+    core = deg.where(F.col("degree") >= DBSCAN_MIN_NEIGHBORS).select("v")
+    border = (
+        nbrs.join(core.withColumnRenamed("v", "nbr"), "nbr")
+        .select("v")
+        .distinct()
+        .join(core, "v", "left_anti")
+    )
+    roles = (
+        em.join(deg, em.vec_id == deg.v, "left")
+        .join(core.select(F.col("v").alias("cv"), F.lit(1).alias("is_core")),
+              em.vec_id == F.col("cv"), "left")
+        .join(border.select(F.col("v").alias("bv"), F.lit(1).alias("is_border")),
+              em.vec_id == F.col("bv"), "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce(F.col("degree"), F.lit(0)).alias("degree"),
+            F.when(F.col("is_core") == 1, "core")
+            .when(F.col("is_border") == 1, "border")
+            .otherwise("noise")
+            .alias("role"),
+        )
+    )
+    return roles.groupBy("role").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("degree").cast("long").alias("total_degree"),
+        F.sum("vec_id").cast("long").alias("id_checksum"),
+    ).orderBy("role")
+
+
+QUERIES["embedding_dbscan_core"] = embedding_dbscan_core
+ORACLES["embedding_dbscan_core"] = f"""
+WITH pairs AS ({ORACLES["embedding_near_dup_pairs"]}),
+nbrs AS (
+  SELECT d1 AS v, d2 AS nbr FROM pairs
+  UNION ALL SELECT d2 AS v, d1 AS nbr FROM pairs
+),
+deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM nbrs GROUP BY v),
+core AS (SELECT v FROM deg WHERE degree >= {DBSCAN_MIN_NEIGHBORS}),
+border AS (
+  SELECT DISTINCT n.v FROM nbrs n JOIN core c ON n.nbr = c.v
+  WHERE n.v NOT IN (SELECT v FROM core)
+),
+roles AS (
+  SELECT e.vec_id, e.label, COALESCE(d.degree, 0) AS degree,
+         CASE WHEN e.vec_id IN (SELECT v FROM core) THEN 'core'
+              WHEN e.vec_id IN (SELECT v FROM border) THEN 'border'
+              ELSE 'noise' END AS role
+  FROM embeddings e LEFT JOIN deg d ON e.vec_id = d.v
+)
+SELECT role, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(degree) AS BIGINT) AS total_degree,
+       CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+FROM roles GROUP BY role ORDER BY role
+"""

@@ -1533,3 +1533,210 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          AS n_low_diversity
 FROM per_doc GROUP BY source ORDER BY source
 """
+
+
+# -- PMI collocations -------------------------------------------------
+
+PMI_MIN_COUNT = 5  # bigram support floor: kills one-off noise pairs
+PMI_TOP_K = 25
+
+
+def text_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Top adjacent-token collocations by pointwise mutual information
+    — the classic phrase-mining signal (word2vec's phrase pass, NPMI
+    boilerplate detection): PMI = log p(xy)/(p(x)p(y)). Ranking is
+    monotone in the RATIO, so no logarithm ever enters the dataflow:
+    score = (c_xy·N_uni²)/(N_bi·c_x·c_y) computed as one fixed
+    left-associated double expression (products of exact integers,
+    correctly-rounded IEEE ops — bit-identical in any engine writing
+    the same expression; at web scale compute the ratio in log-space
+    instead, the ranking is the same).
+
+    Plan at 100 TB: one token explode feeding two map-side-combined
+    aggregates (unigram + bigram counts, both vocabulary-sized
+    shuffles); the support filter (c_xy ≥ PMI_MIN_COUNT) prunes the
+    bigram table BEFORE the two vocab joins; the final top-k is
+    TakeOrderedAndProject, never a global sort.
+    """
+    d = load_table(spark, sf, "documents").select(
+        tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    d = d.select("toks", F.size("toks").alias("n"))
+    tot = d.agg(
+        F.sum("n").cast("long").alias("n_uni"),
+        F.sum(F.greatest(F.col("n") - 1, F.lit(0))).cast("long").alias("n_bi"),
+    )
+    uni = (
+        d.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bi = (
+        d.where(F.col("n") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, n - 2), i -> "
+                    "struct(toks[i] AS w1, toks[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .where(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    u1 = uni.alias("u1")
+    u2 = uni.alias("u2")
+    scored = (
+        bi.join(u1, F.col("w1") == F.col("u1.w"))
+        .join(u2, F.col("w2") == F.col("u2.w"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.col("u1.c").alias("c_x"),
+            F.col("u2.c").alias("c_y"),
+            (
+                F.col("c_xy").cast("double")
+                * F.col("n_uni").cast("double")
+                * F.col("n_uni").cast("double")
+                / (
+                    F.col("n_bi").cast("double")
+                    * F.col("u1.c").cast("double")
+                    * F.col("u2.c").cast("double")
+                )
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio").desc(), F.col("w1"), F.col("w2")
+    ).limit(PMI_TOP_K)
+
+
+_LTOKS = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+
+QUERIES["text_pmi_bigrams"] = text_pmi_bigrams
+ORACLES["text_pmi_bigrams"] = f"""
+WITH d AS (SELECT {_LTOKS} AS toks, len({_LTOKS}) AS n FROM documents),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_uni,
+         CAST(SUM(greatest(n - 1, 0)) AS BIGINT) AS n_bi FROM d
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w
+),
+bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT toks, unnest(generate_series(1, n - 1)) AS i
+              FROM d WHERE n >= 2))
+  GROUP BY w1, w2 HAVING COUNT(*) >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+       CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)
+         / (CAST(n_bi AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))
+         AS pmi_ratio
+FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
+CROSS JOIN tot
+ORDER BY pmi_ratio DESC, w1, w2 LIMIT {PMI_TOP_K}
+"""
+
+
+# -- Zipf rank-frequency fit ------------------------------------------
+
+ZIPF_TOP_R = 256  # head of the rank-frequency curve used for the fit
+
+
+def text_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-health check: least-squares slope of the log-log
+    rank-frequency curve over the top-R terms. Natural text tracks
+    Zipf's law (slope ≈ −1); spam floods, template corpora, and broken
+    tokenization bend it — a cheap distribution-level screen before
+    training.
+
+    Integer-exact throughout: x = ⌊log2 rank⌋ and y = ⌊log2 freq⌋ via
+    bit length (the libm-free trick shared with
+    ``text_char_entropy_proxy``), so Σx, Σy, Σxy, Σx² are exact int64
+    and the slope is ONE floored division. The rank window runs on a
+    constant-R frame (TakeOrderedAndProject collapses the vocabulary
+    to ZIPF_TOP_R rows first — whitelisted bounded window), so no
+    data-sized frame ever single-partitions.
+    """
+    from pyspark.sql import Window as _W
+
+    top = (
+        load_table(spark, sf, "documents")
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term"))
+        .limit(ZIPF_TOP_R)
+    )
+    ranked = top.select(
+        F.row_number()
+        .over(_W.orderBy(F.col("freq").desc(), F.col("term")))
+        .cast("long")
+        .alias("r"),
+        "freq",
+    ).select(
+        (F.length(F.expr("bin(r)")) - 1).cast("long").alias("x"),
+        (F.length(F.expr("bin(freq)")) - 1).cast("long").alias("y"),
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return agg.select(
+        "n_terms",
+        "sx",
+        "sy",
+        F.floor(
+            (
+                (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * F.lit(1_000_000)
+            ).cast("double")
+            / (
+                F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).cast("double")
+        )
+        .cast("long")
+        .alias("slope_ppm"),
+    )
+
+
+QUERIES["text_zipf_slope"] = text_zipf_slope
+ORACLES["text_zipf_slope"] = f"""
+WITH top AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_LTOKS}) AS term FROM documents)
+  GROUP BY term ORDER BY freq DESC, term LIMIT {ZIPF_TOP_R}
+),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS BIGINT) AS r,
+         freq
+  FROM top
+),
+xy AS (
+  SELECT CAST(length(bin(r)) - 1 AS BIGINT) AS x,
+         CAST(length(bin(freq)) - 1 AS BIGINT) AS y
+  FROM ranked
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM xy
+)
+SELECT n_terms, sx, sy,
+       CAST(floor(CAST((n_terms * sxy - sx * sy) * 1000000 AS DOUBLE)
+                  / CAST(n_terms * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+         AS slope_ppm
+FROM agg
+"""

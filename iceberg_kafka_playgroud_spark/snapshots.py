@@ -1607,3 +1607,102 @@ SELECT CAST(id % {N_BUCKETS} AS BIGINT) AS bucket,
 FROM (SELECT unnest(generate_series(0, {N_PER_APPEND * N_APPENDS - 1})) AS id)
 GROUP BY bucket ORDER BY bucket
 """
+
+
+# -- small-file compaction audit --------------------------------------
+
+TARGET_ROWS_PER_FILE = 250  # compaction target (rows stand in for MB)
+
+
+def snapshot_file_size_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file audit + compaction plan — the table-maintenance
+    dashboard behind Iceberg's ``rewrite_data_files`` decision: per
+    partition (bucket), how many data files the append history has
+    accumulated, how small they run, and how many files an ideal
+    rewrite at TARGET_ROWS_PER_FILE would produce (files_saved =
+    current − ⌈rows/target⌉). Built on the manifest ONLY (O(files)
+    planning, zero data bytes) — at 100 TB the audit over millions of
+    files is itself a metadata query, which is why the stats live in
+    the manifest in the first place. Sizes are row counts, not bytes:
+    byte sizes vary with encoder/codec versions, row counts are
+    engine-invariant (and Iceberg plans compaction on both).
+
+    The fixture table is three appends WITHOUT the demo rewrite, so
+    every bucket really holds N_APPENDS small files.
+    """
+    import atexit
+    import shutil
+
+    table_dir = tempfile.mkdtemp(prefix="snap_fsa_")
+    atexit.register(shutil.rmtree, table_dir, ignore_errors=True)
+    for k in range(N_APPENDS):
+        commit_append(
+            spark,
+            table_dir,
+            _fabric_slice(spark, k * N_PER_APPEND, (k + 1) * N_PER_APPEND),
+        )
+    f = files_df(spark, table_dir)
+    return (
+        f.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("record_count").cast("long").alias("n_rows"),
+            F.min("record_count").cast("long").alias("min_file_rows"),
+            F.max("record_count").cast("long").alias("max_file_rows"),
+            F.sum(
+                (F.col("record_count") < TARGET_ROWS_PER_FILE).cast("long")
+            )
+            .cast("long")
+            .alias("n_small_files"),
+        )
+        .select(
+            "bucket",
+            "n_files",
+            "n_rows",
+            "min_file_rows",
+            "max_file_rows",
+            "n_small_files",
+            F.ceil(F.col("n_rows") / F.lit(TARGET_ROWS_PER_FILE))
+            .cast("long")
+            .alias("planned_files"),
+            (
+                F.col("n_files")
+                - F.ceil(F.col("n_rows") / F.lit(TARGET_ROWS_PER_FILE))
+            )
+            .cast("long")
+            .alias("files_saved"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["snapshot_file_size_audit"] = snapshot_file_size_audit
+# analytic twin: append k covers fabric ids [k*400, (k+1)*400), bucket
+# = id % N_BUCKETS, one file per (append, bucket) — the oracle derives
+# the same file inventory from first principles
+ORACLES["snapshot_file_size_audit"] = f"""
+WITH files AS (
+  SELECT id // {N_PER_APPEND} AS append_k,
+         CAST(id % {N_BUCKETS} AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS record_count
+  FROM (SELECT unnest(generate_series(0, {N_PER_APPEND * N_APPENDS - 1}))
+          AS id)
+  GROUP BY append_k, bucket
+),
+agg AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST(SUM(record_count) AS BIGINT) AS n_rows,
+         CAST(MIN(record_count) AS BIGINT) AS min_file_rows,
+         CAST(MAX(record_count) AS BIGINT) AS max_file_rows,
+         CAST(SUM(CASE WHEN record_count < {TARGET_ROWS_PER_FILE}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_small_files
+  FROM files GROUP BY bucket
+)
+SELECT bucket, n_files, n_rows, min_file_rows, max_file_rows,
+       n_small_files,
+       CAST(ceil(CAST(n_rows AS DOUBLE) / {TARGET_ROWS_PER_FILE})
+            AS BIGINT) AS planned_files,
+       CAST(n_files - ceil(CAST(n_rows AS DOUBLE)
+            / {TARGET_ROWS_PER_FILE}) AS BIGINT) AS files_saved
+FROM agg ORDER BY bucket
+"""

@@ -1444,3 +1444,126 @@ GROUP BY hour_start, event_type
 HAVING hour_start + INTERVAL 1 HOUR <= MAX(wm.w)
 ORDER BY hour_start, event_type
 """
+
+
+# -- left-outer stream-stream join ------------------------------------
+
+
+def stream_stream_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the semantics tier
+    above ``stream_stream_join``: views with NO purchase in the
+    following hour must still emit (with nulls), which the engine can
+    only do once the watermark proves no matching purchase can arrive.
+    That makes outer stream joins the canonical watermark-correctness
+    test: get the watermark wrong and unmatched rows either never
+    appear or appear early.
+
+    Determinism harness: the replay is staged as TWO files consumed
+    in order (maxFilesPerTrigger=1) — the fixture, then a far-future
+    sentinel pair (2 h past max ts, negative user ids). The sentinel
+    batch advances BOTH sides' watermarks past every real view's join
+    window, so every unmatched real view flushes in batch 2; only the
+    sentinels themselves stay in state at stop, and they are excluded
+    from the result. At scale the same topology runs unbounded —
+    state is pruned to the interval + watermark delay, so join state
+    is O(rate × window), not O(stream).
+    """
+    import shutil
+
+    from ..schema import load_table
+
+    events = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    stage = tempfile.mkdtemp(prefix="ss_louter_")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    sentinels = spark.createDataFrame(
+        [(-1, "view", max_ts), (-2, "purchase", max_ts)],
+        "user_id long, event_type string, ts timestamp",
+    ).select(
+        "user_id",
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+    )
+
+    def _stage_one(df: DataFrame, name: str, mtime: float) -> None:
+        tmp = tempfile.mkdtemp(prefix="ss_louter_w_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(stage, name)
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    import time as _time
+
+    now = _time.time()
+    _stage_one(events, "a.parquet", now - 120)
+    _stage_one(sentinels, "b.parquet", now - 60)
+
+    schema = "user_id long, event_type string, ts timestamp"
+    views = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "10 minutes")
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "leftOuter",
+    )
+    out = _run_to_memory(joined, "append")
+    return (
+        out.where(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("purchase_ts").cast("long").alias("n_matched"),
+            (F.count("*") - F.count("purchase_ts"))
+            .cast("long")
+            .alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["stream_stream_left_outer"] = stream_stream_left_outer
+ORACLES["stream_stream_left_outer"] = """
+WITH v AS (SELECT user_id, ts AS view_ts FROM events
+           WHERE event_type = 'view'),
+p AS (SELECT user_id AS p_user, ts AS pts FROM events
+      WHERE event_type = 'purchase'),
+j AS (
+  SELECT v.user_id, v.view_ts, p.pts
+  FROM v LEFT JOIN p
+    ON v.user_id = p.p_user
+   AND p.pts >= v.view_ts
+   AND p.pts <= v.view_ts + INTERVAL 1 HOUR
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(pts) AS BIGINT) AS n_matched,
+       CAST(COUNT(*) - COUNT(pts) AS BIGINT) AS n_unmatched
+FROM j GROUP BY user_id ORDER BY user_id
+"""

@@ -212,6 +212,9 @@ GLOBAL_WINDOW_BOUNDED_OK = {
     # horizon-truncated frames (TakeOrderedAndProject to a constant
     # before the rank window; plan-pinned in test_plans.py)
     "hybrid_rrf_retrieval",
+    # constant-R frame: vocabulary collapsed to ZIPF_TOP_R=256 rows by
+    # orderBy().limit() BEFORE the rank window
+    "text_zipf_slope",
 }
 
 
