@@ -101,6 +101,11 @@ _PRIORITY = [
     "snapshot_file_size_audit",
     "multimodal_color_histogram",
     "stream_stream_left_outer",
+    "ann_mmr_rerank",
+    "text_feature_hashing",
+    "text_collated_terms",
+    "sql_parameterized_query",
+    "orders_survival_hazard",
     # -- staleness order: r2/r4/r6/r5-era greens --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -3930,3 +3930,105 @@ SELECT user_id,
        CAST(SUM(cents) AS BIGINT) AS cents_sum
 FROM m GROUP BY user_id ORDER BY user_id
 """
+
+
+# -- reorder survival (Nelson–Aalen cumulative hazard) ----------------
+
+
+def orders_survival_hazard(spark: SparkSession, sf: str) -> DataFrame:
+    """Survival analysis over reorder intervals: for each waiting time
+    t (days between a customer's consecutive orders), the number at
+    risk (intervals ≥ t), events at t, the discrete hazard d/n, and
+    the Nelson–Aalen cumulative hazard Σ_{t'≤t} d/n — the standard
+    "how long until the customer orders again" curve behind churn and
+    inventory models. The complete-data special case (every interval
+    observed; censoring would add a second counting column, not a new
+    shape). Kaplan–Meier's Π(1 − d/n) needs a log/exp round-trip to
+    accumulate — Nelson–Aalen is the estimator that stays exact in
+    integer ppm: per-t hazard floors to ppm, the cumulative sum is
+    int64.
+
+    Plan: intervals from one customer-partitioned lag window over
+    orders; the survival table then lives on DISTINCT interval values
+    — calendar-bounded cardinality (≤ days in the fixture's date
+    span), so the two ordered windows (at-risk countdown, cumulative
+    hazard) run on a frame that CANNOT grow with row count
+    (whitelisted bounded global window, same class as the
+    gap-fill/concurrency queries).
+    """
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    wc = W.partitionBy("o_custkey").orderBy("d", "o_custkey")
+    iv = (
+        o.select(
+            F.datediff(F.col("d"), F.lag("d").over(wc)).alias("t")
+        )
+        .where(F.col("t").isNotNull())
+        .select(F.col("t").cast("long").alias("t"))
+    )
+    counts = iv.groupBy("t").agg(F.count("*").cast("long").alias("d_events"))
+    wt = W.orderBy("t")
+    prior = F.coalesce(
+        F.sum("d_events").over(
+            wt.rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    tot = counts.agg(F.sum("d_events").cast("long").alias("n_total"))
+    surv = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("n_at_risk", (F.col("n_total") - prior).cast("long"))
+        .withColumn(
+            "hazard_ppm",
+            F.floor(
+                (F.col("d_events") * F.lit(1_000_000)).cast("double")
+                / F.col("n_at_risk").cast("double")
+            ).cast("long"),
+        )
+        .withColumn(
+            "cum_hazard_ppm",
+            F.sum("hazard_ppm")
+            .over(wt.rowsBetween(W.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    )
+    return surv.select(
+        "t", "d_events", "n_at_risk", "hazard_ppm", "cum_hazard_ppm"
+    ).orderBy("t")
+
+
+QUERIES["orders_survival_hazard"] = orders_survival_hazard
+ORACLES["orders_survival_hazard"] = """
+WITH iv AS (
+  SELECT CAST(date_diff('day',
+           LAG(CAST(o_orderdate AS DATE)) OVER
+             (PARTITION BY o_custkey
+              ORDER BY CAST(o_orderdate AS DATE), o_custkey),
+           CAST(o_orderdate AS DATE)) AS BIGINT) AS t
+  FROM orders
+),
+counts AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS d_events
+  FROM iv WHERE t IS NOT NULL GROUP BY t
+),
+tot AS (SELECT CAST(SUM(d_events) AS BIGINT) AS n_total FROM counts),
+surv AS (
+  SELECT t, d_events,
+         CAST(n_total - COALESCE(SUM(d_events) OVER
+           (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS n_at_risk
+  FROM counts CROSS JOIN tot
+),
+hz AS (
+  SELECT t, d_events, n_at_risk,
+         CAST(floor(CAST(d_events * 1000000 AS DOUBLE)
+                    / CAST(n_at_risk AS DOUBLE)) AS BIGINT) AS hazard_ppm
+  FROM surv
+)
+SELECT t, d_events, n_at_risk, hazard_ppm,
+       CAST(SUM(hazard_ppm) OVER
+         (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_hazard_ppm
+FROM hz ORDER BY t
+"""

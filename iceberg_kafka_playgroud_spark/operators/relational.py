@@ -2718,3 +2718,53 @@ FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY level_id, priority, status
 """
+
+
+# -- parameterized SQL ------------------------------------------------
+
+PARAM_PRIORITY = "1-URGENT"
+PARAM_MIN_CENTS = 15_000_000  # o_totalprice floor, exact cents
+
+
+def sql_parameterized_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Named-parameter SQL (Spark 4 ``spark.sql(..., args={...})``) —
+    the injection-safe API surface the reference's REST endpoint
+    (duckdb_rest_server.py:63-88, raw string interpolation) should
+    have used: parameters bind as typed literals in the analyzer, so
+    user values can never splice into the query text. The plan is
+    identical to the literal query — Catalyst folds the bound
+    literals and pushes the filters into the scan like any constant.
+
+    Money follows the module's integer-cents rule: the floor binds as
+    integer cents and rows compare on ``round(x*100)`` → BIGINT (the
+    truncating-CAST form differs between engines on FP-error cents).
+    """
+    _views(spark, sf, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS revenue_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderpriority = :prio
+          AND CAST(round(o_totalprice * 100) AS BIGINT) >= :min_cents
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+        args={"prio": PARAM_PRIORITY, "min_cents": PARAM_MIN_CENTS},
+    )
+
+
+QUERIES["sql_parameterized_query"] = sql_parameterized_query
+ORACLES["sql_parameterized_query"] = f"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderpriority = '{PARAM_PRIORITY}'
+  AND CAST(round(o_totalprice * 100) AS BIGINT) >= {PARAM_MIN_CENTS}
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

@@ -2706,3 +2706,207 @@ SELECT role, CAST(COUNT(*) AS BIGINT) AS n_vecs,
        CAST(SUM(vec_id) AS BIGINT) AS id_checksum
 FROM roles GROUP BY role ORDER BY role
 """
+
+
+# -- maximal marginal relevance re-ranking ----------------------------
+
+MMR_POOL = 20  # relevance shortlist per query fed to the MMR stage
+MMR_K = 5  # diversified picks per query
+MMR_LAMBDA = 0.7  # relevance weight
+MMR_MU = 0.3  # redundancy weight — an explicit literal, NOT 1-λ: the
+# float 1-0.7 is 0.30000000000000004, which would diverge from the
+# oracle's parsed 0.3 in the last ulp
+
+
+def ann_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein 1998) — the standard post-ANN re-rank that trades raw
+    similarity for coverage: after a relevance-only shortlist of
+    MMR_POOL candidates per query, greedily pick MMR_K items, each
+    maximizing λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s). Pick 1 is
+    pure relevance; later scores are the MMR objective at selection
+    time.
+
+    Parity: every pairwise cosine is rounded to 6 dp BEFORE the linear
+    combination (the module-wide FP-association guard), and the
+    greedy argmax tie-breaks on neighbor_id, so the selection path is
+    deterministic in both engines — the oracle replays the identical
+    greedy unroll as chained CTEs.
+
+    Plan at 100 TB: the expensive part is the shortlist (one corpus
+    pass, shared shape with ``_topk_cosine``); everything after runs
+    on queries×MMR_POOL rows — the candidate-pair "matrix" is
+    queries×POOL² (constant per query), so the unrolled MMR_K steps
+    are bounded joins over tiny frames, never corpus-touching.
+    """
+    em = load_table(spark, sf, "embeddings").select(
+        "vec_id", _to_double(F.col("embedding")).alias("vec")
+    )
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(em)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
+        )
+    )
+    wrel = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        sims.withColumn("rn", F.row_number().over(wrel))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+        .cache()
+    )
+    e1 = em.select(F.col("vec_id").alias("va"), F.col("vec").alias("v1"))
+    e2 = em.select(F.col("vec_id").alias("vb"), F.col("vec").alias("v2"))
+    c1 = cand.select("query_id", F.col("neighbor_id").alias("va"))
+    c2 = cand.select("query_id", F.col("neighbor_id").alias("vb"))
+    pairs = (
+        c1.join(c2, "query_id")
+        .filter(F.col("va") != F.col("vb"))
+        .join(F.broadcast(e1), "va")
+        .join(F.broadcast(e2), "vb")
+        .select(
+            "query_id",
+            "va",
+            "vb",
+            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("psim"),
+        )
+        .cache()
+    )
+    wpick = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    selected = (
+        cand.select(
+            "query_id", "neighbor_id", F.col("sim").alias("score")
+        )
+        .withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("long").alias("step"),
+            "neighbor_id",
+            "score",
+        )
+    )
+    for step in range(2, MMR_K + 1):
+        sel_ids = selected.select(
+            "query_id", F.col("neighbor_id").alias("vb")
+        )
+        msel = (
+            pairs.join(sel_ids, ["query_id", "vb"])
+            .groupBy("query_id", "va")
+            .agg(F.max("psim").alias("maxsel"))
+        )
+        remaining = cand.join(
+            selected.select(
+                "query_id", F.col("neighbor_id").alias("nid")
+            ).withColumnRenamed("nid", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        pick = (
+            remaining.join(
+                msel,
+                (remaining.query_id == msel.query_id)
+                & (remaining.neighbor_id == msel.va),
+            )
+            .select(
+                remaining.query_id,
+                "neighbor_id",
+                (
+                    F.lit(MMR_LAMBDA) * F.col("sim")
+                    - F.lit(MMR_MU) * F.col("maxsel")
+                ).alias("score"),
+            )
+            .withColumn("rn", F.row_number().over(wpick))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(step).cast("long").alias("step"),
+                "neighbor_id",
+                "score",
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected.orderBy("query_id", "step")
+
+
+def _mmr_oracle() -> str:
+    lam, mu = MMR_LAMBDA, MMR_MU
+    cos_q = (
+        f"round({_DOT.format(a='q.qe', b='e.embedding')}"
+        f" / ({_NORM.format(a='q.qe')} * {_NORM.format(a='e.embedding')}), 6)"
+    )
+    cos_p = (
+        f"round({_DOT.format(a='x1.embedding', b='x2.embedding')}"
+        f" / ({_NORM.format(a='x1.embedding')} * {_NORM.format(a='x2.embedding')}), 6)"
+    )
+    sql = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {cos_q} AS sim
+  FROM q, embeddings e WHERE e.vec_id != q.query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, sim FROM (
+    SELECT query_id, neighbor_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rn
+    FROM sims
+  ) WHERE rn <= {MMR_POOL}
+),
+pairs AS (
+  SELECT a.query_id, a.neighbor_id AS va, b.neighbor_id AS vb,
+         {cos_p} AS psim
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+  JOIN embeddings x1 ON x1.vec_id = a.neighbor_id
+  JOIN embeddings x2 ON x2.vec_id = b.neighbor_id
+),
+sel1 AS (
+  SELECT query_id, CAST(1 AS BIGINT) AS step, neighbor_id, sim AS score
+  FROM (SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rn
+        FROM cand) WHERE rn = 1
+),
+acc1 AS (SELECT * FROM sel1)"""
+    for s in range(2, MMR_K + 1):
+        sql += f""",
+sel{s} AS (
+  SELECT query_id, CAST({s} AS BIGINT) AS step, neighbor_id, score FROM (
+    SELECT c.query_id, c.neighbor_id,
+           {lam} * c.sim - {mu} * m.maxsel AS score,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+             ORDER BY {lam} * c.sim - {mu} * m.maxsel DESC,
+                      c.neighbor_id) AS rn
+    FROM cand c
+    JOIN (SELECT p.query_id, p.va, MAX(p.psim) AS maxsel
+          FROM pairs p JOIN acc{s - 1} a
+            ON p.query_id = a.query_id AND p.vb = a.neighbor_id
+          GROUP BY p.query_id, p.va) m
+      ON m.query_id = c.query_id AND m.va = c.neighbor_id
+    LEFT JOIN acc{s - 1} d
+      ON d.query_id = c.query_id AND d.neighbor_id = c.neighbor_id
+    WHERE d.neighbor_id IS NULL
+  ) WHERE rn = 1
+),
+acc{s} AS (SELECT * FROM acc{s - 1} UNION ALL SELECT * FROM sel{s})"""
+    return sql + f"""
+SELECT query_id, step, neighbor_id, score FROM acc{MMR_K}
+ORDER BY query_id, step
+"""
+
+
+QUERIES["ann_mmr_rerank"] = ann_mmr_rerank
+ORACLES["ann_mmr_rerank"] = _mmr_oracle()

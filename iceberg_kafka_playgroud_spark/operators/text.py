@@ -1740,3 +1740,109 @@ SELECT n_terms, sx, sy,
          AS slope_ppm
 FROM agg
 """
+
+
+# -- signed feature hashing -------------------------------------------
+
+FH_DIMS = 32  # hashed feature-vector width (hashing trick)
+
+
+def text_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    """Signed feature hashing (Weinberger et al. 2009 — the "hashing
+    trick"): every token maps to dimension md5(w) mod FH_DIMS with a
+    ±1 sign from the next hash nibble, so unbounded vocabularies
+    project into a fixed-width vector with zero dictionary state —
+    the way large-scale linear models and count-sketch features
+    avoid a vocab build entirely. Reported as the per-source summed
+    feature vector (signed_sum per dimension) — exact integers, so
+    the collision-cancellation property is visible in the output.
+
+    Plan at 100 TB: one explode → one (source, dim)-keyed map-side-
+    combined aggregate; the output is sources × FH_DIMS rows. No
+    vocab table, no join — this is the stateless alternative to
+    ``vocab_top_terms``-style pipelines.
+    """
+    w = load_table(spark, sf, "documents").select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    h = F.md5(F.col("w"))
+    feat = w.select(
+        "source",
+        F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(FH_DIMS))
+        .cast("long")
+        .alias("dim"),
+        F.when(F.substring(h, 9, 1) <= "7", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("sign"),
+    )
+    return (
+        feat.groupBy("source", "dim")
+        .agg(
+            F.sum("sign").cast("long").alias("signed_sum"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "dim")
+    )
+
+
+QUERIES["text_feature_hashing"] = text_feature_hashing
+ORACLES["text_feature_hashing"] = f"""
+WITH w AS (SELECT source, unnest({_LTOKS}) AS w FROM documents),
+feat AS (
+  SELECT source,
+         CAST(CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+              % {FH_DIMS} AS BIGINT) AS dim,
+         CAST(CASE WHEN substring(md5(w), 9, 1) <= '7'
+                   THEN 1 ELSE -1 END AS BIGINT) AS sign
+  FROM w
+)
+SELECT source, dim, CAST(SUM(sign) AS BIGINT) AS signed_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM feat GROUP BY source, dim ORDER BY source, dim
+"""
+
+
+# -- collation-aware term grouping ------------------------------------
+
+COLLATE_TOP_K = 30
+
+
+def text_collated_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Case-insensitive term frequencies via Spark 4 COLLATION
+    (UTF8_LCASE) instead of lower(): grouping keys compare under the
+    collation while the stored strings keep their original casing —
+    the engine-native way to fold case (and, with ICU collations,
+    locale rules lower() can't express; on this ASCII fixture the two
+    agree, which is what the lower()-based oracle checks). The
+    representative term is MIN(original) — the collated group key
+    itself keeps an arbitrary member's casing, so it never enters the
+    output contract. Casefolded distinct-count and variant-count per
+    group expose where collation actually merged keys.
+    """
+    terms = load_table(spark, sf, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    return (
+        terms.groupBy(
+            F.collate(F.col("term"), "UTF8_LCASE").alias("ckey")
+        )
+        .agg(
+            F.min("term").alias("canonical"),
+            F.count("*").cast("long").alias("freq"),
+            F.count_distinct("term").cast("long").alias("n_case_variants"),
+        )
+        .select("canonical", "freq", "n_case_variants")
+        .orderBy(F.col("freq").desc(), F.col("canonical"))
+        .limit(COLLATE_TOP_K)
+    )
+
+
+QUERIES["text_collated_terms"] = text_collated_terms
+ORACLES["text_collated_terms"] = f"""
+WITH t AS (SELECT unnest({_TOKS}) AS term FROM documents)
+SELECT MIN(term) AS canonical, CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(COUNT(DISTINCT term) AS BIGINT) AS n_case_variants
+FROM t GROUP BY lower(term)
+ORDER BY freq DESC, canonical LIMIT {COLLATE_TOP_K}
+"""

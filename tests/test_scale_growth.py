@@ -215,6 +215,9 @@ GLOBAL_WINDOW_BOUNDED_OK = {
     # constant-R frame: vocabulary collapsed to ZIPF_TOP_R=256 rows by
     # orderBy().limit() BEFORE the rank window
     "text_zipf_slope",
+    # survival table lives on DISTINCT reorder-interval day values —
+    # calendar-bounded cardinality (≤ days in the date span)
+    "orders_survival_hazard",
 }
 
 
