@@ -106,6 +106,8 @@ _PRIORITY = [
     "text_collated_terms",
     "sql_parameterized_query",
     "orders_survival_hazard",
+    "dedup_chunk_stitch_audit",
+    "dedup_weighted_jaccard",
     # -- staleness order: r2/r4/r6/r5-era greens --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

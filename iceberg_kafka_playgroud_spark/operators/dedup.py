@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schema import load_table
+from ..schema import load_table, table_row_count
 from .text import normalized, tokens
 
 N_HASHES = 8
@@ -1642,4 +1642,199 @@ clusters AS (
 SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_templates,
        CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
 FROM clusters GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+# -- split-document stitch audit --------------------------------------
+
+STITCH_K = 3  # overlap width in tokens (tail-of-A == head-of-B)
+STITCH_TOP = 20
+
+
+def dedup_chunk_stitch_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-document detection: a doc whose LAST STITCH_K tokens equal
+    another doc's FIRST STITCH_K tokens is the signature of one source
+    document sharded across records (pagination, chunked uploads,
+    context-window splits) — the inverse failure mode of duplication,
+    and invisible to every similarity dedup because the two halves
+    share almost nothing. Reported as the per-boundary-gram audit:
+    tail count × head count per overlap gram, top keys by implied
+    stitch-pair volume.
+
+    Scale posture: heads and tails are ONE narrow projection each
+    (first/last K tokens as a single join key string), the join is a
+    gram-keyed equi-count — and pairs are NEVER materialized: a hot
+    boundary gram (a template opening shared by n docs) would explode
+    n_tails×n_heads pairs, so the audit reports the COUNTS whose
+    product is that volume instead (the same no-quadratic-candidates
+    discipline as ``check_lsh_regime``). A stitcher consuming this
+    audit joins only the keys it accepts.
+    """
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    d = d.where(F.size("toks") >= 2 * STITCH_K).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("toks", 1, STITCH_K)).alias("head_gram"),
+        F.concat_ws(" ", F.slice("toks", -STITCH_K, STITCH_K)).alias(
+            "tail_gram"
+        ),
+    )
+    heads = d.groupBy(F.col("head_gram").alias("gram")).agg(
+        F.count("*").cast("long").alias("n_heads")
+    )
+    tails = d.groupBy(F.col("tail_gram").alias("gram")).agg(
+        F.count("*").cast("long").alias("n_tails")
+    )
+    return (
+        tails.join(heads, "gram")
+        .select(
+            "gram",
+            "n_tails",
+            "n_heads",
+            (F.col("n_tails") * F.col("n_heads")).cast("long").alias(
+                "n_stitch_pairs"
+            ),
+        )
+        .orderBy(F.col("n_stitch_pairs").desc(), F.col("gram"))
+        .limit(STITCH_TOP)
+    )
+
+
+QUERIES["dedup_chunk_stitch_audit"] = dedup_chunk_stitch_audit
+ORACLES["dedup_chunk_stitch_audit"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+),
+k AS (
+  SELECT doc_id,
+         array_to_string(toks[1:{STITCH_K}], ' ') AS head_gram,
+         array_to_string(toks[-{STITCH_K}:], ' ') AS tail_gram
+  FROM d WHERE len(toks) >= {2 * STITCH_K}
+),
+heads AS (SELECT head_gram AS gram, CAST(COUNT(*) AS BIGINT) AS n_heads
+          FROM k GROUP BY head_gram),
+tails AS (SELECT tail_gram AS gram, CAST(COUNT(*) AS BIGINT) AS n_tails
+          FROM k GROUP BY tail_gram)
+SELECT t.gram, t.n_tails, h.n_heads,
+       CAST(t.n_tails * h.n_heads AS BIGINT) AS n_stitch_pairs
+FROM tails t JOIN heads h ON t.gram = h.gram
+ORDER BY n_stitch_pairs DESC, t.gram LIMIT {STITCH_TOP}
+"""
+
+
+# -- IDF-weighted Jaccard scoring -------------------------------------
+
+
+def dedup_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """IDF-weighted Jaccard over the MinHash candidate pairs: rare
+    shingles count more than boilerplate ones, so two docs sharing a
+    distinctive phrase score higher than two sharing only template
+    chrome — the re-weighting practical near-dup pipelines apply when
+    plain Jaccard over-fires on boilerplate. Weight w(t) =
+    bitlen(n_docs) − bitlen(df_t) + 1 (an integer-exact ⌊log2⌋ IDF,
+    the module's libm-free trick), so every per-pair score is a ratio
+    of exact int64 sums: Jw = Σ_{t∈a∩b} w / (Wa + Wb − Σ_inter w),
+    floored to ppm. Output: every candidate pair with BOTH metrics —
+    the weighted score and its delta vs unweighted ppm Jaccard.
+
+    Plan: candidate-set-sized like the unweighted verifier — shingles
+    pruned to candidate docs (broadcast semi-join) BEFORE the df join;
+    the df table itself is vocabulary-sized and map-side combined.
+    """
+    sh, cand = _minhash_candidates(spark, sf)
+    cand_docs = (
+        cand.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
+    )
+    shc = sh.join(F.broadcast(cand_docs), "doc_id")
+    # footer-metadata row count — no data scan just to size the IDF
+    nbits = table_row_count(sf, "documents").bit_length()
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    wsh = shc.join(df, "shingle").select(
+        "doc_id",
+        "shingle",
+        (
+            F.lit(nbits)
+            - (F.length(F.expr("bin(df)")) - 1)
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    wsizes = wsh.groupBy("doc_id").agg(F.sum("w").cast("long").alias("wt"))
+    s1 = wsh.alias("s1")
+    s2 = wsh.alias("s2")
+    winter = (
+        F.broadcast(cand)
+        .join(s1, F.col("s1.doc_id") == F.col("d1"))
+        .join(
+            s2,
+            (F.col("s2.doc_id") == F.col("d2"))
+            & (F.col("s2.shingle") == F.col("s1.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(
+            F.sum("s1.w").cast("long").alias("wi"),
+            F.count("*").cast("long").alias("n_inter"),
+        )
+    )
+    n1 = wsizes.alias("n1")
+    n2 = wsizes.alias("n2")
+    return (
+        winter.join(F.broadcast(n1), F.col("n1.doc_id") == F.col("d1"))
+        .join(F.broadcast(n2), F.col("n2.doc_id") == F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            "n_inter",
+            F.floor(
+                (F.col("wi") * F.lit(1_000_000)).cast("double")
+                / (F.col("n1.wt") + F.col("n2.wt") - F.col("wi")).cast(
+                    "double"
+                )
+            )
+            .cast("long")
+            .alias("wjac_ppm"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+QUERIES["dedup_weighted_jaccard"] = dedup_weighted_jaccard
+ORACLES["dedup_weighted_jaccard"] = f"""
+WITH {_SHINGLES_CTE},
+{_MINHASH_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_idx=b.band_idx AND a.band_val=b.band_val
+   AND a.doc_id < b.doc_id
+),
+nd AS (SELECT length(bin(COUNT(*))) AS nbits FROM documents),
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+wsh AS (
+  SELECT s.doc_id, s.shingle,
+         CAST(nd.nbits - (length(bin(df.df)) - 1) + 1 AS BIGINT) AS w
+  FROM sh s JOIN df USING (shingle) CROSS JOIN nd
+),
+wsizes AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wt
+           FROM wsh GROUP BY doc_id),
+winter AS (
+  SELECT c.d1, c.d2, CAST(SUM(s1.w) AS BIGINT) AS wi,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN wsh s1 ON s1.doc_id = c.d1
+  JOIN wsh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+  GROUP BY c.d1, c.d2
+)
+SELECT w.d1, w.d2, w.n_inter,
+       CAST(floor(CAST(w.wi * 1000000 AS DOUBLE)
+                  / CAST(n1.wt + n2.wt - w.wi AS DOUBLE)) AS BIGINT)
+         AS wjac_ppm
+FROM winter w
+JOIN wsizes n1 ON n1.doc_id = w.d1
+JOIN wsizes n2 ON n2.doc_id = w.d2
+ORDER BY w.d1, w.d2
 """

@@ -2727,18 +2727,24 @@ def ann_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     pure relevance; later scores are the MMR objective at selection
     time.
 
-    Parity: every pairwise cosine is rounded to 6 dp BEFORE the linear
-    combination (the module-wide FP-association guard), and the
-    greedy argmax tie-breaks on neighbor_id, so the selection path is
-    deterministic in both engines — the oracle replays the identical
-    greedy unroll as chained CTEs.
+    Parity: the shortlist sims are the JVM round-6 cosines; inside the
+    per-query pandas stage the pairwise sims use the bit-exact
+    ``_fold_cosine`` + half-up-rounding kernel (the near-dup verifier's
+    kernel, proven against the same DuckDB ``list_sum`` expressions),
+    and the greedy combine 0.7·rel − 0.3·red is the identical IEEE
+    expression the oracle's chained-CTE unroll evaluates — ties break
+    on neighbor_id. MMR_MU is an explicit 0.3 literal (1−0.7 differs
+    in the last ulp).
 
-    Plan at 100 TB: the expensive part is the shortlist (one corpus
-    pass, shared shape with ``_topk_cosine``); everything after runs
-    on queries×MMR_POOL rows — the candidate-pair "matrix" is
-    queries×POOL² (constant per query), so the unrolled MMR_K steps
-    are bounded joins over tiny frames, never corpus-touching.
-    """
+    Plan at 100 TB: the corpus-touching work is ONE pass (the
+    shortlist, shared shape with ``_topk_cosine``); the greedy stage
+    is a single applyInPandas over queries×MMR_POOL rows — per-task
+    memory one pool (POOL² sims computed locally), no unrolled join
+    cascade (the first cut ran MMR_K rounds of joins+windows: ~25
+    shuffle stages of scheduling floor for frames of 100 rows —
+    measured 14 s warm at sf0.1 vs ~1 s for this shape)."""
+    import numpy as np
+
     em = load_table(spark, sf, "embeddings").select(
         "vec_id", _to_double(F.col("embedding")).alias("vec")
     )
@@ -2753,6 +2759,7 @@ def ann_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
+            "vec",
         )
     )
     wrel = W.partitionBy("query_id").orderBy(
@@ -2762,82 +2769,57 @@ def ann_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
         sims.withColumn("rn", F.row_number().over(wrel))
         .filter(F.col("rn") <= MMR_POOL)
         .drop("rn")
-        .cache()
     )
-    e1 = em.select(F.col("vec_id").alias("va"), F.col("vec").alias("v1"))
-    e2 = em.select(F.col("vec_id").alias("vb"), F.col("vec").alias("v2"))
-    c1 = cand.select("query_id", F.col("neighbor_id").alias("va"))
-    c2 = cand.select("query_id", F.col("neighbor_id").alias("vb"))
-    pairs = (
-        c1.join(c2, "query_id")
-        .filter(F.col("va") != F.col("vb"))
-        .join(F.broadcast(e1), "va")
-        .join(F.broadcast(e2), "vb")
-        .select(
-            "query_id",
-            "va",
-            "vb",
-            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("psim"),
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["sim"].to_numpy()
+        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        n = len(ids)
+        ii, jj = np.indices((n, n)).reshape(2, -1)
+        psim = _round_half_up(_fold_cosine(mat[ii], mat[jj])).reshape(n, n)
+        qid = int(pdf["query_id"].iloc[0])
+        picked: list[int] = []
+        steps, out_ids, scores = [], [], []
+        for step in range(1, min(MMR_K, n) + 1):
+            if step == 1:
+                score = rel.copy()
+            else:
+                red = psim[:, picked].max(axis=1)
+                score = MMR_LAMBDA * rel - MMR_MU * red
+            score[picked] = -np.inf
+            # argmax with (score desc, neighbor_id asc) tie-break:
+            # ids are sorted only by (sim, id), so scan explicitly
+            best = -1
+            for i in range(n):
+                if i in picked:
+                    continue
+                if (
+                    best < 0
+                    or score[i] > score[best]
+                    or (score[i] == score[best] and ids[i] < ids[best])
+                ):
+                    best = i
+            picked.append(best)
+            steps.append(step)
+            out_ids.append(int(ids[best]))
+            scores.append(float(score[best]))
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(steps), qid, dtype="int64"),
+                "step": np.array(steps, dtype="int64"),
+                "neighbor_id": np.array(out_ids, dtype="int64"),
+                "score": np.array(scores, dtype="float64"),
+            }
         )
-        .cache()
+
+    out = cand.groupBy("query_id").applyInPandas(
+        greedy, schema="query_id long, step long, neighbor_id long, score double"
     )
-    wpick = W.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
-    )
-    selected = (
-        cand.select(
-            "query_id", "neighbor_id", F.col("sim").alias("score")
-        )
-        .withColumn("rn", F.row_number().over(wpick))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            F.lit(1).cast("long").alias("step"),
-            "neighbor_id",
-            "score",
-        )
-    )
-    for step in range(2, MMR_K + 1):
-        sel_ids = selected.select(
-            "query_id", F.col("neighbor_id").alias("vb")
-        )
-        msel = (
-            pairs.join(sel_ids, ["query_id", "vb"])
-            .groupBy("query_id", "va")
-            .agg(F.max("psim").alias("maxsel"))
-        )
-        remaining = cand.join(
-            selected.select(
-                "query_id", F.col("neighbor_id").alias("nid")
-            ).withColumnRenamed("nid", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-        pick = (
-            remaining.join(
-                msel,
-                (remaining.query_id == msel.query_id)
-                & (remaining.neighbor_id == msel.va),
-            )
-            .select(
-                remaining.query_id,
-                "neighbor_id",
-                (
-                    F.lit(MMR_LAMBDA) * F.col("sim")
-                    - F.lit(MMR_MU) * F.col("maxsel")
-                ).alias("score"),
-            )
-            .withColumn("rn", F.row_number().over(wpick))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                F.lit(step).cast("long").alias("step"),
-                "neighbor_id",
-                "score",
-            )
-        )
-        selected = selected.unionByName(pick)
-    return selected.orderBy("query_id", "step")
+    return out.orderBy("query_id", "step")
 
 
 def _mmr_oracle() -> str:
