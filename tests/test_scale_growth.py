@@ -81,6 +81,11 @@ def _ops():
         # round-7 second-wave heavies (documents-only)
         "text_boilerplate_coverage": text.text_boilerplate_coverage,
         "dedup_minhash_calibration": dedup.dedup_minhash_calibration,
+        # round-8 heavies (documents-only)
+        "dedup_weighted_jaccard": dedup.dedup_weighted_jaccard,
+        "dedup_chunk_stitch_audit": dedup.dedup_chunk_stitch_audit,
+        "text_pmi_bigrams": text.text_pmi_bigrams,
+        "text_feature_hashing": text.text_feature_hashing,
     }
 
 
@@ -176,6 +181,8 @@ def _event_ops():
         "events_seasonality_dow": temporal.events_seasonality_dow,
         "user_activity_streaks": advanced.user_activity_streaks,
         "session_funnel": advanced.session_funnel,
+        # round-8: cogrouped-pandas as-of (user-keyed shuffle + pandas)
+        "cogroup_asof_attribution": advanced.cogroup_asof_attribution,
     }
 
 
