@@ -108,6 +108,7 @@ _PRIORITY = [
     "orders_survival_hazard",
     "dedup_chunk_stitch_audit",
     "dedup_weighted_jaccard",
+    "ann_ivfpq_residual_topk",
     # -- staleness order: r2/r4/r6/r5-era greens --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

@@ -1902,6 +1902,15 @@ def _pq_train_encode(spark: SparkSession, sf: str):
         )
         .cache()
     )
+    return _pq_train_on(base, key)
+
+
+def _pq_train_on(base: DataFrame, key):
+    """Per-subspace Lloyd train + encode over any (vec_id, qx) frame —
+    shared by flat PQ (raw vectors) and IVF-PQ (cell residuals)."""
+    memo = _PQ_MODEL_MEMO.get(key)
+    if memo is not None:
+        return memo
     seed_rows = base.orderBy("vec_id").limit(PQ_CODES).collect()
     books: list[dict[int, list[int]]] = []
     for m in range(PQ_M):
@@ -2011,13 +2020,15 @@ def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _pq_sub_ctes(m: int) -> str:
+def _pq_sub_ctes(m: int, src: str = "pqbase", adc: bool = True) -> str:
     """Per-subspace unrolled Lloyd (seed → 2 rounds) + final encode,
-    mirroring ``_pq_train_encode`` for subspace ``m``."""
+    mirroring ``_pq_train_encode`` for subspace ``m``. ``src`` names
+    the (vec_id, qx) CTE to train on; ``adc=False`` skips the flat-PQ
+    query distance table (IVF-PQ builds per-cell tables instead)."""
     lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
     s = f"_{m}"
     out = f"""
-    sub{s} AS (SELECT vec_id, qx[{lo}:{hi}] AS qx FROM pqbase),
+    sub{s} AS (SELECT vec_id, qx[{lo}:{hi}] AS qx FROM {src}),
     cent0f{s} AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qx AS c
       FROM sub{s} ORDER BY vec_id LIMIT {PQ_CODES}
@@ -2066,7 +2077,9 @@ def _pq_sub_ctes(m: int) -> str:
           FROM sub{s} b, {prev} c
         ) i
       ) WHERE rk = 1
-    ),
+    )"""
+    if adc:
+        out += f""",
     adc{s} AS (
       SELECT c.cid,
              list_sum(list_transform(list_zip(q.qx, c.c),
@@ -2892,3 +2905,230 @@ ORDER BY query_id, step
 
 QUERIES["ann_mmr_rerank"] = ann_mmr_rerank
 ORACLES["ann_mmr_rerank"] = _mmr_oracle()
+
+
+# -- IVF-PQ: coarse cells + residual product quantization -------------
+
+IVFPQ_CELLS = 8  # coarse cells; production ≈ √corpus_rows
+IVFPQ_NPROBE = 2  # cells probed per query
+
+
+def ann_ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The full FAISS ``IVFx,PQy`` composition (Jégou et al. 2011
+    §IV): a coarse quantizer routes each vector to a cell, PQ encodes
+    the RESIDUAL (vector − cell centroid) — residuals concentrate near
+    the origin, so the same PQ bits quantize them far more accurately
+    than raw vectors — and a query probes its IVFPQ_NPROBE nearest
+    cells, scoring candidates with a PER-CELL ADC table built from the
+    query's residual against that cell. This is the memory layout
+    every billion-scale ANN deployment runs: cells prune the scan, PQ
+    codes shrink storage ~32×, and only the final top-k rejoins
+    anything full-width.
+
+    Integer-exact end to end (the module's fixed-point recipe): the
+    coarse assignment is the k-means integer-L2 argmin
+    (``_km_assign_frame``), residuals are integer subtractions, the
+    residual PQ trains with the shared ``_pq_train_on`` Lloyd, and
+    every ADC entry is an exact int64 — the oracle unrolls the
+    identical pipeline. Output: top-PQ_TOP by (per-cell ADC, vec_id)
+    with the exact quantized distance for the re-rank audit.
+
+    Plan at 100 TB: assignment + residual are one narrow pass; PQ
+    training cost is unchanged from flat PQ; scoring reads ONLY the
+    probed cells (partition-prune by cell at scale), the LUT is a
+    driver-computed literal map of NPROBE·M·K entries, and the top-k
+    is a TakeOrdered.
+    """
+    key = (spark.sparkContext.applicationId, sf.rstrip("/"), "ivfpq")
+    memo = _PQ_MODEL_MEMO.get(key)
+    if memo is None:
+        base = (
+            load_table(spark, sf, "embeddings")
+            .select(
+                "vec_id",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.floor(
+                        x.cast("double") * PI_XSCALE + F.lit(0.5)
+                    ).cast("long"),
+                ).alias("qx"),
+            )
+            .cache()
+        )
+        cent_rows = base.orderBy("vec_id").limit(IVFPQ_CELLS).collect()
+        cents = {
+            j: [int(v) for v in r["qx"]] for j, r in enumerate(cent_rows)
+        }
+        assign = _km_assign_frame(base, cents).select(
+            "vec_id", "qx", F.col("cid").alias("cell")
+        )
+        centlit = F.array(
+            *[
+                F.array(*[F.lit(int(v)).cast("long") for v in cents[j]])
+                for j in sorted(cents)
+            ]
+        )
+        res = assign.select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                "qx",
+                F.element_at(centlit, F.col("cell") + 1),
+                lambda a, b: a - b,
+            ).alias("qx"),
+        ).cache()
+        codes, books = _pq_train_on(
+            res.select("vec_id", "qx"), key + ("pq",)
+        )
+        codes = codes.join(res.select("vec_id", "cell"), "vec_id").cache()
+        qrow = [int(v) for v in base.filter(
+            F.col("vec_id") == PQ_QUERY_VEC
+        ).collect()[0]["qx"]]
+        _PQ_MODEL_MEMO[key] = (base, cents, codes, books, qrow)
+    base, cents, codes, books, qrow = _PQ_MODEL_MEMO[key]
+
+    # probe the query's nearest cells (integer L2, (dist, cid) ties)
+    cell_d = sorted(
+        (
+            sum((a - b) * (a - b) for a, b in zip(qrow, cents[j])),
+            j,
+        )
+        for j in sorted(cents)
+    )[:IVFPQ_NPROBE]
+    probes = [j for _, j in cell_d]
+    # per-cell ADC literal map keyed cell·(M·K) + m·K + code
+    entries = []
+    for cell in probes:
+        rq = [a - b for a, b in zip(qrow, cents[cell])]
+        for m in range(PQ_M):
+            lo = m * PQ_SUBDIM
+            rsub = rq[lo : lo + PQ_SUBDIM]
+            for j, cent in books[m].items():
+                d = sum((a - b) * (a - b) for a, b in zip(rsub, cent))
+                entries.append(
+                    (cell * PQ_M * PQ_CODES + m * PQ_CODES + j, int(d))
+                )
+    lut = F.create_map(
+        *[x for k, d in entries for x in (F.lit(k), F.lit(d).cast("long"))]
+    )
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            lut,
+            F.col("cell") * (PQ_M * PQ_CODES)
+            + m * PQ_CODES
+            + F.col(f"code_{m}"),
+        )
+        adc = term if adc is None else adc + term
+    top = (
+        codes.filter(
+            F.col("cell").isin(*probes) & (F.col("vec_id") != PQ_QUERY_VEC)
+        )
+        .select("vec_id", "cell", adc.cast("long").alias("pq_dist"))
+        .orderBy(F.col("pq_dist").asc(), F.col("vec_id").asc())
+        .limit(PQ_TOP)
+    )
+    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qrow])
+    exact = base.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("qx"), qlit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("exact_dist"),
+    )
+    return (
+        top.join(exact, "vec_id")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            "pq_dist",
+            "exact_dist",
+        )
+        .orderBy(F.col("pq_dist").asc(), F.col("vec_id").asc())
+    )
+
+
+_IVFPQ_ORACLE = f"""
+    WITH pqbase AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {PI_XSCALE} + 0.5)
+                    AS BIGINT)) AS qx
+      FROM embeddings
+    ),
+    ccents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qx AS c
+      FROM pqbase ORDER BY vec_id LIMIT {IVFPQ_CELLS}
+    ),
+    cassign AS (
+      SELECT vec_id, qx, cid AS cell FROM (
+        SELECT i.vec_id, i.qx, i.cid,
+               row_number() OVER (PARTITION BY i.vec_id
+                                  ORDER BY i.dist, i.cid) AS rk
+        FROM (
+          SELECT b.vec_id, b.qx, c.cid,
+                 list_sum(list_transform(list_zip(b.qx, c.c),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+          FROM pqbase b, ccents c
+        ) i
+      ) WHERE rk = 1
+    ),
+    resbase AS (
+      SELECT a.vec_id,
+             list_transform(list_zip(a.qx, c.c), p -> p[1] - p[2]) AS qx
+      FROM cassign a JOIN ccents c ON c.cid = a.cell
+    ),{",".join(_pq_sub_ctes(m, src="resbase", adc=False) for m in range(PQ_M))},
+    qvec AS (SELECT qx FROM pqbase WHERE vec_id = {PQ_QUERY_VEC}),
+    probes AS (
+      SELECT cid AS cell FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY
+                 list_sum(list_transform(list_zip(q.qx, c.c),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid)
+                 AS rk
+        FROM ccents c, qvec q
+      ) WHERE rk <= {IVFPQ_NPROBE}
+    ),
+    qres AS (
+      SELECT p.cell,
+             list_transform(list_zip(q.qx, c.c), p2 -> p2[1] - p2[2])
+               AS rqx
+      FROM probes p JOIN ccents c ON c.cid = p.cell CROSS JOIN qvec q
+    ),
+    {",".join(f'''
+    radc_{m} AS (
+      SELECT qr.cell, c.cid,
+             list_sum(list_transform(
+               list_zip(qr.rqx[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}],
+                        c.c),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+      FROM qres qr, cent{PQ_ITERS}f_{m} c
+    )''' for m in range(PQ_M))},
+    scored AS (
+      SELECT c0.vec_id, a.cell,
+             {" + ".join(f"r{m}.d" for m in range(PQ_M))} AS pq_dist
+      FROM code_0 c0
+      {" ".join(f"JOIN code_{m} c{m} ON c{m}.vec_id = c0.vec_id" for m in range(1, PQ_M))}
+      JOIN cassign a ON a.vec_id = c0.vec_id
+      JOIN probes pr ON pr.cell = a.cell
+      {" ".join(f"JOIN radc_{m} r{m} ON r{m}.cell = a.cell AND r{m}.cid = c{m}.code" for m in range(PQ_M))}
+      WHERE c0.vec_id != {PQ_QUERY_VEC}
+    ),
+    top AS (
+      SELECT vec_id, cell, pq_dist FROM scored
+      ORDER BY pq_dist ASC, vec_id ASC LIMIT {PQ_TOP}
+    )
+    SELECT t.vec_id, CAST(t.cell AS BIGINT) AS cell,
+           CAST(t.pq_dist AS BIGINT) AS pq_dist,
+           CAST(list_sum(list_transform(list_zip(b.qx, q.qx),
+                p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)
+             AS exact_dist
+    FROM top t
+    JOIN pqbase b ON b.vec_id = t.vec_id
+    CROSS JOIN qvec q
+    ORDER BY t.pq_dist ASC, t.vec_id ASC
+"""
+
+QUERIES["ann_ivfpq_residual_topk"] = ann_ivfpq_residual_topk
+ORACLES["ann_ivfpq_residual_topk"] = _IVFPQ_ORACLE

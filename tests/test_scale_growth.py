@@ -343,6 +343,8 @@ def _embedding_ops():
         "ann_topk_blocked": similarity.ann_topk_blocked,
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "ann_pq_adc_topk": similarity.ann_pq_adc_topk,
+        "ann_ivfpq_residual_topk": similarity.ann_ivfpq_residual_topk,
+        "ann_mmr_rerank": similarity.ann_mmr_rerank,
         # embedding_near_dup_lsh is deliberately ABSENT: at its 0.45
         # cosine threshold (θ ≈ 63°, per-bit agreement 0.65) any
         # sign-LSH banding admits ~r/2^b · n²/2 random-pair
