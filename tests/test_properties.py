@@ -709,3 +709,63 @@ def test_lsh_regime_guard_warns_and_raises():
         tight = sim.check_lsh_regime(0.9, band_bits=16, n_bands=8)
         assert not rec
     assert tight < sim.LSH_MAX_RANDOM_RATE
+
+
+# --- round-8 operator invariants ------------------------------------
+
+
+def test_pps_sample_invariants(spark):
+    """Systematic PPS: ~K selections (W//stride boundaries), unique
+    docs, and every selected doc actually crosses a stride boundary."""
+    from iceberg_kafka_playgroud_spark.operators.curation import (
+        PPS_SAMPLE_K,
+        sample_systematic_pps,
+    )
+
+    rows = sample_systematic_pps(spark, "/root/testdata/sf0.001").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert PPS_SAMPLE_K - 1 <= len(ids) <= PPS_SAMPLE_K + 1
+    total = sum(r["w"] for r in rows)  # sampled mass only, sanity > 0
+    assert total > 0
+    assert all(r["w"] >= 1 for r in rows)
+
+
+def test_mmr_greedy_invariants(spark):
+    """MMR: K distinct picks per query; pick 1 is the relevance argmax
+    (its score bounds every later MMR objective on positive sims)."""
+    from collections import defaultdict
+
+    from iceberg_kafka_playgroud_spark.operators.similarity import (
+        MMR_K,
+        N_QUERIES,
+        ann_mmr_rerank,
+    )
+
+    rows = ann_mmr_rerank(spark, "/root/testdata/sf0.001").collect()
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r["query_id"]].append(r)
+    assert set(per_q) == set(range(N_QUERIES))
+    for q, rs in per_q.items():
+        assert [r["step"] for r in rs] == list(range(1, MMR_K + 1))
+        picks = [r["neighbor_id"] for r in rs]
+        assert len(picks) == len(set(picks))
+        assert all(r["score"] <= rs[0]["score"] + 1e-12 for r in rs)
+
+
+def test_ivfpq_invariants(spark):
+    """IVF-PQ: top-k sorted by (pq_dist, vec_id), candidates from at
+    most NPROBE cells, distances non-negative."""
+    from iceberg_kafka_playgroud_spark.operators.similarity import (
+        IVFPQ_NPROBE,
+        PQ_TOP,
+        ann_ivfpq_residual_topk,
+    )
+
+    rows = ann_ivfpq_residual_topk(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == PQ_TOP
+    key = [(r["pq_dist"], r["vec_id"]) for r in rows]
+    assert key == sorted(key)
+    assert len({r["cell"] for r in rows}) <= IVFPQ_NPROBE
+    assert all(r["pq_dist"] >= 0 and r["exact_dist"] >= 0 for r in rows)

@@ -373,3 +373,79 @@ def test_embedding_ops_grow_linearly(spark, scaled_embeddings_dir):
     print("\nembedding scale growth (10x corpus):\n" + table)
     bad = [(n, r) for n, _, _, r in rows if r > COPIES * LINEAR_SLACK]
     assert not bad, f"superlinear growth {bad}:\n{table}"
+
+
+@pytest.fixture(scope="module")
+def scaled_orders_dir(spark, tmp_path_factory):
+    """10× orders/lineitem/customer corpus: 10 key-shifted copies with
+    suppliers shifted too, so the trade graph becomes 10 disjoint
+    geometry-identical replicas (same per-customer baskets, same
+    reorder intervals, same per-community structure) — a faithful 10×
+    of the orders-family workload. ``part`` is shared (same catalog)."""
+    import os
+
+    base = str(tmp_path_factory.mktemp("scale10ord"))
+    shift = 100_000_000
+    o = spark.read.parquet(f"{SRC_SF}/orders.parquet")
+    li = spark.read.parquet(f"{SRC_SF}/lineitem.parquet")
+    c = spark.read.parquet(f"{SRC_SF}/customer.parquet")
+
+    def stack(df, keys):
+        copies = [
+            df.select(
+                *[
+                    (F.col(col) + F.lit(i * shift)).alias(col)
+                    if col in keys
+                    else F.col(col)
+                    for col in df.columns
+                ]
+            )
+            for i in range(COPIES)
+        ]
+        big = copies[0]
+        for x in copies[1:]:
+            big = big.unionByName(x)
+        return big
+
+    stack(o, {"o_orderkey", "o_custkey"}).repartition(32).write.parquet(
+        f"{base}/orders.parquet"
+    )
+    stack(li, {"l_orderkey", "l_suppkey"}).repartition(32).write.parquet(
+        f"{base}/lineitem.parquet"
+    )
+    stack(c, {"c_custkey"}).repartition(8).write.parquet(
+        f"{base}/customer.parquet"
+    )
+    for shared in ("part", "supplier", "nation", "region"):
+        os.symlink(
+            f"{SRC_SF}/{shared}.parquet", f"{base}/{shared}.parquet"
+        )
+    yield base
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _orders_ops():
+    from iceberg_kafka_playgroud_spark.operators import advanced
+
+    return {
+        "orders_survival_hazard": advanced.orders_survival_hazard,
+        "basket_diversity_simpson": advanced.basket_diversity_simpson,
+        "graph_label_propagation": advanced.graph_label_propagation,
+        "orders_rfm_segmentation": advanced.orders_rfm_segmentation,
+    }
+
+
+def test_orders_ops_grow_linearly(spark, scaled_orders_dir):
+    rows = []
+    for name, fn in _orders_ops().items():
+        t1 = _best_of(fn, spark, SRC_SF)
+        t10 = _best_of(fn, spark, scaled_orders_dir)
+        ratio = t10 / t1
+        rows.append((name, t1, t10, ratio))
+    table = "\n".join(
+        f"  {n:<30} 1x={a:6.2f}s 10x={b:6.2f}s ratio={r:5.1f}x"
+        for n, a, b, r in rows
+    )
+    print("\norders scale growth (10x corpus):\n" + table)
+    bad = [(n, r) for n, _, _, r in rows if r > COPIES * LINEAR_SLACK]
+    assert not bad, f"superlinear growth {bad}:\n{table}"
