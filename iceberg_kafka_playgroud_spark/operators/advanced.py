@@ -4086,3 +4086,81 @@ SELECT t, d_events, n_at_risk, hazard_ppm,
          AS BIGINT) AS cum_hazard_ppm
 FROM hz ORDER BY t
 """
+
+
+# -- TABLE-argument UDTF (Spark 4 polymorphic table function) ---------
+
+
+def udtf_table_arg_deltas(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF consuming a TABLE ARGUMENT with PARTITION BY /
+    ORDER BY (Spark 4's polymorphic table-function surface, the
+    SQL-standard PTF shape): per user, ordered purchase rows stream
+    through one UDTF instance, which emits each event's delta vs the
+    previous — custom ordered per-partition logic where the engine,
+    not the UDTF, owns the partitioning and sorting. The stateful
+    ``eval`` is exactly the arbitrary-order-dependent logic windows
+    can't always express (here it CAN, which is what makes the lag()
+    oracle exact — the surface under test is the PTF contract, not
+    the arithmetic).
+
+    Integer-only across the Python boundary (epoch micros, exact
+    cents), per the module's Arrow-parity rule. At scale: one shuffle
+    on user_id + a per-partition sort — the same cost as the window
+    it mirrors.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "user_id long, ts_us long, cents long, "
+            "delta_us long, delta_cents long"
+        )
+    )
+    class PurchaseDeltas:
+        def __init__(self):
+            self._prev_ts = None
+            self._prev_cents = None
+
+        def eval(self, row):
+            ts_us, cents = row["ts_us"], row["cents"]
+            if self._prev_ts is None:
+                d_us, d_c = None, None
+            else:
+                d_us = ts_us - self._prev_ts
+                d_c = cents - self._prev_cents
+            self._prev_ts, self._prev_cents = ts_us, cents
+            yield row["user_id"], ts_us, cents, d_us, d_c
+
+    spark.udtf.register("purchase_deltas", PurchaseDeltas)
+    ev = load_table(spark, sf, "events")
+    ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).createOrReplaceTempView("purchase_rows_udtf")
+    return spark.sql(
+        """
+        SELECT user_id, ts_us, cents, delta_us, delta_cents
+        FROM purchase_deltas(
+          TABLE(purchase_rows_udtf)
+          PARTITION BY user_id ORDER BY (ts_us, cents)
+        )
+        ORDER BY user_id, ts_us, cents
+        """
+    )
+
+
+QUERIES["udtf_table_arg_deltas"] = udtf_table_arg_deltas
+ORACLES["udtf_table_arg_deltas"] = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, ts_us, cents,
+       ts_us - LAG(ts_us) OVER w AS delta_us,
+       cents - LAG(cents) OVER w AS delta_cents
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, cents)
+ORDER BY user_id, ts_us, cents
+"""
