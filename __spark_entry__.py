@@ -110,6 +110,8 @@ _PRIORITY = [
     "dedup_weighted_jaccard",
     "ann_ivfpq_residual_topk",
     "udtf_table_arg_deltas",
+    "sketch_misra_gries_heavy",
+    "graph_kcore_peel",
     # -- staleness order: r2/r4/r6/r5-era greens --
     "text_bpe_token_count", "text_quality_score", "text_lang_id",
     "text_fingerprint", "doc_stats_by_source", "dedup_exact",

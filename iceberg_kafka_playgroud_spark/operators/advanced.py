@@ -4164,3 +4164,154 @@ FROM p
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, cents)
 ORDER BY user_id, ts_us, cents
 """
+
+
+# -- Misra-Gries exact heavy hitters (fifth sketch family) ------------
+
+
+MG_COUNTERS = 63  # per-partition summary size k (coverage: > n_p/(k+1))
+MG_HEAVY_DEN = 32  # report terms with freq * 32 >= corpus token count
+
+
+def sketch_misra_gries_heavy(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact heavy hitters via the two-pass Misra–Gries protocol — the
+    FIFTH mergeable-summary family (after KMV, count-min, HLL, theta/
+    KLL), and the one whose output is EXACT: pass 1 builds a bounded
+    MG(k) summary per partition (the union is a guaranteed superset of
+    every term with global share ≥ 1/(k+1)); pass 2 exact-counts ONLY
+    the candidate set and applies the share threshold.
+
+    Why it scales where plain word-count doesn't: the shuffle in pass
+    1 carries at most k rows per partition (constant, not
+    vocabulary-sized), and pass 2's aggregate runs on the candidate-
+    pruned stream — a 100 TB corpus with a 10 B-term vocabulary never
+    shuffles the vocabulary. Threshold n/32 with k=63 keeps the
+    guarantee: a global ≥ n/32 term must exceed n_p/64 in some
+    partition, so it survives that partition's MG(63) summary.
+
+    The per-batch merge is the MERGEABLE form (Agarwal et al.): add
+    the batch's vectorized value_counts, then subtract the (k+1)-th
+    largest counter from all and keep positives — pandas-vectorized,
+    no per-token Python.
+    """
+    from .text import tokens as _toks
+
+    d = load_table(spark, sf, "documents")
+    terms = d.select(F.explode(_toks(F.lower(F.col("text")))).alias("term"))
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = pd.Series(dtype="int64")
+        n_part = 0
+        for pdf in batches:
+            n_part += len(pdf)
+            vc = pdf["term"].value_counts()
+            run = run.add(vc, fill_value=0)
+            if len(run) > MG_COUNTERS:
+                cut = run.nlargest(MG_COUNTERS + 1).iloc[-1]
+                run = run[run > cut] - cut
+        yield pd.DataFrame(
+            {"term": list(run.index) + [None], "n_part": [0] * len(run) + [n_part]}
+        )
+
+    summary = terms.mapInPandas(_mg, schema="term string, n_part long")
+    cand = summary.where(F.col("term").isNotNull()).select("term").distinct()
+    total = summary.groupBy().agg(F.sum("n_part").alias("n_tokens"))
+    exact = (
+        terms.join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("freq") * MG_HEAVY_DEN >= F.col("n_tokens"))
+        .select(
+            "term",
+            "freq",
+            F.expr("freq * 1000000 div n_tokens").cast("long").alias("share_ppm"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+    )
+
+
+QUERIES["sketch_misra_gries_heavy"] = sketch_misra_gries_heavy
+ORACLES["sketch_misra_gries_heavy"] = f"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '),
+                x -> x != '')) AS term
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM t)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(COUNT(*) * 1000000 // n_tokens AS BIGINT) AS share_ppm
+FROM t, tot
+GROUP BY term, n_tokens
+HAVING COUNT(*) * {MG_HEAVY_DEN} >= n_tokens
+ORDER BY freq DESC, term ASC
+"""
+
+
+# -- fixed-round k-core peeling (graph family) -------------------------
+
+
+KCORE_K = 3  # minimum degree to stay in the core
+KCORE_ROUNDS = 4  # synchronized peeling rounds (fixed, both engines)
+
+
+def graph_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
+    """K-core decomposition by SYNCHRONIZED fixed-round peeling over
+    the co-purchase graph: each round drops every node whose current
+    degree is < K, then prunes edges touching dropped nodes; after R
+    rounds the survivors and their in-core degrees are reported. Fixed
+    rounds (the ``graph_label_propagation`` precedent) make the output
+    a deterministic contract both engines replay exactly — "the R-round
+    peel", which equals the true k-core whenever the peeling cascade is
+    shorter than R (pinned on the fixture by an invariant test).
+
+    Scale: each round is one degree aggregate + two node-list semi
+    joins on the CURRENT edge set — all equi-joins AQE can re-balance;
+    the edge set only shrinks. The loop is lazily composed (one
+    pipelined job, the LPA lesson) since R is a small constant.
+    """
+    e = _copurchase_edges(spark, sf).select("pa", "pb")
+    alive = e.unionAll(
+        e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    )
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            alive.groupBy("pa")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= KCORE_K)
+            .select("pa")
+        )
+        alive = alive.join(keep, "pa").join(
+            keep.select(F.col("pa").alias("pb")), "pb"
+        )
+    return (
+        alive.groupBy("pa")
+        .agg(F.count("*").alias("deg_in_core"))
+        .select(F.col("pa").alias("part"), "deg_in_core")
+        .orderBy("part")
+    )
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for r in range(KCORE_ROUNDS):
+        rounds.append(
+            f"k{r} AS (SELECT pa FROM u{r} GROUP BY pa "
+            f"HAVING COUNT(*) >= {KCORE_K}),\n"
+            f"u{r + 1} AS (SELECT u.pa, u.pb FROM u{r} u "
+            f"JOIN k{r} a ON u.pa = a.pa JOIN k{r} b ON u.pb = b.pa)"
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_COPURCHASE_SQL},
+u0 AS (SELECT pa, pb FROM e UNION ALL SELECT pb AS pa, pa AS pb FROM e),
+{chain}
+SELECT pa AS part, CAST(COUNT(*) AS BIGINT) AS deg_in_core
+FROM u{KCORE_ROUNDS} GROUP BY pa ORDER BY part
+"""
+
+
+QUERIES["graph_kcore_peel"] = graph_kcore_peel
+ORACLES["graph_kcore_peel"] = _kcore_oracle()

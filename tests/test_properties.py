@@ -769,3 +769,53 @@ def test_ivfpq_invariants(spark):
     assert key == sorted(key)
     assert len({r["cell"] for r in rows}) <= IVFPQ_NPROBE
     assert all(r["pq_dist"] >= 0 and r["exact_dist"] >= 0 for r in rows)
+
+
+def test_misra_gries_output_is_exact_heavy_set(spark):
+    """MG two-pass: output equals the EXACT heavy-hitter set (every
+    term with freq * DEN >= n and nothing else), proving the candidate
+    union was a superset — the MG coverage guarantee end-to-end."""
+    from collections import Counter
+
+    from iceberg_kafka_playgroud_spark.operators.advanced import (
+        MG_HEAVY_DEN,
+        sketch_misra_gries_heavy,
+    )
+    from iceberg_kafka_playgroud_spark.schema import load_table
+
+    sfd = "/root/testdata/sf0.001"
+    docs = load_table(spark, sfd, "documents").select("text").collect()
+    truth = Counter(
+        t for r in docs for t in r["text"].lower().split(" ") if t
+    )
+    n = sum(truth.values())
+    expect = {t: c for t, c in truth.items() if c * MG_HEAVY_DEN >= n}
+    got = {
+        r["term"]: r["freq"]
+        for r in sketch_misra_gries_heavy(spark, sfd).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_kcore_fixed_rounds_converged_on_fixture(spark):
+    """The R-round peel must equal the fully-converged k-core on the
+    fixture (one extra round changes nothing), and every survivor has
+    in-core degree >= K."""
+    import iceberg_kafka_playgroud_spark.operators.advanced as adv
+
+    sfd = "/root/testdata/sf0.001"
+    base = {
+        (r["part"], r["deg_in_core"])
+        for r in adv.graph_kcore_peel(spark, sfd).collect()
+    }
+    assert base and all(d >= adv.KCORE_K for _, d in base)
+    orig = adv.KCORE_ROUNDS
+    try:
+        adv.KCORE_ROUNDS = orig + 1
+        extra = {
+            (r["part"], r["deg_in_core"])
+            for r in adv.graph_kcore_peel(spark, sfd).collect()
+        }
+    finally:
+        adv.KCORE_ROUNDS = orig
+    assert extra == base
