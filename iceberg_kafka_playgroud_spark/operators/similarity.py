@@ -1905,47 +1905,89 @@ def _pq_train_encode(spark: SparkSession, sf: str):
     return _pq_train_on(base, key)
 
 
+def _pq_sub_assign_expr(m: int, cents: dict):
+    """struct(dist, cid) argmin of subspace ``m``'s slice of ``qx``
+    against a literal sub-codebook — the `_km_assign_frame` expression
+    applied to a slice, so the recipe (integer Σ(qx−c)², (dist, cid)
+    tie-break) stays the single shared definition."""
+    lo = m * PQ_SUBDIM
+    sub = F.slice("qx", lo + 1, PQ_SUBDIM)
+    structs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(c).cast("long") for c in cents[j]]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(j).alias("cid"),
+            )
+            for j in sorted(cents)
+        ]
+    )
+    return F.array_min(structs)
+
+
 def _pq_train_on(base: DataFrame, key):
     """Per-subspace Lloyd train + encode over any (vec_id, qx) frame —
-    shared by flat PQ (raw vectors) and IVF-PQ (cell residuals)."""
+    shared by flat PQ (raw vectors) and IVF-PQ (cell residuals).
+
+    The PQ_M sub-codebooks are independent, so each Lloyd round fuses
+    ALL subspaces into ONE aggregation job: a single corpus scan emits
+    (m, cid_m, pos, q) via one explode and partial-aggregates map-side
+    — PQ_ITERS jobs total instead of PQ_M·PQ_ITERS (the per-stage-floor
+    fix from the MMR rerank rewrite, NOTES round-8 lesson #2). Encoding
+    is likewise one narrow projection computing all code_m argmins in a
+    single pass — zero joins (previously PQ_M shuffle joins)."""
     memo = _PQ_MODEL_MEMO.get(key)
     if memo is not None:
         return memo
     seed_rows = base.orderBy("vec_id").limit(PQ_CODES).collect()
-    books: list[dict[int, list[int]]] = []
-    for m in range(PQ_M):
-        lo = m * PQ_SUBDIM
-        cents = {
-            j: [int(q) for q in r["qx"][lo : lo + PQ_SUBDIM]]
+    books: list[dict[int, list[int]]] = [
+        {
+            j: [int(q) for q in r["qx"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]]
             for j, r in enumerate(seed_rows)
         }
-        sub = base.select(
-            "vec_id", F.slice("qx", lo + 1, PQ_SUBDIM).alias("qx")
-        )
-        for _ in range(PQ_ITERS):
-            sums = (
-                _km_assign_frame(sub, cents)
-                .select("cid", F.posexplode("qx").alias("pos", "q"))
-                .groupBy("cid", "pos")
-                .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
-                .collect()
+        for m in range(PQ_M)
+    ]
+    for _ in range(PQ_ITERS):
+        fused = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        _pq_sub_assign_expr(m, books[m])["cid"].alias("cid"),
+                        F.slice(
+                            "qx", m * PQ_SUBDIM + 1, PQ_SUBDIM
+                        ).alias("sub"),
+                    )
+                    for m in range(PQ_M)
+                ]
             )
-            for r in sums:
-                cents[r["cid"]][r["pos"]] = int(
-                    math.floor(int(r["s"]) / int(r["n"]) + 0.5)
-                )
-        books.append(cents)
-    codes = base
-    for m in range(PQ_M):
-        lo = m * PQ_SUBDIM
-        sub = codes.select(
-            "vec_id", F.slice("qx", lo + 1, PQ_SUBDIM).alias("qx")
+        ).alias("e")
+        sums = (
+            base.select(fused)
+            .select("e.m", "e.cid", F.posexplode("e.sub").alias("pos", "q"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            .collect()
         )
-        assigned = _km_assign_frame(sub, books[m]).select(
-            "vec_id", F.col("cid").alias(f"code_{m}")
-        )
-        codes = codes.join(assigned, "vec_id")
-    codes = codes.cache()
+        for r in sums:
+            books[r["m"]][r["cid"]][r["pos"]] = int(
+                math.floor(int(r["s"]) / int(r["n"]) + 0.5)
+            )
+    codes = base.select(
+        "vec_id",
+        "qx",
+        *[
+            _pq_sub_assign_expr(m, books[m])["cid"].alias(f"code_{m}")
+            for m in range(PQ_M)
+        ],
+    ).cache()
     codes.count()
     _PQ_MODEL_MEMO[key] = (codes, books)
     return _PQ_MODEL_MEMO[key]
@@ -1974,11 +2016,14 @@ def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     join back for their exact distance.
     """
     codes, books = _pq_train_encode(spark, sf)
-    qrow = (
-        codes.filter(F.col("vec_id") == PQ_QUERY_VEC)
-        .select("qx")
-        .collect()[0]["qx"]
-    )
+    qkey = (spark.sparkContext.applicationId, sf.rstrip("/"), "pq_qrow")
+    if qkey not in _PQ_MODEL_MEMO:
+        _PQ_MODEL_MEMO[qkey] = (
+            codes.filter(F.col("vec_id") == PQ_QUERY_VEC)
+            .select("qx")
+            .collect()[0]["qx"]
+        )
+    qrow = _PQ_MODEL_MEMO[qkey]
     # M×K integer distance table as a literal lookup map
     adc_entries = []
     for m in range(PQ_M):
@@ -1998,25 +2043,26 @@ def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     for m in range(PQ_M):
         term = F.element_at(lut, F.col(f"code_{m}") + m * PQ_CODES)
         adc = term if adc is None else adc + term
-    top = (
+    # exact distance in the SAME projection as the ADC score: 64
+    # multiply-adds per row is cheaper than a second scan + join, so
+    # the whole warm query is ONE TakeOrdered job over the cached
+    # codes frame (previously: top-k job + join-back job).
+    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qrow])
+    return (
         codes.filter(F.col("vec_id") != PQ_QUERY_VEC)
-        .select("vec_id", adc.cast("long").alias("pq_dist"))
+        .select(
+            "vec_id",
+            adc.cast("long").alias("pq_dist"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("qx"), qlit, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("exact_dist"),
+        )
         .orderBy(F.col("pq_dist").asc(), F.col("vec_id").asc())
         .limit(PQ_TOP)
-    )
-    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qrow])
-    exact = codes.select(
-        "vec_id",
-        F.aggregate(
-            F.zip_with(F.col("qx"), qlit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("exact_dist"),
-    )
-    return (
-        top.join(exact, "vec_id")
-        .select("vec_id", "pq_dist", "exact_dist")
-        .orderBy(F.col("pq_dist").asc(), F.col("vec_id").asc())
     )
 
 
