@@ -1345,33 +1345,75 @@ def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
     small; if low-match pairs hide high Jaccard the bands are too
     strict.
 
-    Plan: candidate-set-sized throughout — the cached band pairs, the
-    shared exact verifier, and two doc-keyed joins against the
-    signature table PRUNED to candidate docs (broadcast semi-join,
-    same trick as ``_jaccard_on_candidates``) and PACKED into one
-    array column (r7 verdict task #5: joining 8 scalar columns twice
-    was the steepest 10×-growth line — one 8-element array halves the
-    join row width and the match count becomes a single JVM-side
-    zip_with fold). No float accumulation: per-pair ppm floors first,
-    integer sums after.
+    Plan: candidate-set-sized throughout — ONE groupBy over the
+    candidate-pruned shingles builds everything per-doc at once
+    (shingle set as a sorted array, set size, and the 8 minhash mins
+    PACKED into one array column), then two broadcast joins against
+    the 702-row candidate pairs compute exact intersection
+    (array_intersect), Jaccard, and the signature-match count in a
+    single projection. The previous shape re-ran the 10-stage
+    ``_jaccard_on_candidates`` shuffle cascade plus two sig shuffles
+    for the same 702 rows — pure per-stage floor (the r8 regression).
+    Values are bit-identical: same exact intersection counts (inner-
+    join semantics kept via the i ≥ 1 filter), same round-6 Jaccard
+    division, same min-hash recipe. No float accumulation: per-pair
+    ppm floors first, integer sums after.
     """
     sh, cand = _minhash_candidates(spark, sf)
-    pairs = _jaccard_on_candidates(sh, cand, "d1", "d2", threshold=None)
     cand_docs = (
         cand.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
     )
-    sig = minhash_signatures(sh.join(F.broadcast(cand_docs), "doc_id"))
-    matches = sum(
-        (F.col(f"g1.h{i}") == F.col(f"g2.h{i}")).cast("long")
-        for i in range(N_HASHES)
+    hashed = sh.join(F.broadcast(cand_docs), "doc_id").select(
+        "doc_id",
+        "shingle",
+        F.md5(F.col("shingle")).alias("m0"),
+        F.md5(F.concat(F.lit("x:"), F.col("shingle"))).alias("m1"),
+    )
+    docdata = hashed.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.collect_set("shingle").alias("shs"),
+        F.array(
+            *[
+                F.min(F.substring(f"m{i // 4}", 8 * (i % 4) + 1, 8))
+                for i in range(N_HASHES)
+            ]
+        ).alias("sig"),
+    ).cache()  # candidate-doc-sized (~1k rows); cached so the g1/g2
+    # broadcast builds don't each re-run the groupBy, and repeat calls
+    # hit the cache-manager entry like `cand` above
+    i_ = F.size(F.array_intersect(F.col("g1.shs"), F.col("g2.shs"))).cast(
+        "long"
+    )
+    jac = F.round(
+        i_.cast("double")
+        / (F.col("g1.n") + F.col("g2.n") - i_).cast("double"),
+        6,
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("g1.sig"),
+            F.col("g2.sig"),
+            lambda a, b: (a == b).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
     per_pair = (
-        pairs.join(sig.alias("g1"), F.col("g1.doc_id") == F.col("d1"))
-        .join(sig.alias("g2"), F.col("g2.doc_id") == F.col("d2"))
-        .select(
-            matches.alias("n_sig_match"),
-            F.floor(F.col("jaccard") * 1_000_000).cast("long").alias("jac_ppm"),
+        cand.join(
+            F.broadcast(docdata.alias("g1")), F.col("g1.doc_id") == F.col("d1")
         )
+        .join(
+            F.broadcast(docdata.alias("g2")), F.col("g2.doc_id") == F.col("d2")
+        )
+        .select(
+            i_.alias("i"),
+            matches.alias("n_sig_match"),
+            F.floor(jac * 1_000_000).cast("long").alias("jac_ppm"),
+        )
+        # keep the shared verifier's inner-join semantics: a banded
+        # pair with ZERO shared shingles (possible only via an 8-hex
+        # hash collision) never reaches the scored set there either
+        .filter(F.col("i") >= 1)
         .withColumn(
             "est_ppm", (F.col("n_sig_match") * 1_000_000 / N_HASHES).cast("long")
         )
