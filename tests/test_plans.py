@@ -716,14 +716,17 @@ def test_top_paths_windows_are_partitioned(spark, sf_dir):
 
 
 def test_boilerplate_coverage_single_distinct_pass(spark, sf_dir):
-    """Boilerplate coverage: the span union must be ONE count_distinct
-    aggregate (partial + final), not a distinct() shuffle followed by
-    a count shuffle — and the boilerplate set join must not broadcast
-    the corpus side (the gram stream is the streamed side)."""
+    """Boilerplate coverage: document frequency must be a plain
+    map-side-combined count over per-doc-distinct grams (NO
+    count_distinct / distinct() pass anywhere — the r9 rewrite), the
+    span union must be a doc-keyed collect_set (one shuffled row per
+    hit, not BOILER_N), and the boilerplate set join must not
+    broadcast the corpus side."""
     from iceberg_kafka_playgroud_spark.operators import text
 
     plan = physical_plan(text.text_boilerplate_coverage(spark, sf_dir))
     # the high-df gram SET (aggregated, filtered) may broadcast; the
     # corpus-sized gram stream itself must never be a build side
     assert "CartesianProduct" not in plan
-    assert "count(distinct" in plan.lower()
+    assert "count(distinct" not in plan.lower()
+    assert "collect_set" in plan.lower()
