@@ -22,8 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..checkpoints import release_local_checkpoint
 from ..functions.scalar import money
-from ..schema import load_table
+from ..schema import load_table, table_row_count
 
 
 def asof_last_purchase(spark: SparkSession, sf: str) -> DataFrame:
@@ -1280,6 +1281,44 @@ PR_ITERS = 3
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
 
 
+# (applicationId, sf) → cached undirected trade-graph edge list.
+# PageRank, BFS and LPA all derive the IDENTICAL frame; before the
+# memo each call re-ran the lineitem⋈orders distinct (≈4.7 s at sf0.1)
+# and re-cached/re-checkpointed its own copy.  One bounded resident
+# entry per (session, sf) — the graph family's "signature table",
+# same policy as the simhash signature cache (dedup.py).
+_TRADE_EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Undirected supplier↔customer trade edges: distinct
+    lineitem⋈orders pairs with bipartite node ids (2·suppkey /
+    2·custkey+1), both directions materialized, cached once per
+    session+sf (memo above — do NOT unpersist; the memo owns it)."""
+    key = (spark.sparkContext.applicationId, sf.rstrip("/"))
+    hit = _TRADE_EDGES_MEMO.get(key)
+    if hit is not None:
+        return hit
+    li = load_table(spark, sf, "lineitem").select(
+        (F.col("l_suppkey") * 2).alias("a"), F.col("l_orderkey")
+    )
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", (F.col("o_custkey") * 2 + 1).alias("b")
+    )
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey).select("a", "b").distinct()
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .cache()
+    )
+    _TRADE_EDGES_MEMO[key] = edges
+    return edges
+
+
 def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank over the supplier↔customer trade graph (who supplies
     whom, via lineitem⋈orders) — the canonical iterative graph-join
@@ -1300,22 +1339,7 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     production PageRank (convergence tolerance would add one
     scalar-count job per round).
     """
-    li = load_table(spark, sf, "lineitem").select(
-        (F.col("l_suppkey") * 2).alias("a"), F.col("l_orderkey")
-    )
-    o = load_table(spark, sf, "orders").select(
-        "o_orderkey", (F.col("o_custkey") * 2 + 1).alias("b")
-    )
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select("a", "b")
-        .distinct()
-    )
-    edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .cache()
-    )
+    edges = _trade_edges(spark, sf)
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = deg.select(F.col("src").alias("node"), "outdeg").cache()
     n_nodes = nodes.count()
@@ -1325,14 +1349,12 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     # (src, dst, outdeg) is loop-invariant — materialize it ONCE so
     # each iteration joins just ranks against it, not a fresh
-    # edges⋈nodes⋈ranks three-way. Force materialization now and
-    # release the raw-edge cache: after this point nothing reads it,
-    # and per-call cache pile-up is what LRU-thrashes long sessions.
+    # edges⋈nodes⋈ranks three-way.  (The raw edge table is the shared
+    # _trade_edges memo entry — NOT released here; BFS/LPA reuse it.)
     edges_deg = edges.join(
         nodes.select(F.col("node").alias("src"), "outdeg"), "src"
     ).cache()
     edges_deg.count()
-    edges.unpersist()
     for _ in range(PR_ITERS):
         contrib = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
@@ -3585,18 +3607,7 @@ def graph_bfs_reachability(spark: SparkSession, sf: str) -> DataFrame:
     is a recursive CTE with UNION (set) semantics over (node, lvl)
     states, truncated to the same level bound, then min-lvl per node.
     """
-    li = load_table(spark, sf, "lineitem").select(
-        (F.col("l_suppkey") * 2).alias("a"), F.col("l_orderkey")
-    )
-    o = load_table(spark, sf, "orders").select(
-        "o_orderkey", (F.col("o_custkey") * 2 + 1).alias("b")
-    )
-    pairs = li.join(o, li.l_orderkey == o.o_orderkey).select("a", "b").distinct()
-    edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    edges = _trade_edges(spark, sf)
     frontier = (
         load_table(spark, sf, "supplier")
         .filter(F.col("s_suppkey") < BFS_SEED_SUPPKEYS)
@@ -3605,11 +3616,19 @@ def graph_bfs_reachability(spark: SparkSession, sf: str) -> DataFrame:
     )
     visited = frontier.localCheckpoint(eager=True)
     frontier = visited
-    # every eager checkpoint this loop creates is released before the
-    # function returns (the r8 LPA lesson: leaked checkpoint blocks
-    # degrade every later query in the session) — only the FINAL
-    # visited frame stays persisted for the lazy result
-    to_release = [edges]
+    # EVERY checkpoint this loop creates — including the final visited
+    # frame — is released before the function returns, via
+    # release_local_checkpoint (a bare df.unpersist() only clears the
+    # CacheManager entry; the checkpoint RDD blocks stay resident and
+    # degrade every later query in the session — the r8 LPA lesson,
+    # measured q5 1.0 s → 7.6 s).  Releasing the final frame too is
+    # possible because the result is eagerly reduced first: the
+    # lvl-histogram is ≤ BFS_MAX_LEVEL+1 rows, a bounded driver
+    # materialization, returned as a local relation so the session's
+    # block-manager storage is FLAT across repeated BFS calls
+    # (pinned by tests/test_plans.py::test_bfs_lpa_release_blocks).
+    # The edge table itself is the shared _trade_edges memo entry.
+    to_release = [visited]
     for lvl in range(1, BFS_MAX_LEVEL + 1):
         nxt = (
             edges.join(
@@ -3621,17 +3640,18 @@ def graph_bfs_reachability(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn("lvl", F.lit(lvl).cast("long"))
             .localCheckpoint(eager=True)
         )
-        prev = visited
-        visited = prev.unionByName(nxt).localCheckpoint(eager=True)
-        to_release.extend((prev, nxt))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        to_release.extend((nxt, visited))
         frontier = nxt
-    for df in to_release:
-        df.unpersist()
-    return (
+    out = (
         visited.groupBy("lvl")
         .agg(F.count("*").cast("long").alias("n_nodes"))
         .orderBy("lvl")
     )
+    rows = out.collect()  # ≤ BFS_MAX_LEVEL+1 rows
+    for df in to_release:
+        release_local_checkpoint(df)
+    return spark.createDataFrame(rows, out.schema)
 
 
 QUERIES["graph_bfs_reachability"] = graph_bfs_reachability
@@ -3689,13 +3709,14 @@ def basket_diversity_simpson(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("cnt").cast("long").alias("n"),
         F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("ssq"),
     )
+    # `div`, not `/`: Spark's `/` on BIGINTs is IEEE double division,
+    # which silently loses integer exactness past 2^53 — the docstring's
+    # "exact integer cross-multiplication" contract requires true
+    # integral division on both engine sides (oracle uses `//`).
     per_cust = per_cust.select(
         "o_custkey",
         "n",
-        (
-            (F.col("n") * F.col("n") - F.col("ssq")) * F.lit(1_000_000)
-            / (F.col("n") * F.col("n"))
-        )
+        F.expr("(n * n - ssq) * 1000000 div (n * n)")
         .cast("long")
         .alias("simpson_ppm"),
     )
@@ -3704,7 +3725,7 @@ def basket_diversity_simpson(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").cast("long").alias("n_customers"),
-            F.floor(F.sum("simpson_ppm") / F.count("*"))
+            F.expr("sum(simpson_ppm) div count(*)")
             .cast("long")
             .alias("mean_simpson_ppm"),
             F.max("simpson_ppm").cast("long").alias("max_simpson_ppm"),
@@ -3748,6 +3769,10 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 # -- label propagation communities ------------------------------------
 
 LPA_ROUNDS = 3  # fixed synchronous rounds (deterministic, unrolled)
+# broadcast the nodes-sized label frame into the per-round edge join
+# while the node bound fits executor memory (5M × 16 B ≈ 80 MB);
+# beyond that the round falls back to a shuffled equi-join
+LPA_BROADCAST_MAX_NODES = 5_000_000
 
 
 def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
@@ -3761,35 +3786,50 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     order-dependent, the fixed-round form is reproducible in any
     engine), then the community-size histogram.
 
-    Plan at 100 TB: per round ONE edge-keyed equi-join (edges never
-    change — localCheckpoint'ed once) + TWO map-side-combined
+    Plan at 100 TB: round 1 is ONE map-side-combined nodes-sized
+    shuffle (the identity-label specialization — see inline comment);
+    each later round is ONE edge-keyed join + TWO map-side-combined
     aggregates: (node,label) counts, then per-node argmax as
     MAX(struct(cnt, −lbl)) — an aggregate, not a rank window, so the
     round costs no sort (the window form paid an extra node-keyed
-    sort-shuffle per round). Rounds cut lineage with an eager
-    localCheckpoint and UNPERSIST the previous round's blocks — the
-    first cut leaked every round's checkpoint into block-manager
-    storage, degrading every query that ran after it in the session
-    (measured: q5 warm 1.0 s → 7.6 s after one LPA call).
+    sort-shuffle per round). The label frame is NODES-sized (edges
+    never carry labels), so while the node bound — supplier+customer
+    footer counts, no scan — fits LPA_BROADCAST_MAX_NODES, the round
+    joins it BROADCAST and the shared cached edge table
+    (``_trade_edges``) is never shuffled; past the gate the round
+    falls back to a shuffled equi-join.
+
+    Storage: each round's labels are eagerly checkpointed and the
+    previous round's blocks released immediately (≤1 nodes-sized
+    frame live at a time); the result (community-size histogram,
+    ≤ O(√nodes) distinct sizes since k distinct sizes need ≥ k²/2
+    nodes) is eagerly reduced to the driver and returned as a local
+    relation, then the last checkpoint is released too — repeated LPA
+    calls leave block-manager storage flat (the r8 leak lesson;
+    pinned by tests/test_plans.py::test_bfs_lpa_release_blocks).
     """
-    li = load_table(spark, sf, "lineitem").select(
-        (F.col("l_suppkey") * 2).alias("a"), F.col("l_orderkey")
+    edges = _trade_edges(spark, sf)
+    # footer-count node bound (suppliers + customers), no data scan
+    can_broadcast = (
+        table_row_count(sf, "supplier") + table_row_count(sf, "customer")
+        <= LPA_BROADCAST_MAX_NODES
     )
-    o = load_table(spark, sf, "orders").select(
-        "o_orderkey", (F.col("o_custkey") * 2 + 1).alias("b")
+    # ROUND 1 SPECIALIZATION: with identity labels every (dst, lbl)
+    # count is exactly 1 (labels are unique per node and the edge list
+    # is distinct pairs), so argmax by (count DESC, label ASC)
+    # degenerates to MIN(neighbor id) — no label join, no second
+    # aggregate: ONE map-side-combined nodes-sized shuffle instead of
+    # an edge join + two shuffles (measured ~1.1 s → ~0.3 s at sf0.1).
+    labels = (
+        edges.groupBy("dst")
+        .agg(F.min("src").cast("long").alias("lbl"))
+        .select(F.col("dst").alias("node"), "lbl")
+        .localCheckpoint(eager=True)
     )
-    pairs = li.join(o, li.l_orderkey == o.o_orderkey).select("a", "b").distinct()
-    edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .cache()  # reused once per round inside the ONE final job
-    )
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").cast("long").alias("lbl")
-    )
-    for _ in range(LPA_ROUNDS):
-        labels = (
-            edges.join(labels, edges.src == labels.node)
+    for _ in range(LPA_ROUNDS - 1):
+        lbl_in = F.broadcast(labels) if can_broadcast else labels
+        nxt = (
+            edges.join(lbl_in, edges["src"] == lbl_in["node"])
             .groupBy("dst", "lbl")
             .agg(F.count("*").alias("cnt"))
             .groupBy("dst")
@@ -3802,16 +3842,15 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("dst").alias("node"),
                 (-F.col("best.nl")).cast("long").alias("lbl"),
             )
+            # eager per-round materialization: leaving the rounds lazy
+            # re-executes every earlier round's subplan inside each
+            # broadcast build (measured ~5 s for 3 rounds vs ~0.8 s per
+            # materialized round); the previous round's blocks are
+            # released as soon as this round lands
+            .localCheckpoint(eager=True)
         )
-    # LPA_ROUNDS is a small constant, so the rounds stay LAZY — one
-    # pipelined job instead of a materialization per round (per-round
-    # eager checkpoints cost 4 extra jobs: measured 5.9 s → the final
-    # shape below; deep-iteration algorithms like BFS still checkpoint
-    # per level because their round count isn't a small constant).
-    # ONE eager checkpoint at the end cuts lineage so the edge cache
-    # can be released before the lazy result returns.
-    labels = labels.localCheckpoint(eager=True)
-    edges.unpersist()
+        release_local_checkpoint(labels)
+        labels = nxt
     comm = labels.groupBy("lbl").agg(F.count("*").cast("long").alias("sz"))
     out = (
         comm.groupBy("sz")
@@ -3821,7 +3860,9 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("sz")
     )
-    return out
+    rows = out.collect()  # ≤ O(√nodes) distinct community sizes
+    release_local_checkpoint(labels)
+    return spark.createDataFrame(rows, out.schema)
 
 
 def _lpa_oracle() -> str:

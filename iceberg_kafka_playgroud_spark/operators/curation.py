@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..checkpoints import memo_local_checkpoint
 from ..schema import load_table
 from .dedup import (
     _MINHASH_BANDS_CTE,
@@ -1737,7 +1738,11 @@ def vocab_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(tokens(F.col("text"))).alias("term")
     )
     counts = d.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
-    counts = counts.localCheckpoint(eager=False)
+    # memoized: the returned plan references this vocabulary-sized
+    # checkpoint (one TakeOrdered per curve point reads it), so it
+    # can't be released here — the memo bounds the session to ONE
+    # resident copy instead of one per call (see checkpoints.py)
+    counts = memo_local_checkpoint(counts, eager=False)
     totals = counts.agg(
         F.sum("cnt").cast("long").alias("total_tokens"),
         F.count("*").cast("long").alias("vocab_size"),
@@ -1906,10 +1911,14 @@ def sample_systematic_pps(spark: SparkSession, sf: str) -> DataFrame:
     )
     cum, total = running_sum_total(d, [F.col("doc_id")], "w", "cum")
     stride = max(total // PPS_SAMPLE_K, 1)
+    # `div`, not floor(/): `/` on BIGINTs is IEEE double division, whose
+    # 53-bit mantissa silently mis-buckets once cumulative weight passes
+    # 2^53 — a real regime at 100 TB. True integral division keeps the
+    # "integer-exact" selection contract (oracle side uses `//`; all
+    # operands non-negative, so truncation == floor).
     return (
         cum.where(
-            F.floor(F.col("cum") / stride)
-            > F.floor((F.col("cum") - F.col("w")) / stride)
+            F.expr(f"cum div {stride}") > F.expr(f"(cum - w) div {stride}")
         )
         .select("doc_id", "source", "w", "cum")
         .orderBy("doc_id")

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpoints import release_local_checkpoint
 from ..schema import load_table, table_row_count
 from .text import normalized, tokens
 
@@ -600,6 +601,20 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
     O(log n) rounds (or the published big-star/small-star variant for
     pathological chains) with per-round checkpointing to cut lineage.
     """
+    # memoized per (session, pairs-plan): the converged label table is
+    # consumed by FOUR operators (components / canonical / stats /
+    # cohesion families) and by every warm bench repetition — without
+    # the memo each call re-runs the whole loop AND leaks a fresh
+    # final-round checkpoint into block-manager storage (checkpoints
+    # are instance-keyed, unlike cache(); see checkpoints.py). One
+    # nodes-sized resident entry per distinct pair graph, intermediate
+    # rounds released as the loop advances.
+    spark = pairs.sparkSession
+    key = (spark.sparkContext.applicationId, pairs.semanticHash())
+    hit = _CC_MEMO.get(key)
+    if hit is not None and pairs.sameSemantics(hit[0]):
+        labels = hit[1]
+        return _cc_output(labels)
     # undirected adjacency (both directions), plus self-loops so
     # isolated-after-filter nodes keep their own label.  Materialized
     # once: every propagation round joins against edges, and without
@@ -608,12 +623,14 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).localCheckpoint(eager=True)
-    labels = (
+    labels0 = (
         edges.select(F.col("d1").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    labels = labels0
+    prev_ckpt: DataFrame | None = None
     for _ in range(MAX_CC_ITERS):
         neighbor_min = (
             edges.join(labels, edges.d2 == labels.node)
@@ -635,6 +652,12 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True)  # cut lineage each round
         )
         changed = updated.filter(F.col("label") != F.col("old_label")).count()
+        # this round is materialized (the count above) — the previous
+        # round's checkpoint blocks are dead: release them NOW so the
+        # loop holds at most 2 rounds of state, not O(rounds)
+        if prev_ckpt is not None:
+            release_local_checkpoint(prev_ckpt)
+        prev_ckpt = updated
         labels = updated.select("node", "label")
         if changed == 0:
             break
@@ -648,6 +671,19 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
             f"{MAX_CC_ITERS} rounds ({changed} labels still changing); "
             f"raise MAX_CC_ITERS for this corpus"
         )
+    # the edge table and the seed labels are dead once converged; only
+    # the final round's checkpoint (referenced by the returned plan)
+    # stays resident, owned by the memo
+    release_local_checkpoint(edges)
+    release_local_checkpoint(labels0)
+    _CC_MEMO[key] = (pairs, labels)
+    return _cc_output(labels)
+
+
+_CC_MEMO: dict = {}
+
+
+def _cc_output(labels: DataFrame) -> DataFrame:
     from pyspark.sql import Window as W
 
     out = labels.select("node", F.col("label").alias("component"))

@@ -36,6 +36,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..checkpoints import memo_local_checkpoint
+
 __all__ = ["ranked_total", "running_sum_total", "ntile_expr"]
 
 _PID = "__dist_pid"
@@ -46,18 +48,27 @@ def _range_checkpoint(
 ) -> DataFrame:
     """Range-partition ``df`` on ``order_cols`` and pin the layout.
 
-    Triggers one job (the eager local checkpoint).  ``order_cols`` are
-    sort expressions (``.asc_nulls_last()`` etc. respected by both the
-    range partitioner and the downstream window).
+    ``order_cols`` are sort expressions (``.asc_nulls_last()`` etc.
+    respected by both the range partitioner and the downstream window).
+
+    Memoized per (session, plan): the checkpoint is referenced by the
+    returned plan, so it can't be released before the caller consumes
+    the result — without the memo every invocation (each warm bench
+    repetition, every dependent operator) would trigger a fresh
+    range-shuffle job AND leak one more full materialized copy into
+    block-manager storage (checkpoints are instance-keyed, unlike
+    ``cache()``; see checkpoints.py). With it, repeat calls are
+    plan-construction-only and the session holds ONE pinned copy per
+    distinct (input, ordering).
     """
     spark = df.sparkSession
     npart = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    return (
+    return memo_local_checkpoint(
         df.repartitionByRange(npart, *order_cols)
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .withColumn(_PID, F.spark_partition_id()),
+        eager=True,
     )
 
 

@@ -60,6 +60,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..checkpoints import memo_local_checkpoint
 from ..schema import load_table, table_row_count
 
 TOP_K = 5
@@ -2224,8 +2225,12 @@ def ann_ivf_nprobe_curve(spark: SparkSession, sf: str) -> DataFrame:
                 F.round(cosine(F.col("qvec"), F.col("vec")), 6), True
             ).alias("sim"),
         )
-        .localCheckpoint(eager=False)
     )
+    # memoized: the recall-curve plan fans out over this bounded
+    # (queries × probed candidates) frame once per nprobe point; the
+    # memo keeps ONE resident copy per session instead of leaking a
+    # fresh instance-keyed checkpoint per call (see checkpoints.py)
+    scored = memo_local_checkpoint(scored, eager=False)
     brute = (
         em.filter(F.col("vec_id") >= N_QUERIES)
         .crossJoin(

@@ -730,3 +730,47 @@ def test_boilerplate_coverage_single_distinct_pass(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "count(distinct" not in plan.lower()
     assert "collect_set" in plan.lower()
+
+
+# -- block-manager storage hygiene -------------------------------------
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_bfs_lpa_release_blocks(spark, sf_dir):
+    """Checkpoint-block leak pin (r9 verdict #2): BFS and LPA must
+    leave block-manager storage FLAT across repeated calls — a bare
+    df.unpersist() on a localCheckpoint'ed frame only clears the
+    CacheManager entry while the checkpoint RDD blocks stay resident
+    (the r8 degradation: one leaked LPA round made q5 warm 1.0→7.6 s).
+    First call warms the session-lifetime caches (table memo etc.);
+    the repeat calls must add NOTHING."""
+    advanced.graph_bfs_reachability(spark, sf_dir)
+    advanced.graph_label_propagation(spark, sf_dir)
+    base = _n_persistent_rdds(spark)
+    for _ in range(2):
+        advanced.graph_bfs_reachability(spark, sf_dir)
+        advanced.graph_label_propagation(spark, sf_dir)
+    assert _n_persistent_rdds(spark) == base
+
+
+def test_checkpoint_memo_bounds_repeat_calls(spark, sf_dir):
+    """Instance-keyed checkpoints must not stack per call: the
+    prefix-sum range pin (distributed._range_checkpoint), the CC
+    label table, and the vocab-coverage counts are memoized per
+    (session, plan) — repeated invocations (warm bench best-of-N)
+    reuse ONE resident copy."""
+    from iceberg_kafka_playgroud_spark.operators import curation, dedup
+
+    def run_all():
+        curation.sample_systematic_pps(spark, sf_dir).collect()
+        curation.vocab_coverage_curve(spark, sf_dir).collect()
+        dedup.dedup_connected_components(spark, sf_dir).collect()
+
+    run_all()
+    base = _n_persistent_rdds(spark)
+    run_all()
+    run_all()
+    assert _n_persistent_rdds(spark) == base
