@@ -1302,7 +1302,7 @@ def decontaminate_fuzzy_minhash(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     hits = (
-        _jaccard_on_candidates(sh, cand, "d_ev", "d_tr")
+        _jaccard_on_candidates(sh, cand, "d_ev", "d_tr", n_cand=cand.count())
         .select("d_tr")
         .distinct()
         .withColumn("hit", F.lit(1))

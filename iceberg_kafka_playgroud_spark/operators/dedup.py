@@ -130,12 +130,42 @@ def lsh_bands(sig: DataFrame, k: int = N_HASHES, bands: int = N_BANDS) -> DataFr
     )
 
 
+# Forced-broadcast budgets for candidate-derived frames (candidate
+# pairs, candidate-doc sets, their size/signature/shingle tables): all
+# of them grow with the CANDIDATE volume, not the corpus — a healthy
+# banding keeps candidates a sliver of the corpus at any scale, and
+# the true 100 TB risk is a candidate explosion (hot bands, threshold
+# in the no-prune regime — see check_lsh_regime). So the gate measures
+# the candidate pair count itself: one count() on the CACHED candidate
+# frame (materialized anyway by every consumer), not a corpus scan.
+# Past the budget the joins fall back to shuffled equi-joins, where
+# AQE still converts any side that turns out small at runtime.
+CAND_BROADCAST_MAX_PAIRS = 1_000_000  # narrow id/size frames
+# the candidate-doc SHINGLE set carries full shingle strings
+# (~100 strings/doc), so its broadcast budget is far tighter
+CAND_SHINGLE_BROADCAST_MAX_PAIRS = 100_000
+
+
+def _bcast_if_small(
+    df: DataFrame,
+    n_cand: int | None,
+    budget: int = CAND_BROADCAST_MAX_PAIRS,
+) -> DataFrame:
+    """Broadcast-hint ``df`` only while the candidate pair count is
+    within ``budget``; ``n_cand=None`` keeps the hint (caller vouches
+    for boundedness, e.g. per-micro-batch candidates)."""
+    if n_cand is None or n_cand <= budget:
+        return F.broadcast(df)
+    return df
+
+
 def _jaccard_on_candidates(
     sh: DataFrame,
     cand: DataFrame,
     left: str,
     right: str,
     threshold: float | None = JACCARD_THRESHOLD,
+    n_cand: int | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification over candidate pairs ONLY — shared by
     the corpus-wide and incremental MinHash variants so the scoring
@@ -145,17 +175,19 @@ def _jaccard_on_candidates(
     (broadcast semi-join, narrow) before any shuffle: at scale the
     candidate set is orders of magnitude smaller than the corpus, so
     the intersection and size aggregations run on a sliver of the data.
+    Candidate-derived broadcasts are gated on the candidate pair
+    count (``_bcast_if_small``) when the caller passes ``n_cand``.
     """
     cand_docs = (
         cand.select(F.explode(F.array(left, right)).alias("doc_id"))
         .distinct()
     )
-    shc = sh.join(F.broadcast(cand_docs), "doc_id")
+    shc = sh.join(_bcast_if_small(cand_docs, n_cand), "doc_id")
     sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     s1 = shc.alias("s1")
     s2 = shc.alias("s2")
     inter = (
-        F.broadcast(cand)
+        _bcast_if_small(cand, n_cand)
         .join(s1, F.col("s1.doc_id") == F.col(left))
         .join(
             s2,
@@ -171,8 +203,8 @@ def _jaccard_on_candidates(
         F.col("n1.n") + F.col("n2.n") - F.col("i")
     ).cast("double")
     out = (
-        inter.join(F.broadcast(n1), F.col("n1.doc_id") == F.col(left))
-        .join(F.broadcast(n2), F.col("n2.doc_id") == F.col(right))
+        inter.join(_bcast_if_small(n1, n_cand), F.col("n1.doc_id") == F.col(left))
+        .join(_bcast_if_small(n2, n_cand), F.col("n2.doc_id") == F.col(right))
         .select(left, right, F.round(jac, 6).alias("jaccard"))
     )
     if threshold is not None:
@@ -217,7 +249,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # Spark's cache manager instead of re-running the whole
     # shingle→minhash→band→verify pipeline (measured 3.2→1.4 s for CC
     # at sf0.1 when the pairs were materialized by a prior call)
-    return _jaccard_on_candidates(sh, cand, "d1", "d2").cache()
+    return _jaccard_on_candidates(
+        sh, cand, "d1", "d2", n_cand=cand.count()
+    ).cache()
 
 
 NEW_BATCH_MOD, NEW_BATCH_RESIDUE = 10, 3  # doc_id % 10 == 3 → "today's batch"
@@ -1280,7 +1314,9 @@ def dedup_similarity_histogram(spark: SparkSession, sf: str) -> DataFrame:
     the threshold disabled), so the histogram is nearly free.
     """
     sh, cand = _minhash_candidates(spark, sf)
-    pairs = _jaccard_on_candidates(sh, cand, "d1", "d2", threshold=None)
+    pairs = _jaccard_on_candidates(
+        sh, cand, "d1", "d2", threshold=None, n_cand=cand.count()
+    )
     return (
         pairs.select(
             F.floor(F.col("jaccard") * 10).cast("long").alias("bucket_tenths")
@@ -1383,23 +1419,27 @@ def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
 
     Plan: candidate-set-sized throughout — ONE groupBy over the
     candidate-pruned shingles builds everything per-doc at once
-    (shingle set as a sorted array, set size, and the 8 minhash mins
-    PACKED into one array column), then two broadcast joins against
-    the 702-row candidate pairs compute exact intersection
-    (array_intersect), Jaccard, and the signature-match count in a
-    single projection. The previous shape re-ran the 10-stage
-    ``_jaccard_on_candidates`` shuffle cascade plus two sig shuffles
-    for the same 702 rows — pure per-stage floor (the r8 regression).
-    Values are bit-identical: same exact intersection counts (inner-
-    join semantics kept via the i ≥ 1 filter), same round-6 Jaccard
-    division, same min-hash recipe. No float accumulation: per-pair
-    ppm floors first, integer sums after.
+    (shingle set as an UNORDERED collect_set array — only its size and
+    array_intersect are consumed, neither order-sensitive — set size,
+    and the 8 minhash mins PACKED into one array column), then two
+    footer-gated broadcast joins against the 702-row candidate pairs
+    compute exact intersection (array_intersect), Jaccard, and the
+    signature-match count in a single projection. The previous shape
+    re-ran the 10-stage ``_jaccard_on_candidates`` shuffle cascade
+    plus two sig shuffles for the same 702 rows — pure per-stage floor
+    (the r8 regression). Values are bit-identical: same exact
+    intersection counts (inner-join semantics kept via the i ≥ 1
+    filter), same round-6 Jaccard division, same min-hash recipe. No
+    float accumulation: per-pair ppm floors first, integer sums after,
+    and the per-bucket means are true integer `div` (exact past 2^53,
+    matching the oracle's `//`).
     """
     sh, cand = _minhash_candidates(spark, sf)
+    n_cand = cand.count()  # cached frame; every consumer materializes it
     cand_docs = (
         cand.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
     )
-    hashed = sh.join(F.broadcast(cand_docs), "doc_id").select(
+    hashed = sh.join(_bcast_if_small(cand_docs, n_cand), "doc_id").select(
         "doc_id",
         "shingle",
         F.md5(F.col("shingle")).alias("m0"),
@@ -1436,10 +1476,18 @@ def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
     )
     per_pair = (
         cand.join(
-            F.broadcast(docdata.alias("g1")), F.col("g1.doc_id") == F.col("d1")
+            # docdata carries full shingle-set arrays — the wide-frame
+            # (shingle) broadcast budget applies
+            _bcast_if_small(
+                docdata.alias("g1"), n_cand, CAND_SHINGLE_BROADCAST_MAX_PAIRS
+            ),
+            F.col("g1.doc_id") == F.col("d1"),
         )
         .join(
-            F.broadcast(docdata.alias("g2")), F.col("g2.doc_id") == F.col("d2")
+            _bcast_if_small(
+                docdata.alias("g2"), n_cand, CAND_SHINGLE_BROADCAST_MAX_PAIRS
+            ),
+            F.col("g2.doc_id") == F.col("d2"),
         )
         .select(
             i_.alias("i"),
@@ -1458,10 +1506,10 @@ def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
         per_pair.groupBy("n_sig_match")
         .agg(
             F.count("*").cast("long").alias("n_pairs"),
-            F.floor(F.sum("jac_ppm") / F.count("*")).cast("long").alias("mean_jaccard_ppm"),
-            F.floor(
-                F.sum(F.abs(F.col("est_ppm") - F.col("jac_ppm"))) / F.count("*")
-            )
+            F.expr("sum(jac_ppm) div count(*)")
+            .cast("long")
+            .alias("mean_jaccard_ppm"),
+            F.expr("sum(abs(est_ppm - jac_ppm)) div count(*)")
             .cast("long")
             .alias("mean_abs_err_ppm"),
         )
@@ -1819,17 +1867,36 @@ def dedup_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     the weighted score and its delta vs unweighted ppm Jaccard.
 
     Plan: candidate-set-sized like the unweighted verifier — shingles
-    pruned to candidate docs (broadcast semi-join) BEFORE the df join;
-    the df table itself is vocabulary-sized and map-side combined.
+    pruned to candidate docs (footer-gated broadcast semi-join) BEFORE
+    the df join, and the df aggregate itself is pruned to CANDIDATE
+    shingles before its shuffle: only shingles that occur in some
+    candidate doc ever get a df row (global counts stay exact — the
+    count runs over the full corpus stream, the semi-join only drops
+    shingles whose weight nothing consumes). Without the prune the df
+    shuffle and the wsh join carried the ENTIRE corpus vocabulary —
+    the 4.9× 10×-growth curve flagged in r9; with it every post-scan
+    frame is candidate-sized (the ``text_keyword_extraction`` /
+    BM25 prune-before-shuffle rule).
     """
     sh, cand = _minhash_candidates(spark, sf)
+    n_cand = cand.count()  # cached frame; every consumer materializes it
     cand_docs = (
         cand.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
     )
-    shc = sh.join(F.broadcast(cand_docs), "doc_id")
+    shc = sh.join(_bcast_if_small(cand_docs, n_cand), "doc_id")
+    cand_shingles = shc.select("shingle").distinct()
     # footer-metadata row count — no data scan just to size the IDF
     nbits = table_row_count(sf, "documents").bit_length()
-    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    df = (
+        sh.join(
+            _bcast_if_small(
+                cand_shingles, n_cand, CAND_SHINGLE_BROADCAST_MAX_PAIRS
+            ),
+            "shingle",
+        )
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+    )
     wsh = shc.join(df, "shingle").select(
         "doc_id",
         "shingle",
@@ -1845,7 +1912,7 @@ def dedup_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     s1 = wsh.alias("s1")
     s2 = wsh.alias("s2")
     winter = (
-        F.broadcast(cand)
+        _bcast_if_small(cand, n_cand)
         .join(s1, F.col("s1.doc_id") == F.col("d1"))
         .join(
             s2,
@@ -1861,8 +1928,8 @@ def dedup_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     n1 = wsizes.alias("n1")
     n2 = wsizes.alias("n2")
     return (
-        winter.join(F.broadcast(n1), F.col("n1.doc_id") == F.col("d1"))
-        .join(F.broadcast(n2), F.col("n2.doc_id") == F.col("d2"))
+        winter.join(_bcast_if_small(n1, n_cand), F.col("n1.doc_id") == F.col("d1"))
+        .join(_bcast_if_small(n2, n_cand), F.col("n2.doc_id") == F.col("d2"))
         .select(
             "d1",
             "d2",

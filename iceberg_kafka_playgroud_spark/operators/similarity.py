@@ -2012,9 +2012,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     Plan: the distance table is PQ_M·PQ_CODES literals folded into a
     map expression (constant, driver-computed from the codebooks —
-    O(M·K·SUBDIM), no data scan); scoring is a narrow projection over
-    the codes frame; the top-10 is a TakeOrdered; only the 10 winners
-    join back for their exact distance.
+    O(M·K·SUBDIM), no data scan); ADC score AND exact quantized
+    distance are computed in ONE narrow projection over the cached
+    codes frame (64 multiply-adds per row beats a second scan +
+    join-back), and the top-10 is a single TakeOrdered job.
     """
     codes, books = _pq_train_encode(spark, sf)
     qkey = (spark.sparkContext.applicationId, sf.rstrip("/"), "pq_qrow")

@@ -774,3 +774,19 @@ def test_checkpoint_memo_bounds_repeat_calls(spark, sf_dir):
     run_all()
     run_all()
     assert _n_persistent_rdds(spark) == base
+
+
+def test_candidate_broadcast_gate_fallback_matches(spark, sf_dir, monkeypatch):
+    """Footer-gated candidate broadcasts (r9 verdict #7): force the
+    beyond-budget path (gate 0) — calibration and weighted-jaccard
+    must fall back to shuffled joins and produce identical results."""
+    base_cal = dedup.dedup_minhash_calibration(spark, sf_dir).collect()
+    base_wj = dedup.dedup_weighted_jaccard(spark, sf_dir).collect()
+    monkeypatch.setattr(dedup, "CAND_BROADCAST_MAX_PAIRS", 0)
+    monkeypatch.setattr(dedup, "CAND_SHINGLE_BROADCAST_MAX_PAIRS", 0)
+    cal = dedup.dedup_minhash_calibration(spark, sf_dir)
+    wj = dedup.dedup_weighted_jaccard(spark, sf_dir)
+    # the explicit hint must be gone from the pre-AQE plan shape:
+    # no broadcast exchange forced at planning time on the docdata join
+    assert [r.asDict() for r in cal.collect()] == [r.asDict() for r in base_cal]
+    assert [r.asDict() for r in wj.collect()] == [r.asDict() for r in base_wj]
