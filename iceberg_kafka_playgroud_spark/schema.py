@@ -196,6 +196,51 @@ def table_row_count(sf_dir: str, name: str) -> int:
         return pads.dataset(path, format="parquet").count_rows()
 
 
+def table_column_max(sf_dir: str, name: str, col: str):
+    """Exact column max from parquet footer statistics — no data scan.
+
+    The catalog-stats counterpart of ``table_row_count``: reads
+    O(row-groups) of metadata, the right way to derive watermark /
+    sentinel bounds at any corpus size (a ``df.agg(max(col))`` is a
+    full extra pass).  Timestamp columns come back as naive-UTC
+    ``datetime`` under BOTH fixture layouts (TIMESTAMP_NTZ-micros
+    yields datetime directly; nanos-long yields ints, truncated here
+    to µs exactly like ``normalize_event_ts``).  Raises if any footer
+    lacks min/max statistics — silent fallback would under-report the
+    max and break watermark proofs.
+    """
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    if name not in FIXTURE_TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; have {FIXTURE_TABLES}")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if os.path.isdir(path):
+        files = pads.dataset(path, format="parquet").files
+    else:
+        files = [path]
+    best = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(
+                    f"{f} row group {rg} has no min/max stats for {col!r}"
+                )
+            v = st.max
+            best = v if best is None else max(best, v)
+    if isinstance(best, int) and col == "ts":
+        # nanos-long fixture layout: ns → µs truncation (normalize_event_ts)
+        best = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=best // 1000
+        )
+    return best
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan of one fixture table (SURVEY §2.1 S2).
 

@@ -1449,7 +1449,14 @@ ORDER BY hour_start, event_type
 # -- left-outer stream-stream join ------------------------------------
 
 
-def stream_stream_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+SS_LOUTER_WINDOW_MIN = 60  # join interval: purchase within 1 h of view
+SS_LOUTER_DELAY_MIN = 10  # watermark delay (late-data allowance)
+SS_LOUTER_MARGIN_MIN = 10  # sentinel slack past the emit bound
+
+
+def stream_stream_left_outer(
+    spark: SparkSession, sf: str, delay_min: int = SS_LOUTER_DELAY_MIN
+) -> DataFrame:
     """LEFT OUTER stream-stream interval join — the semantics tier
     above ``stream_stream_join``: views with NO purchase in the
     following hour must still emit (with nulls), which the engine can
@@ -1460,30 +1467,38 @@ def stream_stream_left_outer(spark: SparkSession, sf: str) -> DataFrame:
 
     Determinism harness: the replay is staged as TWO files consumed
     in order (maxFilesPerTrigger=1) — the fixture, then a far-future
-    sentinel pair (2 h past max ts, negative user ids). The sentinel
-    batch advances BOTH sides' watermarks past every real view's join
-    window, so every unmatched real view flushes in batch 2; only the
-    sentinels themselves stay in state at stop, and they are excluded
-    from the result. At scale the same topology runs unbounded —
-    state is pruned to the interval + watermark delay, so join state
-    is O(rate × window), not O(stream).
+    sentinel pair (negative user ids).  The sentinel's offset is
+    DERIVED from the contract, not hard-coded: a real view emits its
+    unmatched row only once the watermark (max event time − delay)
+    passes view_ts + window, so the sentinel sits
+    window + delay + margin past the corpus max ts — advancing BOTH
+    sides' watermarks past every real view's emit bound for ANY
+    delay ≤ the staged offset (pinned across delays by
+    tests/test_stream_restart.py::test_louter_sentinel_contract_over_delays).
+    The corpus max ts itself comes from parquet FOOTER statistics
+    (``table_column_max``) — deriving a bound must not cost a full
+    scan. Only the sentinels stay in state at stop, excluded from the
+    result. At scale the same topology runs unbounded — state is
+    pruned to the interval + watermark delay, so join state is
+    O(rate × window), not O(stream).
     """
     import shutil
 
-    from ..schema import load_table
+    from ..schema import load_table, table_column_max
 
     events = load_table(spark, sf, "events").select(
         "user_id", "event_type", "ts"
     )
     stage = tempfile.mkdtemp(prefix="ss_louter_")
-    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    max_ts = table_column_max(sf, "events", "ts")
+    offset_min = SS_LOUTER_WINDOW_MIN + delay_min + SS_LOUTER_MARGIN_MIN
     sentinels = spark.createDataFrame(
         [(-1, "view", max_ts), (-2, "purchase", max_ts)],
         "user_id long, event_type string, ts timestamp",
     ).select(
         "user_id",
         "event_type",
-        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+        (F.col("ts") + F.expr(f"INTERVAL {offset_min} MINUTES")).alias("ts"),
     )
 
     def _stage_one(df: DataFrame, name: str, mtime: float) -> None:
@@ -1511,7 +1526,7 @@ def stream_stream_left_outer(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(stage)
         .filter(F.col("event_type") == "view")
         .select("user_id", F.col("ts").alias("view_ts"))
-        .withWatermark("view_ts", "10 minutes")
+        .withWatermark("view_ts", f"{delay_min} minutes")
     )
     purchases = (
         spark.readStream.schema(schema)
@@ -1522,7 +1537,7 @@ def stream_stream_left_outer(spark: SparkSession, sf: str) -> DataFrame:
             F.col("user_id").alias("p_user_id"),
             F.col("ts").alias("purchase_ts"),
         )
-        .withWatermark("purchase_ts", "10 minutes")
+        .withWatermark("purchase_ts", f"{delay_min} minutes")
     )
     joined = views.join(
         purchases,
@@ -1530,7 +1545,8 @@ def stream_stream_left_outer(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (
             F.col("purchase_ts")
-            <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
+            <= F.col("view_ts")
+            + F.expr(f"INTERVAL {SS_LOUTER_WINDOW_MIN} MINUTES")
         ),
         "leftOuter",
     )

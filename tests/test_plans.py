@@ -790,3 +790,19 @@ def test_candidate_broadcast_gate_fallback_matches(spark, sf_dir, monkeypatch):
     # no broadcast exchange forced at planning time on the docdata join
     assert [r.asDict() for r in cal.collect()] == [r.asDict() for r in base_cal]
     assert [r.asDict() for r in wj.collect()] == [r.asDict() for r in base_wj]
+
+
+def test_boilerplate_docs_single_cache_entry(spark, sf_dir):
+    """The corpus-sized boilerplate gram frame must stay ONE bounded
+    resident entry across repeat calls (explicit memo, r9 follow-up)."""
+    from iceberg_kafka_playgroud_spark.operators import text
+
+    text.text_boilerplate_coverage(spark, sf_dir).collect()
+    base = _n_persistent_rdds(spark)
+    text.text_boilerplate_coverage(spark, sf_dir).collect()
+    text.text_boilerplate_coverage(spark, sf_dir).collect()
+    assert _n_persistent_rdds(spark) == base
+    assert (
+        len([k for k in text._BOILER_DOCS_MEMO if k[1] == sf_dir.rstrip("/")])
+        == 1
+    )

@@ -116,6 +116,11 @@ def _clear_engine_memos() -> None:
     for e in _adv._TRADE_EDGES_MEMO.values():
         e.unpersist()
     _adv._TRADE_EDGES_MEMO.clear()
+    from iceberg_kafka_playgroud_spark.operators import text as _tx
+
+    # clearCache() already dropped the blocks; forget the handles so
+    # the next call re-persists (3 plan consumers read the gram frame)
+    _tx._BOILER_DOCS_MEMO.clear()
 
 
 def _best_of(fn, spark, sf_dir, n=2):

@@ -82,3 +82,41 @@ def test_restart_resumes_exactly_once(spark, sf_dir, staged_source, tmp_path):
         F.sum(F.round(F.col("value") * 100).cast("long"))
     ).first()[0]
     assert gc == ec, "content drift across restart"
+
+
+def test_louter_sentinel_contract_over_delays(spark, sf_dir):
+    """The left-outer stream-stream sentinel offset is DERIVED
+    (window + delay + margin past the footer max ts), so varying the
+    watermark delay must not change the result: every unmatched view
+    still flushes before the bounded replay drains.  A hard-coded
+    offset would silently drop unmatched views once
+    delay > offset − window (r8 verdict #7 / r9 #8)."""
+    from iceberg_kafka_playgroud_spark.streaming import ingest
+
+    base = [
+        r.asDict()
+        for r in ingest.stream_stream_left_outer(spark, sf_dir).collect()
+    ]
+    assert any(r["n_unmatched"] > 0 for r in base)  # contract has teeth
+    for delay in (45, 90):
+        got = [
+            r.asDict()
+            for r in ingest.stream_stream_left_outer(
+                spark, sf_dir, delay_min=delay
+            ).collect()
+        ]
+        assert got == base, f"delay={delay} changed the flushed result"
+
+
+def test_footer_max_matches_scan(spark, sf_dir):
+    """table_column_max (footer statistics) must equal the scan max —
+    the sentinel bound may never under-report."""
+    from iceberg_kafka_playgroud_spark.schema import (
+        load_table,
+        table_column_max,
+    )
+
+    scan_max = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    assert table_column_max(sf_dir, "events", "ts") == scan_max
