@@ -61,112 +61,131 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks the FIRST 50 registry
-# entries per round.  Round 9 ordering (per the r8 verdict task #1):
-# the 25 queries that have never received a driver row (4 r7
-# stragglers + the 21 round-8 operators, all judge-verified at sf0.01
-# in r8) lead; the remaining 25 window slots are the stalest greens
-# (rows last checked in round 1), then everything else in ascending
-# last-checked-round order.  New round-9 operators append after the
-# never-checked block as they land.
+# entries per round.  Round 10 ordering (r9 verdict task #1 + the
+# ADVICE dirty-requeue rule): slots 1-3 are the three operators
+# REWRITTEN in round 9 whose latest driver rows predate the rewrite
+# (ann_pq_adc_topk, dedup_minhash_calibration,
+# text_boilerplate_coverage); slots 4-34 are every operator whose
+# executed code changed in round 10 (checkpoint-release/memo rework,
+# candidate-count broadcast gates, integer-div parity fixes, the
+# weighted-jaccard df prune, the derived stream-stream sentinel);
+# the remaining slots and everything behind them are the stalest
+# greens in ascending last-driver-checked order (r1 first).
 _PRIORITY = [
-    "events_activity_powerlaw", "multimodal_aspect_bucket", "graph_bfs_reachability",
-    "source_xml_roundtrip", "text_pmi_bigrams", "text_zipf_slope",
-    "sample_systematic_pps", "basket_diversity_simpson", "embedding_dbscan_core",
-    "graph_label_propagation", "cogroup_asof_attribution", "snapshot_file_size_audit",
-    "multimodal_color_histogram", "stream_stream_left_outer", "ann_mmr_rerank",
-    "text_feature_hashing", "text_collated_terms", "sql_parameterized_query",
-    "orders_survival_hazard", "dedup_chunk_stitch_audit", "dedup_weighted_jaccard",
-    "ann_ivfpq_residual_topk", "udtf_table_arg_deltas", "sketch_misra_gries_heavy",
-    "graph_kcore_peel", "text_bpe_token_count", "text_quality_score",
-    "text_lang_id", "text_fingerprint", "doc_stats_by_source",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "ann_topk_bruteforce", "ann_topk_blocked",
-    "embedding_near_dup_pairs", "embedding_near_dup_lsh", "multimodal_features",
-    "multimodal_resize", "multimodal_frame_sample", "dedup_connected_components",
-    "ann_topk_ivf", "snapshot_time_travel", "agg_salted_skew",
-    "sample_hash_bucket", "grouping_sets_agg", "percentile_exact",
-    "union_by_name", "intersect_all_keys", "pandas_udf_scalar",
-    "pandas_udf_grouped_agg", "applyinpandas_rank", "ann_topk_lsh",
-    "snapshot_files", "confluent_roundtrip", "catalog_table_columns",
-    "catalog_write_read_roundtrip", "array_hof", "agg_approx_distinct",
-    "dedup_simhash_hamming", "schema_evolution_roundtrip", "join_bucketed_colocated",
-    "stream_rate_limited_ingest", "stream_snapshot_ingest", "events_zscore_normalize",
-    "snapshot_expire", "snapshot_incremental_read", "sort_nulls_ordering",
-    "str_format_functions", "join_salted_skew", "null_safe_functions",
-    "explode_outer_tokens", "regex_functions", "bit_functions",
-    "agg_stats_moments", "window_cume_dist", "embedding_centroids",
-    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-    "q13_customer_distribution", "q22_idle_customers", "q2_min_cost_supplier",
-    "q9_product_profit", "q11_important_parts", "q15_top_supplier",
-    "q16_supplier_counts", "q17_small_qty_revenue", "q20_dominant_suppliers",
-    "q21_last_shipper", "stratified_sample_per_source", "vocab_top_terms",
-    "contamination_ngram_overlap", "date_functions", "purchase_event_fabric",
-    "event_sessionize_batch", "interval_join_events", "stream_tumbling_counts",
-    "stream_sessionize", "stream_stream_join", "stream_dual_sink",
-    "stream_sliding_counts", "q12_ship_priority_class", "split_train_val_test",
-    "sequence_pack_contiguous", "quality_filter_funnel", "dedup_keep_canonical",
-    "curation_pipeline_end_to_end", "user_behavior_features", "array_set_functions",
-    "agg_collect_list_set", "text_repetition_filter", "pii_scrub_stats",
-    "decontaminate_exact", "token_length_histogram", "embedding_quantize_int8",
-    "vocab_oov_rate", "dedup_incremental_minhash", "session_funnel",
-    "stream_windowed_topk", "embedding_top_component", "ann_recall_eval",
-    "text_langid_confusion", "stream_anomaly_zscore", "udtf_char_ngrams",
-    "agg_approx_percentile", "multimodal_payload_dedup", "text_char_entropy_proxy",
-    "orders_rfm_segmentation", "events_cohort_retention", "event_time_tumbling",
-    "asof_last_purchase", "stream_exact_dedup", "stream_stateful_user_totals",
-    "stream_upsert_latest", "stream_dim_enrichment", "math_functions",
-    "json_functions", "conditional_case", "nested_types",
-    "explode_unnest", "table_stats", "text_token_count",
-    "dedup_cluster_stats", "text_ngram_novelty", "join_asof_nearest",
-    "stream_incremental_dedup", "multimodal_phash_near_dup", "graph_pagerank",
-    "embedding_kmeans_lloyd", "stream_quality_gate", "merge_scd1_apply",
-    "dedup_cluster_canonical", "embedding_cluster_components", "embedding_cluster_canonical",
-    "snapshot_delete_rows", "multimodal_scene_changes", "winsorize_event_values",
-    "order_reconciliation_audit", "dq_constraint_suite", "graph_triangle_count",
-    "item_item_cosine", "sketch_kmv_distinct", "text_bm25_retrieval",
-    "events_last_touch_attribution", "stream_session_window_native", "snapshot_changelog_diff",
-    "hybrid_rrf_retrieval", "dedup_lexical_semantic_eval", "bloom_filter_probe",
-    "events_rolling_distinct_users", "snapshot_partition_evolution", "bpe_train_merges",
-    "chunk_exact_dedup", "source_python_datasource", "basket_association_rules",
-    "multimodal_audio_fingerprint", "recursive_cte_hierarchy", "lateral_join_topk",
-    "corpus_report_card", "ann_matryoshka_recall", "scd2_history_build",
-    "dedup_similarity_histogram", "quality_dup_calibration", "stream_windowed_approx_users",
-    "ann_incremental_assign", "source_vocab_divergence", "orders_rapid_repeat_audit",
-    "bpe_encode_corpus", "curation_shard_write", "snapshot_orphan_audit",
-    "snapshot_wap_publish", "dq_star_schema_ri_audit", "basket_pair_frequency",
-    "ann_index_persist_probe", "time_gapfill_locf", "events_median_abs_deviation",
-    "orders_open_concurrency", "window_range_time", "user_activity_streaks",
-    "events_trend_slope", "events_changepoint_cusum", "fuzzy_join_levenshtein",
-    "scd2_dimension_join", "dedup_containment_pairs", "embedding_norm_outliers",
-    "snapshot_rollback", "sketch_countmin_terms", "zorder_layout_audit",
-    "mixture_resample_balanced", "text_unigram_logprob", "orders_abc_analysis",
-    "quality_weighted_sample", "events_throttle_dedup", "text_bigram_logprob",
-    "rollup_serving_equivalence", "doc_chunking", "text_keyword_extraction",
-    "source_csv_roundtrip", "source_jsonl_roundtrip", "events_moving_average",
-    "unpivot_part_measures", "table_profile_orders", "events_daily_growth",
-    "events_time_rollup", "text_sentence_stats", "conversion_latency_quantiles",
-    "curation_global_shuffle", "dedup_semantic_semdedup", "decontaminate_fuzzy_minhash",
-    "source_orc_roundtrip", "dedup_minhash_band_skew_audit", "events_seasonality_dow",
-    "curation_epoch_repeat_plan", "curation_packing_efficiency_audit", "snapshot_branch_tag",
-    "join_asof_forward", "text_readability_score", "orders_ltv_cohort_matrix",
-    "stream_ann_cell_assign", "time_gapfill_interpolate", "sink_python_datasource",
-    "dedup_cross_lingual_pairs", "sketch_hll_rollup_merge", "vocab_fertility_by_lang",
-    "snapshot_upsert_rows", "stream_decontaminate_gate", "events_markov_transitions",
-    "graph_link_prediction", "split_largest_remainder", "mixture_token_waterfill",
-    "text_boilerplate_coverage", "stream_dedup_within_watermark", "source_python_stream_reader",
-    "snapshot_mor_read", "ann_pq_adc_topk", "events_autocorr_lag7",
-    "dedup_minhash_calibration", "sketch_theta_set_ops", "sketch_kll_quantiles",
-    "batch_session_window_native", "json_variant_shred", "arrow_map_batches",
-    "events_m4_downsample", "snapshot_sorted_rewrite", "batch_observe_metrics",
-    "write_dynamic_partition_overwrite", "dq_benford_audit", "events_bot_regularity",
-    "source_json_corrupt_records", "session_top_paths", "catalog_view_roundtrip",
-    "ann_ivf_nprobe_curve", "multimodal_silence_trim", "stat_crosstab_contingency",
-    "rollup_grouping_id", "snapshot_incremental_view_maintenance", "snapshot_metadata_only_count",
-    "orders_gini_concentration", "events_peak_detection", "dedup_cluster_cohesion",
-    "dedup_loss_by_source", "orders_reorder_intervals", "vocab_coverage_curve",
-    "events_dow_adjusted_anomaly", "embedding_dim_variance", "text_gopher_quality_rules",
-    "text_ttr_lexical_diversity", "mixture_temperature_weights", "dedup_prefix_template",
-    "ann_radius_count", "embedding_knn_label_eval", "stream_chained_windows",
+    "ann_pq_adc_topk", "dedup_minhash_calibration", "text_boilerplate_coverage",
+    "graph_bfs_reachability", "graph_label_propagation", "graph_pagerank",
+    "basket_diversity_simpson", "sample_systematic_pps", "dedup_weighted_jaccard",
+    "dedup_minhash_lsh", "dedup_similarity_histogram", "dedup_incremental_minhash",
+    "dedup_connected_components", "dedup_cluster_canonical", "dedup_cluster_stats",
+    "dedup_cluster_cohesion", "dedup_loss_by_source", "dedup_lexical_semantic_eval",
+    "embedding_cluster_components", "embedding_cluster_canonical", "decontaminate_fuzzy_minhash",
+    "stream_incremental_dedup", "stream_decontaminate_gate", "stream_stream_left_outer",
+    "vocab_coverage_curve", "ann_ivf_nprobe_curve", "orders_rfm_segmentation",
+    "orders_abc_analysis", "orders_gini_concentration", "quality_dup_calibration",
+    "curation_global_shuffle", "split_largest_remainder", "mixture_token_waterfill",
+    "sort_nulls_ordering", "agg_count_distinct", "agg_cube",
+    "agg_having", "agg_rollup", "cast_functions",
+    "cte_query", "distinct_proj", "files_glob_listing",
+    "filter_like", "filter_predicates", "join_anti",
+    "join_cross", "join_full_outer", "join_inner_dim",
+    "join_left_outer", "join_right_outer", "join_semi",
+    "join_theta_range", "limit0_probe", "map_functions",
+    "partition_prune_time", "pivot_linestatus", "q10_returned_items",
+    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive_pred",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q6_forecast_revenue", "scan_project", "set_except",
+    "set_intersect", "set_union_all", "sort_topk",
+    "str_functions", "subquery_exists", "subquery_in",
+    "subquery_scalar", "top_k_per_group", "window_lag_lead",
+    "window_moving_avg", "window_ntile_first_last", "window_range_numeric",
+    "window_rank", "window_running_sum", "ann_topk_lsh",
+    "applyinpandas_rank", "catalog_table_columns", "catalog_write_read_roundtrip",
+    "confluent_roundtrip", "pandas_udf_grouped_agg", "pandas_udf_scalar",
+    "snapshot_files", "agg_approx_distinct", "agg_stats_moments",
+    "array_hof", "bit_functions", "contamination_ngram_overlap",
+    "dedup_simhash_hamming", "embedding_centroids", "events_zscore_normalize",
+    "explode_outer_tokens", "join_bucketed_colocated", "join_salted_skew",
+    "multimodal_audio_rms", "null_safe_functions", "q11_important_parts",
+    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_counts",
+    "q17_small_qty_revenue", "q20_dominant_suppliers", "q21_last_shipper",
+    "q22_idle_customers", "q2_min_cost_supplier", "q4_order_priority",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "regex_functions", "schema_evolution_roundtrip", "snapshot_expire",
+    "snapshot_incremental_read", "str_format_functions", "stratified_sample_per_source",
+    "stream_rate_limited_ingest", "stream_snapshot_ingest", "vocab_top_terms",
+    "window_cume_dist", "agg_approx_percentile", "agg_collect_list_set",
+    "ann_recall_eval", "array_set_functions", "asof_last_purchase",
+    "conditional_case", "curation_pipeline_end_to_end", "date_functions",
+    "decontaminate_exact", "dedup_keep_canonical", "embedding_quantize_int8",
+    "embedding_top_component", "event_sessionize_batch", "event_time_tumbling",
+    "events_cohort_retention", "explode_unnest", "interval_join_events",
+    "json_functions", "math_functions", "multimodal_payload_dedup",
+    "nested_types", "pii_scrub_stats", "purchase_event_fabric",
+    "q12_ship_priority_class", "quality_filter_funnel", "sequence_pack_contiguous",
+    "session_funnel", "split_train_val_test", "stream_anomaly_zscore",
+    "stream_dim_enrichment", "stream_dual_sink", "stream_exact_dedup",
+    "stream_sessionize", "stream_sliding_counts", "stream_stateful_user_totals",
+    "stream_stream_join", "stream_tumbling_counts", "stream_upsert_latest",
+    "stream_windowed_topk", "table_stats", "text_char_entropy_proxy",
+    "text_langid_confusion", "text_repetition_filter", "text_token_count",
+    "token_length_histogram", "udtf_char_ngrams", "user_behavior_features",
+    "vocab_oov_rate", "ann_incremental_assign", "ann_matryoshka_recall",
+    "basket_association_rules", "bloom_filter_probe", "bpe_encode_corpus",
+    "bpe_train_merges", "chunk_exact_dedup", "corpus_report_card",
+    "curation_shard_write", "dq_constraint_suite", "dq_star_schema_ri_audit",
+    "embedding_kmeans_lloyd", "events_last_touch_attribution", "events_rolling_distinct_users",
+    "graph_triangle_count", "hybrid_rrf_retrieval", "item_item_cosine",
+    "join_asof_nearest", "lateral_join_topk", "merge_scd1_apply",
+    "multimodal_audio_fingerprint", "multimodal_phash_near_dup", "multimodal_scene_changes",
+    "order_reconciliation_audit", "orders_rapid_repeat_audit", "recursive_cte_hierarchy",
+    "scd2_history_build", "sketch_kmv_distinct", "snapshot_changelog_diff",
+    "snapshot_delete_rows", "snapshot_orphan_audit", "snapshot_partition_evolution",
+    "snapshot_wap_publish", "source_python_datasource", "source_vocab_divergence",
+    "stream_quality_gate", "stream_session_window_native", "stream_windowed_approx_users",
+    "text_bm25_retrieval", "text_ngram_novelty", "winsorize_event_values",
+    "ann_index_persist_probe", "basket_pair_frequency", "conversion_latency_quantiles",
+    "curation_epoch_repeat_plan", "curation_packing_efficiency_audit", "dedup_containment_pairs",
+    "dedup_cross_lingual_pairs", "dedup_minhash_band_skew_audit", "dedup_semantic_semdedup",
+    "doc_chunking", "embedding_norm_outliers", "events_changepoint_cusum",
+    "events_daily_growth", "events_median_abs_deviation", "events_moving_average",
+    "events_seasonality_dow", "events_throttle_dedup", "events_time_rollup",
+    "events_trend_slope", "fuzzy_join_levenshtein", "join_asof_forward",
+    "mixture_resample_balanced", "orders_ltv_cohort_matrix", "orders_open_concurrency",
+    "quality_weighted_sample", "rollup_serving_equivalence", "scd2_dimension_join",
+    "sink_python_datasource", "sketch_countmin_terms", "snapshot_branch_tag",
+    "snapshot_rollback", "source_csv_roundtrip", "source_jsonl_roundtrip",
+    "source_orc_roundtrip", "stream_ann_cell_assign", "table_profile_orders",
+    "text_bigram_logprob", "text_keyword_extraction", "text_readability_score",
+    "text_sentence_stats", "text_unigram_logprob", "time_gapfill_interpolate",
+    "time_gapfill_locf", "unpivot_part_measures", "user_activity_streaks",
+    "window_range_time", "zorder_layout_audit", "ann_radius_count",
+    "arrow_map_batches", "batch_observe_metrics", "batch_session_window_native",
+    "catalog_view_roundtrip", "dedup_prefix_template", "dq_benford_audit",
+    "embedding_dim_variance", "embedding_knn_label_eval", "events_autocorr_lag7",
+    "events_bot_regularity", "events_dow_adjusted_anomaly", "events_m4_downsample",
+    "events_markov_transitions", "events_peak_detection", "graph_link_prediction",
+    "json_variant_shred", "mixture_temperature_weights", "multimodal_silence_trim",
+    "orders_reorder_intervals", "rollup_grouping_id", "session_top_paths",
+    "sketch_hll_rollup_merge", "sketch_kll_quantiles", "sketch_theta_set_ops",
+    "snapshot_incremental_view_maintenance", "snapshot_metadata_only_count", "snapshot_mor_read",
+    "snapshot_sorted_rewrite", "snapshot_upsert_rows", "source_json_corrupt_records",
+    "source_python_stream_reader", "stat_crosstab_contingency", "stream_chained_windows",
+    "stream_dedup_within_watermark", "text_gopher_quality_rules", "text_ttr_lexical_diversity",
+    "vocab_fertility_by_lang", "write_dynamic_partition_overwrite", "agg_salted_skew",
+    "ann_ivfpq_residual_topk", "ann_mmr_rerank", "ann_topk_blocked",
+    "ann_topk_bruteforce", "ann_topk_ivf", "cogroup_asof_attribution",
+    "dedup_chunk_stitch_audit", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_simhash", "doc_stats_by_source", "embedding_dbscan_core",
+    "embedding_near_dup_lsh", "embedding_near_dup_pairs", "events_activity_powerlaw",
+    "graph_kcore_peel", "grouping_sets_agg", "intersect_all_keys",
+    "multimodal_aspect_bucket", "multimodal_color_histogram", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_resize", "orders_survival_hazard",
+    "percentile_exact", "sample_hash_bucket", "sketch_misra_gries_heavy",
+    "snapshot_file_size_audit", "snapshot_time_travel", "source_xml_roundtrip",
+    "sql_parameterized_query", "text_bpe_token_count", "text_collated_terms",
+    "text_feature_hashing", "text_fingerprint", "text_lang_id",
+    "text_pmi_bigrams", "text_quality_score", "text_zipf_slope",
+    "udtf_table_arg_deltas", "union_by_name",
 ]
 
 

@@ -108,12 +108,15 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4")))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
         best = float("inf")
+        all_runs[name] = []
         for i in range(runs):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            all_runs[name].append(round(dt, 3))
             if i == 0:
                 # first run at target scale: pays plan compilation,
                 # AQE specialization, and — for the cached dedup
@@ -173,6 +176,11 @@ def main() -> None:
         "metric": "headline_queries_detail",
         "queries": timings,
         "queries_cold": cold,
+        # every individual run per query (r9 verdict #6): run-to-run
+        # spread on this shared host routinely exceeds 25%, so a
+        # best-of delta between rounds is only a regression if it
+        # clears the recorded variance band
+        "queries_runs": all_runs,
         "duckdb_queries": duckdb_timings,
         "duckdb_errors": duckdb_errors,
         "sf": sf,
