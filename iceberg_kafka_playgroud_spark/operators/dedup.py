@@ -1867,16 +1867,20 @@ def dedup_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     the weighted score and its delta vs unweighted ppm Jaccard.
 
     Plan: candidate-set-sized like the unweighted verifier — shingles
-    pruned to candidate docs (footer-gated broadcast semi-join) BEFORE
-    the df join, and the df aggregate itself is pruned to CANDIDATE
-    shingles before its shuffle: only shingles that occur in some
-    candidate doc ever get a df row (global counts stay exact — the
-    count runs over the full corpus stream, the semi-join only drops
-    shingles whose weight nothing consumes). Without the prune the df
-    shuffle and the wsh join carried the ENTIRE corpus vocabulary —
-    the 4.9× 10×-growth curve flagged in r9; with it every post-scan
-    frame is candidate-sized (the ``text_keyword_extraction`` /
-    BM25 prune-before-shuffle rule).
+    pruned to candidate docs (gated broadcast semi-join) BEFORE the df
+    join. The df aggregate is ADDITIONALLY pruned to CANDIDATE
+    shingles before its shuffle when candidates are a sliver of the
+    corpus (candidate docs ≤ 10% of the footer doc count): only
+    shingles occurring in some candidate doc get a df row, so the df
+    shuffle and wsh join stop scaling with the corpus vocabulary —
+    global counts stay exact, the semi-join only drops shingles whose
+    weight nothing consumes (the ``text_keyword_extraction`` / BM25
+    prune-before-shuffle rule). When candidates are corpus-dominated
+    (both test fixtures: 28% of sf0.1 docs; 100% of the salted 10×
+    growth corpus, whose candidate workload is 417× by construction)
+    the prune is pure overhead — an extra distinct + broadcast build
+    to drop nothing, measured +1.5 s warm at sf0.1 — so it switches
+    off and the straight map-side-combined df aggregate runs instead.
     """
     sh, cand = _minhash_candidates(spark, sf)
     n_cand = cand.count()  # cached frame; every consumer materializes it
@@ -1884,19 +1888,19 @@ def dedup_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         cand.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
     )
     shc = sh.join(_bcast_if_small(cand_docs, n_cand), "doc_id")
-    cand_shingles = shc.select("shingle").distinct()
     # footer-metadata row count — no data scan just to size the IDF
-    nbits = table_row_count(sf, "documents").bit_length()
-    df = (
-        sh.join(
+    n_docs = table_row_count(sf, "documents")
+    nbits = n_docs.bit_length()
+    df_src = sh
+    if 2 * n_cand <= n_docs // 10:
+        cand_shingles = shc.select("shingle").distinct()
+        df_src = sh.join(
             _bcast_if_small(
                 cand_shingles, n_cand, CAND_SHINGLE_BROADCAST_MAX_PAIRS
             ),
             "shingle",
         )
-        .groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-    )
+    df = df_src.groupBy("shingle").agg(F.count("*").alias("df"))
     wsh = shc.join(df, "shingle").select(
         "doc_id",
         "shingle",
