@@ -2768,3 +2768,59 @@ WHERE o_orderpriority = '{PARAM_PRIORITY}'
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def sql_udf_scalar_tvf(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 SQL-language UDFs — the declarative cousin of the
+    Python/pandas UDF tiers (X5): a scalar SQL UDF
+    (``CREATE TEMPORARY FUNCTION ... RETURNS BIGINT RETURN expr``)
+    encapsulating the module's integer-cents money rule, plus a SQL
+    TABLE-VALUED function returning the quantity-bracket dimension,
+    consumed via a range join. SQL UDFs are inlined by the analyzer —
+    the optimized plan is identical to writing the expressions by
+    hand (no serialization boundary, full codegen/pushdown), which is
+    exactly why they beat opaque UDFs for pure-SQL logic; the tiny
+    TVF output broadcasts onto the fact scan.
+
+    The oracle replays the same query with the function bodies
+    inlined — bit-identical because inlining is semantically exact.
+    """
+    _views(spark, sf, "lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(ep DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(ep * (1 - d) * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_brackets() "
+        "RETURNS TABLE (lo INT, hi INT, bucket STRING) RETURN "
+        "SELECT * FROM VALUES (0, 10, 'small'), (11, 25, 'mid'), "
+        "(26, 100, 'large') t(lo, hi, bucket)"
+    )
+    return spark.sql(
+        """
+        SELECT b.bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(disc_cents(l_extendedprice, l_discount)) AS BIGINT)
+                 AS revenue_cents
+        FROM lineitem l
+        JOIN qty_brackets() b
+          ON l.l_quantity >= b.lo AND l.l_quantity <= b.hi
+        GROUP BY b.bucket
+        ORDER BY b.bucket
+        """
+    )
+
+
+QUERIES["sql_udf_scalar_tvf"] = sql_udf_scalar_tvf
+ORACLES["sql_udf_scalar_tvf"] = """
+SELECT b.bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN (SELECT * FROM (VALUES (0, 10, 'small'), (11, 25, 'mid'),
+      (26, 100, 'large')) t(lo, hi, bucket)) b
+  ON l.l_quantity >= b.lo AND l.l_quantity <= b.hi
+GROUP BY b.bucket
+ORDER BY b.bucket
+"""

@@ -1482,6 +1482,29 @@ def stream_stream_left_outer(
     pruned to the interval + watermark delay, so join state is
     O(rate × window), not O(stream).
     """
+    out = _ss_outer_join_replay(spark, sf, delay_min, "leftOuter")
+    return (
+        out.where(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("purchase_ts").cast("long").alias("n_matched"),
+            (F.count("*") - F.count("purchase_ts"))
+            .cast("long")
+            .alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _ss_outer_join_replay(
+    spark: SparkSession, sf: str, delay_min: int, join_type: str
+) -> DataFrame:
+    """Shared outer stream-stream harness (see
+    ``stream_stream_left_outer``'s docstring for the sentinel
+    contract): stage fixture + derived-offset sentinels as two files,
+    run the watermarked interval join to completion, return the
+    materialized joined rows."""
     import shutil
 
     from ..schema import load_table, table_column_max
@@ -1548,21 +1571,77 @@ def stream_stream_left_outer(
             <= F.col("view_ts")
             + F.expr(f"INTERVAL {SS_LOUTER_WINDOW_MIN} MINUTES")
         ),
-        "leftOuter",
+        join_type,
     )
-    out = _run_to_memory(joined, "append")
+    return _run_to_memory(joined, "append")
+
+
+def stream_stream_full_outer(
+    spark: SparkSession, sf: str, delay_min: int = SS_LOUTER_DELAY_MIN
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the outer
+    matrix next to ``stream_stream_join`` (inner) and
+    ``stream_stream_left_outer``: views with no purchase in the
+    following hour AND purchases with no view in the preceding hour
+    must both still emit once the watermark proves no match can
+    arrive. Same derived-sentinel replay harness
+    (``_ss_outer_join_replay``); per user the result counts matched
+    pairs plus each side's orphans — the funnel-integrity view (every
+    view and every purchase accounted for exactly once).
+
+    Scale: identical state shape to the left-outer — both sides'
+    state prunes to interval + delay, O(rate × window).
+    """
+    out = _ss_outer_join_replay(spark, sf, delay_min, "fullOuter")
+    uid = F.coalesce(F.col("user_id"), F.col("p_user_id"))
     return (
-        out.where(F.col("user_id") >= 0)
-        .groupBy("user_id")
+        out.where(uid >= 0)
+        .groupBy(uid.alias("uid"))
         .agg(
             F.count("*").cast("long").alias("n_rows"),
-            F.count("purchase_ts").cast("long").alias("n_matched"),
-            (F.count("*") - F.count("purchase_ts"))
+            F.count(
+                F.when(
+                    F.col("view_ts").isNotNull()
+                    & F.col("purchase_ts").isNotNull(),
+                    1,
+                )
+            )
             .cast("long")
-            .alias("n_unmatched"),
+            .alias("n_matched"),
+            F.count(F.when(F.col("purchase_ts").isNull(), 1))
+            .cast("long")
+            .alias("n_view_only"),
+            F.count(F.when(F.col("view_ts").isNull(), 1))
+            .cast("long")
+            .alias("n_purchase_only"),
         )
-        .orderBy("user_id")
+        .orderBy("uid")
     )
+
+
+QUERIES["stream_stream_full_outer"] = stream_stream_full_outer
+ORACLES["stream_stream_full_outer"] = """
+WITH v AS (SELECT user_id, ts AS view_ts FROM events
+           WHERE event_type = 'view'),
+p AS (SELECT user_id AS p_user, ts AS pts FROM events
+      WHERE event_type = 'purchase'),
+j AS (
+  SELECT v.user_id, v.view_ts, p.p_user, p.pts
+  FROM v FULL JOIN p
+    ON v.user_id = p.p_user
+   AND p.pts >= v.view_ts
+   AND p.pts <= v.view_ts + INTERVAL 1 HOUR
+)
+SELECT COALESCE(user_id, p_user) AS uid,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN view_ts IS NOT NULL AND pts IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_matched,
+       CAST(COUNT(CASE WHEN pts IS NULL THEN 1 END) AS BIGINT)
+         AS n_view_only,
+       CAST(COUNT(CASE WHEN view_ts IS NULL THEN 1 END) AS BIGINT)
+         AS n_purchase_only
+FROM j GROUP BY uid ORDER BY uid
+"""
 
 
 QUERIES["stream_stream_left_outer"] = stream_stream_left_outer
