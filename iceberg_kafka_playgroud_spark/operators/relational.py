@@ -2824,3 +2824,49 @@ JOIN (SELECT * FROM (VALUES (0, 10, 'small'), (11, 25, 'mid'),
 GROUP BY b.bucket
 ORDER BY b.bucket
 """
+
+
+def sql_session_variables(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL session variables + EXECUTE IMMEDIATE (Spark 4 scripting
+    surface): ``DECLARE VARIABLE`` / ``SET VAR`` hold session-scoped
+    typed values, and ``EXECUTE IMMEDIATE ... USING`` passes them to a
+    statement as BIND PARAMETERS — with ``sql_parameterized_query``
+    and ``sql_udf_scalar_tvf`` this completes the injection-safe SQL
+    scripting toolkit the reference's interpolating REST handler
+    (duckdb_rest_server.py:63-88) lacked. Variables bind as typed
+    literals in the analyzer, so Catalyst folds them and pushes the
+    filter into the scan exactly like a hand-written constant.
+
+    Money follows the module's integer-cents rule on both engine
+    sides.
+    """
+    _views(spark, sf, "orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE big_order_cents BIGINT DEFAULT 0"
+    )
+    spark.sql("SET VAR big_order_cents = 25000000")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n_big,
+                  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM orders
+           WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= ?
+           GROUP BY o_orderpriority ORDER BY o_orderpriority'
+          USING big_order_cents
+        """
+    )
+
+
+QUERIES["sql_session_variables"] = sql_session_variables
+ORACLES["sql_session_variables"] = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_big,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 25000000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
