@@ -3826,9 +3826,9 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("dst").alias("node"), "lbl")
         .localCheckpoint(eager=True)
     )
-    for _ in range(LPA_ROUNDS - 1):
-        lbl_in = F.broadcast(labels) if can_broadcast else labels
-        nxt = (
+    def _round(lbls: DataFrame) -> DataFrame:
+        lbl_in = F.broadcast(lbls) if can_broadcast else lbls
+        return (
             edges.join(lbl_in, edges["src"] == lbl_in["node"])
             .groupBy("dst", "lbl")
             .agg(F.count("*").alias("cnt"))
@@ -3842,16 +3842,21 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("dst").alias("node"),
                 (-F.col("best.nl")).cast("long").alias("lbl"),
             )
-            # eager per-round materialization: leaving the rounds lazy
-            # re-executes every earlier round's subplan inside each
-            # broadcast build (measured ~5 s for 3 rounds vs ~0.8 s per
-            # materialized round); the previous round's blocks are
-            # released as soon as this round lands
-            .localCheckpoint(eager=True)
         )
+
+    # middle rounds materialize eagerly: leaving them lazy re-executes
+    # every earlier round's subplan inside each broadcast build
+    # (measured ~5 s for 3 rounds vs ~0.8 s per materialized round);
+    # the previous round's blocks are released as soon as a round
+    # lands.  The FINAL round stays lazy — its only consumer is the
+    # histogram reduction below, so it fuses into that one job and
+    # never needs a checkpoint of its own.
+    for _ in range(max(LPA_ROUNDS - 2, 0)):
+        nxt = _round(labels).localCheckpoint(eager=True)
         release_local_checkpoint(labels)
         labels = nxt
-    comm = labels.groupBy("lbl").agg(F.count("*").cast("long").alias("sz"))
+    final = _round(labels) if LPA_ROUNDS >= 2 else labels
+    comm = final.groupBy("lbl").agg(F.count("*").cast("long").alias("sz"))
     out = (
         comm.groupBy("sz")
         .agg(
