@@ -1281,6 +1281,7 @@ def decontaminate_fuzzy_minhash(spark: SparkSession, sf: str) -> DataFrame:
     candidates only via the shared ``_jaccard_on_candidates``.
     """
     from .dedup import (
+        _cand_count,
         _jaccard_on_candidates,
         lsh_bands,
         minhash_signatures,
@@ -1300,9 +1301,12 @@ def decontaminate_fuzzy_minhash(spark: SparkSession, sf: str) -> DataFrame:
         eb.join(tb, ["band_idx", "band_val"])
         .select("d_ev", "d_tr")
         .distinct()
+        .cache()  # two consumers: the gate count + the verifier probe
     )
     hits = (
-        _jaccard_on_candidates(sh, cand, "d_ev", "d_tr", n_cand=cand.count())
+        _jaccard_on_candidates(
+            sh, cand, "d_ev", "d_tr", n_cand=_cand_count(cand)
+        )
         .select("d_tr")
         .distinct()
         .withColumn("hit", F.lit(1))

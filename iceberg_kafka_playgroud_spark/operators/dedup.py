@@ -146,6 +146,27 @@ CAND_BROADCAST_MAX_PAIRS = 1_000_000  # narrow id/size frames
 CAND_SHINGLE_BROADCAST_MAX_PAIRS = 100_000
 
 
+# (applicationId, cand.semanticHash()) → (cand frame, its pair count).
+# The candidate count gates broadcasts in four operators; the frame is
+# cached and deterministic within a session, so the count job runs
+# ONCE instead of once per operator call (a bare tiny-job count still
+# costs a full stage-scheduling round trip per invocation).
+_N_CAND_MEMO: dict = {}
+
+
+def _cand_count(cand: DataFrame) -> int:
+    key = (
+        cand.sparkSession.sparkContext.applicationId,
+        cand.semanticHash(),
+    )
+    hit = _N_CAND_MEMO.get(key)
+    if hit is not None and cand.sameSemantics(hit[0]):
+        return hit[1]
+    n = cand.count()
+    _N_CAND_MEMO[key] = (cand, n)
+    return n
+
+
 def _bcast_if_small(
     df: DataFrame,
     n_cand: int | None,
@@ -250,7 +271,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # shingle→minhash→band→verify pipeline (measured 3.2→1.4 s for CC
     # at sf0.1 when the pairs were materialized by a prior call)
     return _jaccard_on_candidates(
-        sh, cand, "d1", "d2", n_cand=cand.count()
+        sh, cand, "d1", "d2", n_cand=_cand_count(cand)
     ).cache()
 
 
@@ -647,8 +668,9 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
     key = (spark.sparkContext.applicationId, pairs.semanticHash())
     hit = _CC_MEMO.get(key)
     if hit is not None and pairs.sameSemantics(hit[0]):
-        labels = hit[1]
-        return _cc_output(labels)
+        # hit[1] is the final round's CHECKPOINT frame (not a
+        # projection of it) so test harnesses can release its blocks
+        return _cc_output(hit[1].select("node", "label"))
     # undirected adjacency (both directions), plus self-loops so
     # isolated-after-filter nodes keep their own label.  Materialized
     # once: every propagation round joins against edges, and without
@@ -710,7 +732,10 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
     # stays resident, owned by the memo
     release_local_checkpoint(edges)
     release_local_checkpoint(labels0)
-    _CC_MEMO[key] = (pairs, labels)
+    # memoize the CHECKPOINT itself, not the (node, label)
+    # projection: release_local_checkpoint can only free blocks when
+    # handed the frame whose analyzed plan IS the LogicalRDD
+    _CC_MEMO[key] = (pairs, prev_ckpt)
     return _cc_output(labels)
 
 
@@ -1315,7 +1340,7 @@ def dedup_similarity_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """
     sh, cand = _minhash_candidates(spark, sf)
     pairs = _jaccard_on_candidates(
-        sh, cand, "d1", "d2", threshold=None, n_cand=cand.count()
+        sh, cand, "d1", "d2", threshold=None, n_cand=_cand_count(cand)
     )
     return (
         pairs.select(
@@ -1435,7 +1460,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
     matching the oracle's `//`).
     """
     sh, cand = _minhash_candidates(spark, sf)
-    n_cand = cand.count()  # cached frame; every consumer materializes it
+    n_cand = _cand_count(cand)
     cand_docs = (
         cand.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
     )
@@ -1883,7 +1908,7 @@ def dedup_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     off and the straight map-side-combined df aggregate runs instead.
     """
     sh, cand = _minhash_candidates(spark, sf)
-    n_cand = cand.count()  # cached frame; every consumer materializes it
+    n_cand = _cand_count(cand)
     cand_docs = (
         cand.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
     )
