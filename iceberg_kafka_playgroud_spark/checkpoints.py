@@ -53,10 +53,15 @@ def release_local_checkpoint(df: DataFrame) -> None:
     df.unpersist()
 
 
-# (applicationId, semanticHash) → (original frame, its checkpoint).
+# (applicationId, semanticHash) → [(original frame, its checkpoint)].
 # The original frame is kept so a hash collision is detected by
-# sameSemantics instead of silently serving the wrong data.
-_CKPT_MEMO: dict[tuple[str, int], tuple[DataFrame, DataFrame]] = {}
+# sameSemantics instead of silently serving the wrong data; colliding
+# plans coexist as separate memo-owned entries in the same bucket
+# (collisions are rare, the scan is sameSemantics over a tiny list) —
+# returning an unmemoized per-call checkpoint on collision would leak
+# it, since callers treat every return as memo-owned and never
+# release it themselves.
+_CKPT_MEMO: dict[tuple[str, int], list[tuple[DataFrame, DataFrame]]] = {}
 
 
 def memo_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -75,14 +80,10 @@ def memo_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     the loop advances and must be released instead.
     """
     key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
-    hit = _CKPT_MEMO.get(key)
-    if hit is not None:
-        orig, ck = hit
+    bucket = _CKPT_MEMO.setdefault(key, [])
+    for orig, ck in bucket:
         if df.sameSemantics(orig):
             return ck
-        # semanticHash collision between different plans: checkpoint
-        # fresh, don't overwrite the resident entry
-        return df.localCheckpoint(eager=eager)
     ck = df.localCheckpoint(eager=eager)
-    _CKPT_MEMO[key] = (df, ck)
+    bucket.append((df, ck))
     return ck

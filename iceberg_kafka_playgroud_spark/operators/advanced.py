@@ -3628,7 +3628,10 @@ def graph_bfs_reachability(spark: SparkSession, sf: str) -> DataFrame:
     # block-manager storage is FLAT across repeated BFS calls
     # (pinned by tests/test_plans.py::test_bfs_lpa_release_blocks).
     # The edge table itself is the shared _trade_edges memo entry.
-    to_release = [visited]
+    # Superseded checkpoints are released AS THE LOOP ADVANCES (the
+    # previous cumulative visited and the previous frontier are dead
+    # the moment the new visited materializes), so peak storage is
+    # ~2 visited-set copies, not O(levels).
     for lvl in range(1, BFS_MAX_LEVEL + 1):
         nxt = (
             edges.join(
@@ -3640,8 +3643,11 @@ def graph_bfs_reachability(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn("lvl", F.lit(lvl).cast("long"))
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        to_release.extend((nxt, visited))
+        prev_visited, prev_frontier = visited, frontier
+        visited = prev_visited.unionByName(nxt).localCheckpoint(eager=True)
+        release_local_checkpoint(prev_visited)
+        if prev_frontier is not prev_visited:
+            release_local_checkpoint(prev_frontier)
         frontier = nxt
     out = (
         visited.groupBy("lvl")
@@ -3649,8 +3655,8 @@ def graph_bfs_reachability(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("lvl")
     )
     rows = out.collect()  # ≤ BFS_MAX_LEVEL+1 rows
-    for df in to_release:
-        release_local_checkpoint(df)
+    release_local_checkpoint(frontier)
+    release_local_checkpoint(visited)
     return spark.createDataFrame(rows, out.schema)
 
 

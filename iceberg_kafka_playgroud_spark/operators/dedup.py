@@ -144,6 +144,11 @@ CAND_BROADCAST_MAX_PAIRS = 1_000_000  # narrow id/size frames
 # the candidate-doc SHINGLE set carries full shingle strings
 # (~100 strings/doc), so its broadcast budget is far tighter
 CAND_SHINGLE_BROADCAST_MAX_PAIRS = 100_000
+# dedup_weighted_jaccard applies its candidate-shingle df prune only
+# while candidate docs are under this share of the corpus (percent):
+# above it the prune drops (almost) nothing and its extra distinct +
+# broadcast build are pure overhead (measured +1.5 s warm at sf0.1)
+WJ_PRUNE_CAND_DOC_PCT = 10
 
 
 # (applicationId, cand.semanticHash()) → (cand frame, its pair count).
@@ -159,22 +164,27 @@ def _cand_count(cand: DataFrame) -> int:
         cand.sparkSession.sparkContext.applicationId,
         cand.semanticHash(),
     )
-    hit = _N_CAND_MEMO.get(key)
-    if hit is not None and cand.sameSemantics(hit[0]):
-        return hit[1]
+    bucket = _N_CAND_MEMO.setdefault(key, [])
+    for prev, n in bucket:
+        if cand.sameSemantics(prev):
+            return n
     n = cand.count()
-    _N_CAND_MEMO[key] = (cand, n)
+    bucket.append((cand, n))
     return n
 
 
 def _bcast_if_small(
     df: DataFrame,
     n_cand: int | None,
-    budget: int = CAND_BROADCAST_MAX_PAIRS,
+    budget: int | None = None,
 ) -> DataFrame:
     """Broadcast-hint ``df`` only while the candidate pair count is
-    within ``budget``; ``n_cand=None`` keeps the hint (caller vouches
-    for boundedness, e.g. per-micro-batch candidates)."""
+    within ``budget`` (default: the narrow-frame
+    CAND_BROADCAST_MAX_PAIRS, read at CALL time so tests can lower
+    it); ``n_cand=None`` keeps the hint (caller vouches for
+    boundedness, e.g. per-micro-batch candidates)."""
+    if budget is None:
+        budget = CAND_BROADCAST_MAX_PAIRS
     if n_cand is None or n_cand <= budget:
         return F.broadcast(df)
     return df
@@ -666,11 +676,15 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
     # rounds released as the loop advances.
     spark = pairs.sparkSession
     key = (spark.sparkContext.applicationId, pairs.semanticHash())
-    hit = _CC_MEMO.get(key)
-    if hit is not None and pairs.sameSemantics(hit[0]):
-        # hit[1] is the final round's CHECKPOINT frame (not a
-        # projection of it) so test harnesses can release its blocks
-        return _cc_output(hit[1].select("node", "label"))
+    bucket = _CC_MEMO.setdefault(key, [])
+    for prev_pairs, ck in bucket:
+        if pairs.sameSemantics(prev_pairs):
+            # ck is the final round's CHECKPOINT frame (not a
+            # projection of it) so test harnesses can release its
+            # blocks; hash collisions coexist in the bucket instead
+            # of overwriting (an overwrite would orphan the resident
+            # checkpoint's blocks — the leak class this file fixes)
+            return _cc_output(ck.select("node", "label"))
     # undirected adjacency (both directions), plus self-loops so
     # isolated-after-filter nodes keep their own label.  Materialized
     # once: every propagation round joins against edges, and without
@@ -735,7 +749,7 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
     # memoize the CHECKPOINT itself, not the (node, label)
     # projection: release_local_checkpoint can only free blocks when
     # handed the frame whose analyzed plan IS the LogicalRDD
-    _CC_MEMO[key] = (pairs, prev_ckpt)
+    bucket.append((pairs, prev_ckpt))
     return _cc_output(labels)
 
 
@@ -1917,7 +1931,7 @@ def dedup_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     n_docs = table_row_count(sf, "documents")
     nbits = n_docs.bit_length()
     df_src = sh
-    if 2 * n_cand <= n_docs // 10:
+    if 2 * n_cand * 100 <= n_docs * WJ_PRUNE_CAND_DOC_PCT:
         cand_shingles = shc.select("shingle").distinct()
         df_src = sh.join(
             _bcast_if_small(

@@ -1512,7 +1512,9 @@ def _ss_outer_join_replay(
     events = load_table(spark, sf, "events").select(
         "user_id", "event_type", "ts"
     )
-    stage = tempfile.mkdtemp(prefix="ss_louter_")
+    # fixture-sized replay copy per call: reclaimed at exit (the
+    # memory-sink read is lazy, so it can't be deleted synchronously)
+    stage = _tmpdir_reclaimed_at_exit("ss_louter_")
     max_ts = table_column_max(sf, "events", "ts")
     offset_min = SS_LOUTER_WINDOW_MIN + delay_min + SS_LOUTER_MARGIN_MIN
     sentinels = spark.createDataFrame(

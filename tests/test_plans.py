@@ -806,3 +806,18 @@ def test_boilerplate_docs_single_cache_entry(spark, sf_dir):
         len([k for k in text._BOILER_DOCS_MEMO if k[1] == sf_dir.rstrip("/")])
         == 1
     )
+
+
+def test_weighted_jaccard_prune_branch_matches(spark, sf_dir, monkeypatch):
+    """The candidate-shingle df prune (the branch that activates at
+    100 TB scale, where candidates are a sliver of the corpus) must be
+    result-identical to the straight df aggregate — forced ON here
+    since no fixture reaches its share gate organically."""
+    base = [
+        r.asDict() for r in dedup.dedup_weighted_jaccard(spark, sf_dir).collect()
+    ]
+    monkeypatch.setattr(dedup, "WJ_PRUNE_CAND_DOC_PCT", 10_000_000)
+    pruned = [
+        r.asDict() for r in dedup.dedup_weighted_jaccard(spark, sf_dir).collect()
+    ]
+    assert pruned == base

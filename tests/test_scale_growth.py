@@ -107,12 +107,15 @@ def _clear_engine_memos() -> None:
     from iceberg_kafka_playgroud_spark.operators import advanced as _adv
     from iceberg_kafka_playgroud_spark.operators import dedup as _dd
 
-    for _, ck in list(checkpoints._CKPT_MEMO.values()):
-        checkpoints.release_local_checkpoint(ck)
+    for bucket in list(checkpoints._CKPT_MEMO.values()):
+        for _, ck in bucket:
+            checkpoints.release_local_checkpoint(ck)
     checkpoints._CKPT_MEMO.clear()
-    for _, lbl in list(_dd._CC_MEMO.values()):
-        checkpoints.release_local_checkpoint(lbl)
+    for bucket in list(_dd._CC_MEMO.values()):
+        for _, lbl in bucket:
+            checkpoints.release_local_checkpoint(lbl)
     _dd._CC_MEMO.clear()
+    _dd._N_CAND_MEMO.clear()
     for e in _adv._TRADE_EDGES_MEMO.values():
         e.unpersist()
     _adv._TRADE_EDGES_MEMO.clear()
