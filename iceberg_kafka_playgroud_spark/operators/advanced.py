@@ -4367,3 +4367,69 @@ FROM u{KCORE_ROUNDS} GROUP BY pa ORDER BY part
 
 QUERIES["graph_kcore_peel"] = graph_kcore_peel
 ORACLES["graph_kcore_peel"] = _kcore_oracle()
+
+
+UDTF_DYN_TOKENS = 3  # leading-token columns the dynamic schema emits
+
+
+def udtf_dynamic_schema(spark: SparkSession, sf: str) -> DataFrame:
+    """Polymorphic Python UDTF with a static ``analyze()`` (Spark 4):
+    the OUTPUT SCHEMA is computed at plan time from a literal argument
+    — here ``first_tokens(n, text)`` emits ``tok_1..tok_n`` columns
+    for whatever ``n`` the query passes — the remaining UDTF tier
+    after fixed-schema (``udtf_char_ngrams``) and TABLE-argument
+    (``udtf_table_arg_deltas``) forms. ``analyze`` receives the
+    argument as an ``AnalyzeArgument`` whose ``value`` is the bound
+    literal, so the schema is a pure compile-time function — Catalyst
+    sees ordinary typed columns and prunes/pushes as usual.
+
+    The oracle inlines the same n as ``toks[i]`` projections —
+    bit-identical since tokenization is the shared regex.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(n: AnalyzeArgument, text: AnalyzeArgument) -> AnalyzeResult:
+            if n.value is None or not isinstance(n.value, int):
+                raise ValueError("first_tokens: n must be an int literal")
+            schema = StructType()
+            for i in range(1, n.value + 1):
+                schema = schema.add(f"tok_{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, n: int, text: str):
+            toks = [t for t in (text or "").lower().split() if t]
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(n)
+            )
+
+    spark.udtf.register("first_tokens", udtf(FirstTokens))
+    d = load_table(spark, sf, "documents")
+    d.select("doc_id", F.lower(F.col("text")).alias("text")).where(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("docs_udtf_dyn_src")
+    return spark.sql(
+        f"""
+        SELECT s.doc_id, t.*
+        FROM docs_udtf_dyn_src s,
+        LATERAL first_tokens({UDTF_DYN_TOKENS}, s.text) t
+        ORDER BY s.doc_id
+        """
+    )
+
+
+QUERIES["udtf_dynamic_schema"] = udtf_dynamic_schema
+ORACLES["udtf_dynamic_schema"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       {", ".join(f"toks[{i}] AS tok_{i}" for i in range(1, UDTF_DYN_TOKENS + 1))}
+FROM d ORDER BY doc_id
+"""

@@ -1664,3 +1664,66 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(*) - COUNT(pts) AS BIGINT) AS n_unmatched
 FROM j GROUP BY user_id ORDER BY user_id
 """
+
+
+def stream_state_store_read(spark: SparkSession, sf: str) -> DataFrame:
+    """State-store READER (Spark 4 ``statestore`` data source): run a
+    keyed streaming aggregation over the events replay, then open its
+    checkpoint's state store as a batch table — the operational
+    surface behind "what is my streaming job actually holding in
+    state" (skew hunts, state-bloat audits, recovery forensics)
+    without stopping the job or adding instrumentation.
+
+    For a complete-mode count/sum aggregation the state IS the full
+    aggregate, so the store contents must equal the batch aggregation
+    over the same replay — the oracle. Money crosses as exact integer
+    cents (the module rule); the state schema nests key/value structs,
+    flattened here to the oracle's column names.
+
+    Scale: the reader is partition-parallel over the store's shards
+    (one task per state partition — ``partition_id`` is first-class in
+    its schema), so state inspection at 100 TB is a distributed scan,
+    not a driver dump.
+    """
+    with _stream_partitions(spark):
+        stream = events_file_stream(spark, sf)
+        agg = stream.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+        )
+        ckpt = _ckpt_dir("ssread_ckpt_")
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.format("statestore")
+        .load(ckpt)
+        # the store's value struct carries the aggregation BUFFER
+        # field names (count/sum), not the query's output aliases
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("long").alias("n_events"),
+            F.col("value.sum").cast("long").alias("cents_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["stream_state_store_read"] = stream_state_store_read
+ORACLES["stream_state_store_read"] = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
