@@ -84,7 +84,7 @@ _PRIORITY = [
     "orders_abc_analysis", "orders_gini_concentration", "quality_dup_calibration",
     "curation_global_shuffle", "split_largest_remainder", "mixture_token_waterfill",
     "sort_nulls_ordering", "stream_stream_full_outer", "sql_udf_scalar_tvf", "sql_session_variables",
-    "stream_state_store_read", "udtf_dynamic_schema",
+    "stream_state_store_read", "udtf_dynamic_schema", "source_python_pushdown",
     "agg_count_distinct", "agg_cube",
     "agg_having", "agg_rollup", "cast_functions",
     "cte_query", "distinct_proj", "files_glob_listing",

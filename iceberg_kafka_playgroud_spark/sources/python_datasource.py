@@ -416,3 +416,130 @@ def source_python_stream_reader(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["source_python_stream_reader"] = source_python_stream_reader
 ORACLES["source_python_stream_reader"] = ORACLES["source_python_datasource"]
+
+
+# ---------------------------------------------------------------------------
+# Filter pushdown (Spark 4.1 DataSourceReader.pushFilters): the source
+# receives the query's conjunctive filters at PLANNING time and prunes
+# entire partitions before any executor runs — the Python-source
+# equivalent of parquet row-group pruning, and the difference between
+# "scan everything, filter in Spark" and a real predicate-pushdown
+# source at 100 TB.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    GreaterThanOrEqual,
+    LessThan,
+)
+
+class FabricPushdownDataSource(DataSource):
+    """Purchase fabric with id-range filter pushdown."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "purchase_fabric_pushdown"
+
+    def schema(self) -> str:
+        return "id bigint, ts_ms bigint, user_id string, amount double"
+
+    def reader(self, schema) -> "FabricPushdownReader":
+        return FabricPushdownReader(self.options)
+
+
+class FabricPushdownReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("n_rows", DEFAULT_ROWS))
+        self.n_parts = int(options.get("n_parts", DEFAULT_PARTS))
+        self.id_lo = 0
+        self.id_hi = self.n_rows  # exclusive
+
+    def pushFilters(self, filters):
+        # accept id >= X and id < Y (the partition-prunable shapes);
+        # everything else stays Spark-side.  Per the API contract the
+        # accepted filters are FULLY handled here, so they are not
+        # yielded back.
+        for f in filters:
+            if isinstance(f, GreaterThanOrEqual) and f.attribute == ("id",):
+                self.id_lo = max(self.id_lo, int(f.value))
+            elif isinstance(f, LessThan) and f.attribute == ("id",):
+                self.id_hi = min(self.id_hi, int(f.value))
+            else:
+                yield f
+
+    def partitions(self) -> list[InputPartition]:
+        parts = []
+        for i in range(self.n_parts):
+            lo = i * self.n_rows // self.n_parts
+            hi = (i + 1) * self.n_rows // self.n_parts
+            # whole-partition pruning against the pushed id range
+            if hi <= self.id_lo or lo >= self.id_hi:
+                continue
+            parts.append(
+                InputPartition((max(lo, self.id_lo), min(hi, self.id_hi)))
+            )
+        # NB: this runs in the Python PLANNER WORKER, not the driver
+        # process — pruning is observable from the driver as the scan
+        # RDD's partition count (see the plan test)
+        return parts
+
+    def read(self, partition: InputPartition):
+        lo, hi = partition.value
+        for rid in range(lo, hi):
+            ts = FABRIC_BASE_MS + rid * 5000
+            yield (rid, ts, f"user_{rid % 1000}", (ts // 10 % 1000) / 100.0)
+
+
+PUSHDOWN_ID_LO = 300
+PUSHDOWN_ID_HI = 750
+
+
+def source_python_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Filter-pushdown Python source (Spark 4.1 ``pushFilters``): the
+    id-range predicate reaches the source at planning time and prunes
+    whole partitions before any task launches — only the id ranges
+    that can match are ever generated (pinned by
+    tests/test_plans.py::test_python_source_pushdown_prunes_partitions).
+    Same row rule as ``purchase_fabric``, so the oracle replays the
+    surviving range from generate_series.
+    """
+    # pushdown is opt-in (runtime conf, settable per session)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    key = "spark_graft.fabric_pushdown_registered"
+    if spark.conf.get(key, None) != "1":
+        spark.dataSource.register(FabricPushdownDataSource)
+        spark.conf.set(key, "1")
+    df = (
+        spark.read.format("purchase_fabric_pushdown")
+        .option("n_rows", str(DEFAULT_ROWS))
+        .option("n_parts", str(DEFAULT_PARTS))
+        .load()
+        .where(
+            (F.col("id") >= PUSHDOWN_ID_LO) & (F.col("id") < PUSHDOWN_ID_HI)
+        )
+    )
+    return (
+        df.groupBy((F.col("id") % N_BUCKETS).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("amount") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["source_python_pushdown"] = source_python_pushdown
+ORACLES["source_python_pushdown"] = f"""
+WITH fab AS (
+  SELECT id, ({FABRIC_BASE_MS} + id * 5000) // 10 % 1000 AS cents
+  FROM (SELECT unnest(generate_series({PUSHDOWN_ID_LO},
+                                      {PUSHDOWN_ID_HI - 1})) AS id)
+)
+SELECT CAST(id % {N_BUCKETS} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       CAST(SUM(id) AS BIGINT) AS id_sum
+FROM fab GROUP BY bucket ORDER BY bucket
+"""

@@ -821,3 +821,58 @@ def test_weighted_jaccard_prune_branch_matches(spark, sf_dir, monkeypatch):
         r.asDict() for r in dedup.dedup_weighted_jaccard(spark, sf_dir).collect()
     ]
     assert pruned == base
+
+
+def test_python_source_pushdown_prunes_partitions(spark, sf_dir):
+    """Spark 4.1 Python-source filter pushdown: the id-range predicate
+    must prune WHOLE input partitions at planning time — the query
+    over ids [300, 750) of 8×150-row partitions may generate only the
+    3 overlapping ranges, and the result must equal the no-pushdown
+    source filtered Spark-side."""
+    from pyspark.sql import functions as F
+
+    from iceberg_kafka_playgroud_spark.sources import python_datasource as pds
+
+    got = [
+        r.asDict()
+        for r in pds.source_python_pushdown(spark, sf_dir).collect()
+    ]
+    # partition pruning is visible as the scan RDD's partition count:
+    # 3 of DEFAULT_PARTS=8 ranges overlap [300, 750) — planning runs
+    # in the Python planner worker, so the RDD layout is the
+    # driver-observable artifact
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    scan = (
+        spark.read.format("purchase_fabric_pushdown")
+        .option("n_rows", str(pds.DEFAULT_ROWS))
+        .option("n_parts", str(pds.DEFAULT_PARTS))
+        .load()
+        .where(
+            (F.col("id") >= pds.PUSHDOWN_ID_LO)
+            & (F.col("id") < pds.PUSHDOWN_ID_HI)
+        )
+    )
+    assert scan.rdd.getNumPartitions() == 3
+    base = [
+        r.asDict()
+        for r in pds.source_python_datasource(spark, sf_dir)
+        .sparkSession.read.format("purchase_fabric")
+        .option("n_rows", str(pds.DEFAULT_ROWS))
+        .option("n_parts", str(pds.DEFAULT_PARTS))
+        .load()
+        .where(
+            (F.col("id") >= pds.PUSHDOWN_ID_LO)
+            & (F.col("id") < pds.PUSHDOWN_ID_HI)
+        )
+        .groupBy((F.col("id") % pds.N_BUCKETS).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("amount") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+        .orderBy("bucket")
+        .collect()
+    ]
+    assert got == base
