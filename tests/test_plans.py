@@ -876,3 +876,27 @@ def test_python_source_pushdown_prunes_partitions(spark, sf_dir):
         .collect()
     ]
     assert got == base
+
+
+def test_sql_udf_inlined_no_python_eval(spark, sf_dir):
+    """SQL-language UDFs must be analyzer-inlined: the optimized plan
+    contains NO Python evaluation node (the whole point of the SQL
+    tier over opaque UDFs), and the TVF bracket dimension joins
+    broadcast onto the fact scan."""
+    plan = physical_plan(relational.sql_udf_scalar_tvf(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sql_session_variable_folds_to_literal(spark, sf_dir):
+    """EXECUTE IMMEDIATE ... USING a session variable binds a typed
+    literal: the variable must appear in the plan as the folded
+    constant 25000000 inside an ordinary Filter (the predicate wraps
+    the column in round(), so scan pushdown is impossible for ANY
+    constant — the provable property is the fold), with the scan
+    pruned to the two referenced columns and no Python nodes."""
+    plan = physical_plan(relational.sql_session_variables(spark, sf_dir))
+    assert ">= 25000000" in plan
+    assert "o_totalprice:double,o_orderpriority:string" in plan
+    assert "BatchEvalPython" not in plan
