@@ -4383,16 +4383,20 @@ def udtf_dynamic_schema(spark: SparkSession, sf: str) -> DataFrame:
     literal, so the schema is a pure compile-time function — Catalyst
     sees ordinary typed columns and prunes/pushes as usual.
 
-    The oracle inlines the same n as ``toks[i]`` projections —
-    bit-identical since tokenization is the shared regex.
+    Tokenization happens PLAN-SIDE with the module's shared
+    ``tokens()`` expression and the array crosses into the UDTF —
+    never re-tokenized in Python, so there is no Python-vs-RE2
+    whitespace-class divergence to drift from the ``_TOKS`` oracle.
     """
     from pyspark.sql.functions import udtf
     from pyspark.sql.types import StringType, StructType
     from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
 
+    from .text import tokens
+
     class FirstTokens:
         @staticmethod
-        def analyze(n: AnalyzeArgument, text: AnalyzeArgument) -> AnalyzeResult:
+        def analyze(n: AnalyzeArgument, toks: AnalyzeArgument) -> AnalyzeResult:
             if n.value is None or not isinstance(n.value, int):
                 raise ValueError("first_tokens: n must be an int literal")
             schema = StructType()
@@ -4400,22 +4404,24 @@ def udtf_dynamic_schema(spark: SparkSession, sf: str) -> DataFrame:
                 schema = schema.add(f"tok_{i}", StringType())
             return AnalyzeResult(schema=schema)
 
-        def eval(self, n: int, text: str):
-            toks = [t for t in (text or "").lower().split() if t]
+        def eval(self, n: int, toks):
+            toks = toks or []
             yield tuple(
                 toks[i] if i < len(toks) else None for i in range(n)
             )
 
     spark.udtf.register("first_tokens", udtf(FirstTokens))
     d = load_table(spark, sf, "documents")
-    d.select("doc_id", F.lower(F.col("text")).alias("text")).where(
-        F.col("doc_id") < 50
-    ).createOrReplaceTempView("docs_udtf_dyn_src")
+    d.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    ).where(F.col("doc_id") < 50).createOrReplaceTempView(
+        "docs_udtf_dyn_src"
+    )
     return spark.sql(
         f"""
         SELECT s.doc_id, t.*
         FROM docs_udtf_dyn_src s,
-        LATERAL first_tokens({UDTF_DYN_TOKENS}, s.text) t
+        LATERAL first_tokens({UDTF_DYN_TOKENS}, s.toks) t
         ORDER BY s.doc_id
         """
     )
@@ -4425,7 +4431,7 @@ QUERIES["udtf_dynamic_schema"] = udtf_dynamic_schema
 ORACLES["udtf_dynamic_schema"] = f"""
 WITH d AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'),
+         list_filter(string_split(lower(text), ' '),
                      x -> x <> '') AS toks
   FROM documents WHERE doc_id < 50
 )

@@ -151,8 +151,9 @@ CAND_SHINGLE_BROADCAST_MAX_PAIRS = 100_000
 WJ_PRUNE_CAND_DOC_PCT = 10
 
 
-# (applicationId, cand.semanticHash()) → (cand frame, its pair count).
-# The candidate count gates broadcasts in four operators; the frame is
+# (applicationId, cand.semanticHash()) → [(cand frame, pair count)]
+# collision buckets (same shape as checkpoints._CKPT_MEMO). The
+# candidate count gates broadcasts in four operators; the frame is
 # cached and deterministic within a session, so the count job runs
 # ONCE instead of once per operator call (a bare tiny-job count still
 # costs a full stage-scheduling round trip per invocation).

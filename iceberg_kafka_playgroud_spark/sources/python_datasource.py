@@ -62,27 +62,22 @@ class FabricReader(DataSourceReader):
             yield (rid, ts, f"user_{rid % 1000}", (ts // 10 % 1000) / 100.0)
 
 
-def _register(spark: SparkSession) -> None:
-    # registration is idempotent per session; re-registering the same
-    # name raises, so gate on a session-local marker
-    key = "spark_graft.fabric_source_registered"
+def _register(spark: SparkSession, cls=None) -> None:
+    """Register a Python DataSource class once per session —
+    re-registering the same name raises, so gate on a session-local
+    marker keyed by the source name (one guard for every source/sink
+    variant in this module)."""
+    cls = cls or FabricDataSource
+    key = f"spark_graft.pyds_registered.{cls.name()}"
     if spark.conf.get(key, None) != "1":
-        spark.dataSource.register(FabricDataSource)
+        spark.dataSource.register(cls)
         spark.conf.set(key, "1")
 
 
-def source_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
-    """Read the custom Python source and fold it to a per-bucket audit
-    (count, exact cents, id-sum) — proving the source's schema,
-    options, partitioning, and row contents all at once. The oracle
-    regenerates the identical rows from generate_series."""
-    _register(spark)
-    df = (
-        spark.read.format("purchase_fabric")
-        .option("n_rows", str(DEFAULT_ROWS))
-        .option("n_parts", str(DEFAULT_PARTS))
-        .load()
-    )
+def _bucket_audit(df: DataFrame) -> DataFrame:
+    """The shared per-bucket audit fold (count, exact cents, id-sum)
+    every fabric variant proves itself with — one definition for the
+    four source/sink/stream/pushdown entries."""
     return (
         df.groupBy((F.col("id") % N_BUCKETS).alias("bucket"))
         .agg(
@@ -93,6 +88,20 @@ def source_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("id").cast("long").alias("id_sum"),
         )
         .orderBy("bucket")
+    )
+
+
+def source_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    """Read the custom Python source and fold it to a per-bucket audit
+    (count, exact cents, id-sum) — proving the source's schema,
+    options, partitioning, and row contents all at once. The oracle
+    regenerates the identical rows from generate_series."""
+    _register(spark)
+    return _bucket_audit(
+        spark.read.format("purchase_fabric")
+        .option("n_rows", str(DEFAULT_ROWS))
+        .option("n_parts", str(DEFAULT_PARTS))
+        .load()
     )
 
 
@@ -195,10 +204,7 @@ class JsonlCommitWriter(DataSourceWriter):
 
 
 def _register_sink(spark: SparkSession) -> None:
-    key = "spark_graft.jsonl_sink_registered"
-    if spark.conf.get(key, None) != "1":
-        spark.dataSource.register(JsonlCommitDataSource)
-        spark.conf.set(key, "1")
+    _register(spark, JsonlCommitDataSource)
 
 
 _SINK_STAGE_MEMO: dict = {}
@@ -350,10 +356,7 @@ class FabricStreamDataSource(DataSource):
 
 
 def _register_stream(spark: SparkSession) -> None:
-    key = "spark_graft.fabric_stream_registered"
-    if spark.conf.get(key, None) != "1":
-        spark.dataSource.register(FabricStreamDataSource)
-        spark.conf.set(key, "1")
+    _register(spark, FabricStreamDataSource)
 
 
 def source_python_stream_reader(spark: SparkSession, sf: str) -> DataFrame:
@@ -504,11 +507,8 @@ def source_python_pushdown(spark: SparkSession, sf: str) -> DataFrame:
     """
     # pushdown is opt-in (runtime conf, settable per session)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    key = "spark_graft.fabric_pushdown_registered"
-    if spark.conf.get(key, None) != "1":
-        spark.dataSource.register(FabricPushdownDataSource)
-        spark.conf.set(key, "1")
-    df = (
+    _register(spark, FabricPushdownDataSource)
+    return _bucket_audit(
         spark.read.format("purchase_fabric_pushdown")
         .option("n_rows", str(DEFAULT_ROWS))
         .option("n_parts", str(DEFAULT_PARTS))
@@ -516,17 +516,6 @@ def source_python_pushdown(spark: SparkSession, sf: str) -> DataFrame:
         .where(
             (F.col("id") >= PUSHDOWN_ID_LO) & (F.col("id") < PUSHDOWN_ID_HI)
         )
-    )
-    return (
-        df.groupBy((F.col("id") % N_BUCKETS).alias("bucket"))
-        .agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.sum(F.round(F.col("amount") * 100).cast("long"))
-            .cast("long")
-            .alias("cents_sum"),
-            F.sum("id").cast("long").alias("id_sum"),
-        )
-        .orderBy("bucket")
     )
 
 

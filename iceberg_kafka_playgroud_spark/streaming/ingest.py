@@ -1693,11 +1693,15 @@ def stream_state_store_read(spark: SparkSession, sf: str) -> DataFrame:
             .cast("long")
             .alias("cents_sum"),
         )
-        ckpt = _ckpt_dir("ssread_ckpt_")
-        name = f"sink_{uuid.uuid4().hex[:12]}"
+        # NOT _ckpt_dir (tmpfs, never reclaimed — right for tiny
+        # offset logs only): this checkpoint carries the state-store
+        # shards the returned frame lazily reads, so it lives on disk
+        # and is reclaimed at exit.  The sink is noop — the state IS
+        # the output here; retaining a memory-sink copy per call would
+        # stack dead driver-side aggregates across warm repetitions.
+        ckpt = _tmpdir_reclaimed_at_exit("ssread_ckpt_")
         q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
+            agg.writeStream.format("noop")
             .outputMode("complete")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
