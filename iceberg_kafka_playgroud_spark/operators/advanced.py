@@ -3826,11 +3826,14 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     # degenerates to MIN(neighbor id) — no label join, no second
     # aggregate: ONE map-side-combined nodes-sized shuffle instead of
     # an edge join + two shuffles (measured ~1.1 s → ~0.3 s at sf0.1).
+    # round 1 stays LAZY: its only consumer is round 2's broadcast
+    # build, which executes this subplan exactly once inside round 2's
+    # job — an eager checkpoint here would pay one extra job dispatch
+    # for nothing (release_local_checkpoint below no-ops on it).
     labels = (
         edges.groupBy("dst")
         .agg(F.min("src").cast("long").alias("lbl"))
         .select(F.col("dst").alias("node"), "lbl")
-        .localCheckpoint(eager=True)
     )
     def _round(lbls: DataFrame) -> DataFrame:
         lbl_in = F.broadcast(lbls) if can_broadcast else lbls
