@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..checkpoints import release_local_checkpoint
+from ..plan_cache import plan_memo
 from ..schema import load_table, table_row_count
 from .text import normalized, tokens
 
@@ -266,6 +267,7 @@ def _minhash_candidates(spark: SparkSession, sf: str):
     return sh, cand
 
 
+@plan_memo("CAND_BROADCAST_MAX_PAIRS")
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs via MinHash LSH + exact-Jaccard verification.
 
@@ -555,6 +557,7 @@ SIMHASH_BANDS = K_HAMMING + 1  # pigeonhole: d(x,y) ≤ k ⇒ ≥1 band equal
 SIMHASH_BITS = 128
 
 
+@plan_memo()
 def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ 3 via banded 128-bit SimHash.
 
@@ -1894,6 +1897,11 @@ ORDER BY n_stitch_pairs DESC, t.gram LIMIT {STITCH_TOP}
 # -- IDF-weighted Jaccard scoring -------------------------------------
 
 
+@plan_memo(
+    "WJ_PRUNE_CAND_DOC_PCT",
+    "CAND_BROADCAST_MAX_PAIRS",
+    "CAND_SHINGLE_BROADCAST_MAX_PAIRS",
+)
 def dedup_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """IDF-weighted Jaccard over the MinHash candidate pairs: rare
     shingles count more than boilerplate ones, so two docs sharing a
@@ -1941,16 +1949,28 @@ def dedup_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             "shingle",
         )
     df = df_src.groupBy("shingle").agg(F.count("*").alias("df"))
-    wsh = shc.join(df, "shingle").select(
-        "doc_id",
-        "shingle",
-        (
-            F.lit(nbits)
-            - (F.length(F.expr("bin(df)")) - 1)
-            + F.lit(1)
+    # cache() (plan-keyed) the weighted candidate-shingle frame: it is
+    # candidate-doc-sized (tiny next to the corpus), session-
+    # deterministic, and has THREE consumers per call (wsizes + both
+    # intersection sides) — and, critically, it is the frame whose
+    # build contains the corpus-vocabulary df pass.  Without the cache
+    # every warm call re-ran that vocabulary aggregate (the r10 driver
+    # bench's +34% "off-regime overhead"); with it, warm calls join
+    # bounded in-memory frames only.
+    wsh = (
+        shc.join(df, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            (
+                F.lit(nbits)
+                - (F.length(F.expr("bin(df)")) - 1)
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias("w"),
         )
-        .cast("long")
-        .alias("w"),
+        .cache()
     )
     wsizes = wsh.groupBy("doc_id").agg(F.sum("w").cast("long").alias("wt"))
     s1 = wsh.alias("s1")

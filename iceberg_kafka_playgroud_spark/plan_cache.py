@@ -1,0 +1,110 @@
+"""Prepared-plan layer: memoize built (lazy) DataFrames per session.
+
+Building a DataFrame plan from Python is not free: every column
+expression, join, and alias is a py4j round trip, and ``cache()`` /
+``semanticHash()`` trigger JVM-side analysis of the whole tree.  For
+the expression-heavy operators (MinHash families, SimHash banding,
+the seeded global shuffle) the measured DRIVER-side build cost is
+0.2–0.9 s per call at any scale factor — pure fixed overhead that
+(a) dwarfs the sub-second execution of these queries at bench scale
+and (b) inflates further when the driver host is loaded, because it
+is hundreds of serialized py4j latencies (the r10 driver-bench drift
+on exactly these queries).
+
+``plan_memo`` gives an operator prepared-statement semantics: the
+FIRST call per (session, sf, gate-constants) builds the plan; later
+calls return the same DataFrame object.  Execution is untouched —
+every action on the returned frame still runs the full distributed
+plan, so benchmarks measure real execution, and at 100 TB the saved
+work is the same fixed driver cost (plan building does not scale
+with data).
+
+Rules for wrapping an operator:
+
+1. PURE PLAN BUILDERS ONLY.  The function must return a LAZY frame
+   and perform no per-call work a caller could observe (no driver
+   collect of results, no ``createDataFrame`` of computed rows, no
+   streaming-query lifecycle, no sink writes).  Memoizing an eager
+   operator would skip its work entirely — that is caching the
+   answer, not the plan.  (BFS/LPA, the stream harnesses, and the
+   REST paths therefore stay unwrapped.)
+2. DECLARE EVERY MODULE CONSTANT THAT SHAPES THE PLAN.  The memo key
+   includes the named globals read at call time, so a test that
+   monkeypatches a broadcast budget or prune gate gets a fresh build
+   (and the patched plan), never a stale hit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["plan_memo", "evict_dead_sessions", "clear"]
+
+# (applicationId, sf, qualname, gate-values...) → (session, DataFrame)
+_PLAN_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
+
+
+def _session_stopped(spark: SparkSession) -> bool:
+    """True when the session's JVM context is provably gone."""
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def evict_dead_sessions(memo: dict | None = None) -> int:
+    """Drop memo entries whose owning session has been stopped.
+
+    Long-lived processes that build several SparkSessions (test
+    runners, notebook restarts) would otherwise accumulate dead
+    entries holding py4j handles to stopped JVMs.  Entries must store
+    ``(session, value)`` tuples (this module's shape); returns the
+    number evicted.
+    """
+    memo = _PLAN_CACHE if memo is None else memo
+    dead = [k for k, (s, _) in memo.items() if _session_stopped(s)]
+    for k in dead:
+        del memo[k]
+    return len(dead)
+
+
+def clear() -> None:
+    """Drop every prepared plan (bench growth harnesses use this so
+    cold-path measurements cannot hit a warm plan)."""
+    _PLAN_CACHE.clear()
+
+
+def plan_memo(*gate_names: str) -> Callable:
+    """Decorator for ``fn(spark, sf) -> DataFrame`` pure plan builders.
+
+    ``gate_names`` are module-global constants (looked up in the
+    function's own module at CALL time) that alter the built plan —
+    broadcast budgets, prune gates, iteration counts.  Their current
+    values are part of the memo key.
+    """
+
+    def deco(fn: Callable) -> Callable:
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+            evict_dead_sessions()
+            gates = tuple(fn.__globals__[g] for g in gate_names)
+            key = (
+                spark.sparkContext.applicationId,
+                sf.rstrip("/"),
+                fn.__qualname__,
+                gates,
+            )
+            hit = _PLAN_CACHE.get(key)
+            if hit is not None:
+                return hit[1]
+            df = fn(spark, sf)
+            _PLAN_CACHE[key] = (spark, df)
+            return df
+
+        wrapped.__wrapped__ = fn
+        return wrapped
+
+    return deco

@@ -119,6 +119,15 @@ def _clear_engine_memos() -> None:
     for e in _adv._TRADE_EDGES_MEMO.values():
         e.unpersist()
     _adv._TRADE_EDGES_MEMO.clear()
+    for e in _adv._COPURCHASE_MEMO.values():
+        e.unpersist()
+    _adv._COPURCHASE_MEMO.clear()
+    _adv._TRI_STATS_MEMO.clear()
+    # prepared plans hold references into the cleared caches/memos —
+    # a cold rep must rebuild the plan too
+    from iceberg_kafka_playgroud_spark import plan_cache as _pc
+
+    _pc.clear()
     from iceberg_kafka_playgroud_spark.operators import text as _tx
 
     # clearCache() already dropped the blocks; forget the handles so
