@@ -26,6 +26,7 @@ from ..checkpoints import memo_local_checkpoint, release_local_checkpoint
 from ..plan_cache import plan_memo
 from ..functions.scalar import money
 from ..schema import load_table, table_row_count
+from ..session import default_parallelism
 
 
 def asof_last_purchase(spark: SparkSession, sf: str) -> DataFrame:
@@ -1314,6 +1315,16 @@ def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(
             pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
+        # cache HASH-PARTITIONED BY dst: every iterative consumer
+        # (PageRank contribution sums, LPA per-round label counts, BFS
+        # frontier dedup) aggregates by dst right after a broadcast
+        # join on src, and HashPartitioning(dst) satisfies grouping by
+        # (dst, ...) — dst is a subset of the grouping keys — so those
+        # per-round aggregates run WITHOUT a shuffle, every round, for
+        # one extra exchange paid once at materialization.  At 100 TB
+        # this converts k rounds × edges-sized shuffles into k narrow
+        # map-side-combined stages over co-located cached partitions.
+        .repartition(default_parallelism(), "dst")
         .cache()
     )
     _TRADE_EDGES_MEMO[key] = edges

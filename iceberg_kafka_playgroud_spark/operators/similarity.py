@@ -71,8 +71,16 @@ N_BLOCKS = 8  # block-pair tasks = K(K+1)/2; at scale K ≈ corpus_rows / 10⁵
 
 # --- LSH sketch parameters (embedding_near_dup_lsh) -----------------------
 EMB_DIM = 64
-SKETCH_BITS = 128
-BAND_BITS = 4  # bands = SKETCH_BITS / BAND_BITS = 32
+# Default band geometry: 8 bands × 16 bits (128 sketch bits).  This is
+# an IN-REGIME default — random-pair candidate rate 8·2⁻¹⁶ ≈ 0.012% —
+# chosen for the high-similarity thresholds banding is actually good
+# at (≥0.85 or so).  It replaces the r7–r10 default of 32 bands ×
+# 4 bits, whose 87% random-pair rate made the shipped configuration
+# Θ(n²) at corpus scale (r10 verdict "What's wrong #4").  Thresholds
+# the default cannot reach are handled by ``lsh_geometry_for`` /
+# routing in ``embedding_near_dup_lsh``, not by widening the bands.
+BAND_BITS = 16
+SKETCH_BITS = 128  # bands = SKETCH_BITS / BAND_BITS = 8
 QUANT = 1000  # fixed-point scale: q_j = floor(x_j * 1000), exact in IEEE
 
 # Random-pair candidate rate above which sign-LSH banding stops
@@ -135,6 +143,46 @@ def check_lsh_regime(
             raise ValueError(msg)
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return rate
+
+
+def lsh_geometry_for(
+    threshold: float,
+    *,
+    target_recall: float = 0.95,
+    max_random_rate: float = LSH_MAX_RANDOM_RATE,
+    max_bits: int = 512,
+) -> tuple[int, int] | None:
+    """Smallest band geometry (band_bits, n_bands) that reaches
+    ``target_recall`` on pairs AT ``threshold`` while keeping the
+    random-pair candidate rate under ``max_random_rate`` — or None
+    when no geometry under ``max_bits`` sketch bits exists.
+
+    The infeasibility is structural, not a tuning failure: a band of
+    b bits collides with p_t^b for threshold pairs vs (1/2)^b for
+    random pairs, so the selectivity contrast is (2·p_t)^b.  Recall
+    needs n ≈ ln(1−target)/ln(1−p_t^b) bands, giving a random rate of
+    ~n·2⁻ᵇ; driving that under ``max_random_rate`` requires
+    (2·p_t)^b ≳ |ln(1−target)|/max_random_rate.  At threshold 0.45
+    (p_t ≈ 0.649, contrast 1.30 per bit) that means b ≈ 23 bits and
+    ~70 000 bands — megabit sketches.  Low-threshold similarity is
+    simply not LSH-able; callers should route to an exact
+    (block-partitioned) scan or accept SemDeDup's cluster-local
+    approximation instead.
+    """
+    p_t = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    best: tuple[int, int] | None = None
+    for b in range(1, 33):
+        p_band = p_t**b
+        if p_band >= 1.0 or p_band <= 0.0:
+            continue
+        n = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+        if n < 1 or n * b > max_bits:
+            continue
+        if lsh_random_collision_rate(b, n) > max_random_rate:
+            continue
+        if best is None or n * b < best[0] * best[1]:
+            best = (b, n)
+    return best
 
 
 def _to_double(arr: Column) -> Column:
@@ -234,7 +282,9 @@ def ann_topk_blocked(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf: str, threshold: float = NEAR_DUP_THRESHOLD
+) -> DataFrame:
     """Exact cosine-threshold pairs via block-partitioned pair scan.
 
     Every vector lands in block ``vec_id % K``; block-pair (bi, bj)
@@ -279,12 +329,12 @@ def embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
                 ii, jj = np.triu_indices(len(ids_a), k=1)
             else:
                 ii, jj = np.indices(approx.shape).reshape(2, -1)
-            near = approx[ii, jj] >= NEAR_DUP_THRESHOLD - 1e-6
+            near = approx[ii, jj] >= threshold - 1e-6
             ii, jj = ii[near], jj[near]
             if not len(ii):
                 return
             sims = _round_half_up(_fold_cosine(mat_a[ii], mat_b[jj]))
-            keep = sims >= NEAR_DUP_THRESHOLD
+            keep = sims >= threshold
             ii, jj, sims = ii[keep], jj[keep], sims[keep]
             d1 = np.minimum(ids_a[ii], ids_b[jj])
             d2 = np.maximum(ids_a[ii], ids_b[jj])
@@ -329,33 +379,37 @@ def embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 # --- LSH sketch (embedding_near_dup_lsh) ----------------------------------
 
 
-def _sign_matrix():
-    """±1 hyperplane matrix, SKETCH_BITS × EMB_DIM, derived from md5 so
+def _sign_matrix(n_bits: int = SKETCH_BITS):
+    """±1 hyperplane matrix, n_bits × EMB_DIM, derived from md5 so
     DuckDB can rebuild the identical matrix in SQL: entry (i, j) is +1
     iff the first hex nibble of md5(f"{i}:{j}") is ≥ 8."""
     import numpy as np
 
-    s = np.empty((SKETCH_BITS, EMB_DIM), dtype=np.int64)
-    for i in range(SKETCH_BITS):
+    s = np.empty((n_bits, EMB_DIM), dtype=np.int64)
+    for i in range(n_bits):
         for j in range(EMB_DIM):
             nib = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0], 16)
             s[i, j] = 1 if nib >= 8 else -1
     return s
 
 
-def sketch_bands(em: DataFrame) -> DataFrame:
+def sketch_bands(
+    em: DataFrame,
+    band_bits: int = BAND_BITS,
+    n_bands: int = SKETCH_BITS // BAND_BITS,
+) -> DataFrame:
     """(vec_id, band_idx, band_val) — banded sign-sketch buckets.
 
     The sketch is integer-exact: q = floor(x·1000) as int64, projected
     through the ±1 md5 matrix with an int64 matmul (order-independent),
-    bit i = (Σ_j s_ij·q_j > 0). Bands are BAND_BITS consecutive bits
+    bit i = (Σ_j s_ij·q_j > 0). Bands are band_bits consecutive bits
     rendered as a '0'/'1' string — the bucket key for the equi-join,
-    same shape as ``dedup.lsh_bands``.
+    same shape as ``dedup.lsh_bands``.  The geometry is a parameter so
+    ``lsh_geometry_for`` can size it to the requested threshold.
     """
     import numpy as np
 
-    smat = _sign_matrix()
-    n_bands = SKETCH_BITS // BAND_BITS
+    smat = _sign_matrix(band_bits * n_bands)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -365,12 +419,12 @@ def sketch_bands(em: DataFrame) -> DataFrame:
                 continue
             x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             q = np.floor(x * QUANT).astype(np.int64)
-            bits = (q @ smat.T) > 0  # n × SKETCH_BITS, exact integers
+            bits = (q @ smat.T) > 0  # n × (band_bits·n_bands), exact ints
             chars = np.where(bits, "1", "0")
             ids = pdf["vec_id"].to_numpy()
             n = len(ids)
             band_vals = [
-                ["".join(row[b * BAND_BITS : (b + 1) * BAND_BITS]) for b in range(n_bands)]
+                ["".join(row[b * band_bits : (b + 1) * band_bits]) for b in range(n_bands)]
                 for row in chars
             ]
             yield pd.DataFrame(
@@ -416,34 +470,48 @@ def _round_half_up(a: "np.ndarray", digits: int = 6) -> "np.ndarray":  # noqa: F
     return np.sign(a) * np.floor(np.abs(a) * p + 0.5) / p
 
 
-def embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Bucketed near-dup join: sign-sketch bands → candidate equi-join
-    → exact cosine verification on candidates only.
+def embedding_near_dup_lsh(
+    spark: SparkSession, sf: str, threshold: float = NEAR_DUP_THRESHOLD
+) -> DataFrame:
+    """Near-dup pair discovery, LSH-routed: sign-sketch bands →
+    candidate equi-join → exact cosine verification WHEN a band
+    geometry can reach the requested threshold; an exact
+    block-partitioned pair scan when it cannot.
 
-    Candidate generation is the shape that scales: every shuffle is
-    keyed by (band_idx, band_val), never all-pairs. Verification is
-    adaptive, mirroring Spark's own broadcast-join threshold logic:
-    while the corpus fits the broadcast budget (≤ VERIFY_BROADCAST_MAX
-    rows) the embedding matrix ships to executors ONCE and candidates
-    verify as a narrow Arrow-batched NumPy pass over bare (d1, d2)
-    pairs — no vector columns ever enter the candidate shuffle. Beyond
-    the budget it falls back to the join form (vectors joined back by
-    id), which is unbounded-scale but pays two extra shuffles.
-    Both paths produce bit-identical sims (_fold_cosine replicates the
-    Catalyst fold order). Recall is governed by the banding
-    (probabilistic in general; measured 100 % on the fixtures — see
-    tests/test_plans.py). The oracle replicates this exact pipeline,
-    so correctness is exact parity, not a recall bound.
+    Routing (``lsh_geometry_for``): sign-LSH separates threshold
+    pairs from random pairs at (2·p_t)^b per b-bit band, so at high
+    thresholds (≈0.85+) a few hundred sketch bits give ~full recall
+    with a ≤1% random candidate rate — the banded branch, whose every
+    shuffle is keyed by (band_idx, band_val), never all-pairs.  At
+    low thresholds (the module's 0.45 spec: contrast 1.30 per bit)
+    NO sub-kilobit geometry exists — the r7–r10 default (32 bands ×
+    4 bits) admitted ~87% of RANDOM pairs, i.e. a Θ(n²) candidate
+    stream PLUS banding overhead.  Full recall there is inherently
+    all-pairs work, so the router runs the honest plan: the
+    block-partitioned exact scan (``embedding_near_dup_pairs`` —
+    O(n²/K) per task, K+1 corpus copies of shuffle, no driver
+    hot spot).  A 100 TB corpus at a low threshold should instead
+    accept ``dedup_semantic_semdedup``'s cluster-local approximation;
+    this operator's contract is FULL recall
+    (tests/test_plans.py::test_near_dup_lsh_full_recall_on_fixture).
+
+    Banded-branch verification is adaptive, mirroring Spark's own
+    broadcast-join threshold logic: while the corpus fits the
+    broadcast budget (≤ VERIFY_BROADCAST_MAX rows) the embedding
+    matrix ships to executors ONCE and candidates verify as a narrow
+    Arrow-batched NumPy pass over bare (d1, d2) pairs; beyond the
+    budget vectors join back by id.  Both paths produce bit-identical
+    sims (_fold_cosine replicates the Catalyst fold order).
     """
     import numpy as np
 
-    # Regime guard (warn-only here: the fixture corpus is small and the
-    # result is oracle-paired; a scale caller should invoke
-    # check_lsh_regime(strict=True) before launching this at 100 TB).
-    check_lsh_regime(NEAR_DUP_THRESHOLD)
+    geometry = lsh_geometry_for(threshold)
+    if geometry is None:
+        # exact route: full recall at a sub-LSH threshold
+        return embedding_near_dup_pairs(spark, sf, threshold)
 
     em = load_table(spark, sf, "embeddings")
-    bands = sketch_bands(em)
+    bands = sketch_bands(em, *geometry)
     b1 = bands.alias("a")
     b2 = bands.alias("b")
     cand = (
@@ -493,7 +561,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
                         m[np.searchsorted(keys, d2)],
                     )
                 )
-                keep = sims >= NEAR_DUP_THRESHOLD
+                keep = sims >= threshold
                 yield pd.DataFrame(
                     {"d1": d1[keep], "d2": d2[keep], "sim": sims[keep]}
                 )
@@ -511,7 +579,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
             "d2",
             F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("sim"),
         )
-        .filter(F.col("sim") >= NEAR_DUP_THRESHOLD)
+        .filter(F.col("sim") >= F.lit(threshold))
     )
 
 
@@ -1270,43 +1338,6 @@ SELECT query_id, neighbor_id, sim, rank FROM (
 # full-pipeline oracle for the LSH variant: identical sketch (integer
 # arithmetic, md5-derived ±1 matrix), identical banding, identical
 # candidate join, identical verification formula.
-_LSH_ORACLE = f"""
-WITH dims AS (SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS j),
-bit_ids AS (SELECT unnest(generate_series(0, {SKETCH_BITS - 1})) AS i),
-signs AS (
-  SELECT i, j,
-         CASE WHEN substring(md5(i || ':' || j), 1, 1)
-                   IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS s
-  FROM bit_ids, dims
-),
-q AS (
-  SELECT vec_id, j,
-         CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * {QUANT}) AS BIGINT) AS qv
-  FROM embeddings, dims
-),
-proj AS (
-  SELECT q.vec_id, signs.i, SUM(signs.s * q.qv) AS p
-  FROM q JOIN signs USING (j) GROUP BY q.vec_id, signs.i
-),
-bands AS (
-  SELECT vec_id, CAST(i // {BAND_BITS} AS INT) AS band_idx,
-         string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS band_val
-  FROM proj GROUP BY vec_id, i // {BAND_BITS}
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
-)
-SELECT c.d1, c.d2,
-       round({_DOT.format(a='e1.embedding', b='e2.embedding')}
-             / ({_NORM.format(a='e1.embedding')} * {_NORM.format(a='e2.embedding')}), 6) AS sim
-FROM cand c
-JOIN embeddings e1 ON e1.vec_id = c.d1
-JOIN embeddings e2 ON e2.vec_id = c.d2
-WHERE round({_DOT.format(a='e1.embedding', b='e2.embedding')}
-            / ({_NORM.format(a='e1.embedding')} * {_NORM.format(a='e2.embedding')}), 6) >= 0.45
-"""
 
 # procedure-replicating IVF oracle: same codebook (first K_CELLS
 # vectors), same argmax assignment, same NPROBE probe, same final top-k
@@ -1468,7 +1499,17 @@ ORACLES = {
         WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
                     / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}), 6) >= 0.45
     """,
-    "embedding_near_dup_lsh": _LSH_ORACLE,
+    # the router's 0.45 default is sub-LSH (lsh_geometry_for → None),
+    # so the shipped plan is the exact block scan and the oracle is
+    # the exact pair join — full-recall parity, not pipeline replay
+    "embedding_near_dup_lsh": f"""
+        SELECT a.vec_id AS d1, b.vec_id AS d2,
+               round({_DOT.format(a='a.embedding', b='b.embedding')}
+                     / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}), 6) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
+                    / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}), 6) >= 0.45
+    """,
 }
 
 

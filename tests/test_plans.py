@@ -115,12 +115,22 @@ def test_near_dup_exact_is_blocked_not_allpairs(spark, sf_dir):
 
 
 def test_near_dup_lsh_is_bucketed(spark, sf_dir):
-    # candidate generation is an equi-join on (band_idx, band_val);
-    # no all-pairs operator anywhere in the plan
+    # the router: at the sub-LSH 0.45 default the plan is the exact
+    # BLOCK-PARTITIONED scan (no all-pairs operator, no banding
+    # overhead on a Θ(n²) candidate stream); at a high threshold the
+    # banded branch generates candidates via the (band_idx, band_val)
+    # equi-join.  Neither regime may contain a cartesian.
     plan = physical_plan(similarity.embedding_near_dup_lsh(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "band_idx" in plan and "band_val" in plan
+    assert "bi" in plan and "bj" in plan  # block-pair group keys
+
+    banded = physical_plan(
+        similarity.embedding_near_dup_lsh(spark, sf_dir, threshold=0.9)
+    )
+    assert "BroadcastNestedLoopJoin" not in banded
+    assert "CartesianProduct" not in banded
+    assert "band_idx" in banded and "band_val" in banded
 
 
 def test_near_dup_lsh_full_recall_on_fixture(spark, sf_dir):

@@ -682,9 +682,10 @@ def test_mor_read_applies_sequence_rule(spark):
 
 
 def test_lsh_regime_guard_warns_and_raises():
-    """At the committed geometry (32 bands x 4 bits) the random-pair
-    candidate rate is ~87% -- sub-regime for any threshold.  strict
-    raises; non-strict warns; a tight geometry passes silently."""
+    """The SHIPPED default geometry (8 bands x 16 bits) must be
+    in-regime — check_lsh_regime at any threshold passes silently (the
+    r10 verdict's done-bar).  The retired r7–r10 default (32 bands x
+    4 bits) still warns/raises when passed explicitly."""
     import warnings as _w
 
     import pytest
@@ -692,23 +693,88 @@ def test_lsh_regime_guard_warns_and_raises():
     from iceberg_kafka_playgroud_spark.operators import similarity as sim
 
     rate = sim.lsh_random_collision_rate()
-    assert 0.8 < rate < 0.95  # 1-(1-0.5^4)^32
-
-    with pytest.raises(ValueError, match="semdedup"):
-        sim.check_lsh_regime(0.45, strict=True)
+    assert rate < sim.LSH_MAX_RANDOM_RATE  # 1-(1-0.5^16)^8 ~= 0.012%
 
     with _w.catch_warnings(record=True) as rec:
         _w.simplefilter("always")
-        got = sim.check_lsh_regime(0.45)
-        assert any(issubclass(r.category, RuntimeWarning) for r in rec)
+        got = sim.check_lsh_regime(sim.NEAR_DUP_THRESHOLD)
+        assert not rec
     assert got == pytest.approx(rate)
 
-    # 8 bands x 16 bits: random rate 8 * 0.5^16 ~= 0.012%% -- in-regime
+    # the retired quadratic geometry is still diagnosed
+    old = sim.lsh_random_collision_rate(band_bits=4, n_bands=32)
+    assert 0.8 < old < 0.95  # 1-(1-0.5^4)^32
+    with pytest.raises(ValueError, match="semdedup"):
+        sim.check_lsh_regime(0.45, strict=True, band_bits=4, n_bands=32)
     with _w.catch_warnings(record=True) as rec:
         _w.simplefilter("always")
-        tight = sim.check_lsh_regime(0.9, band_bits=16, n_bands=8)
-        assert not rec
-    assert tight < sim.LSH_MAX_RANDOM_RATE
+        sim.check_lsh_regime(0.45, band_bits=4, n_bands=32)
+        assert any(issubclass(r.category, RuntimeWarning) for r in rec)
+
+
+def test_lsh_geometry_router():
+    """lsh_geometry_for: low thresholds are structurally infeasible
+    (→ None → embedding_near_dup_lsh routes to the exact block scan);
+    high thresholds get an in-regime geometry with the target recall."""
+    import math
+
+    from iceberg_kafka_playgroud_spark.operators import similarity as sim
+
+    assert sim.lsh_geometry_for(0.45) is None  # contrast 1.30/bit
+    assert sim.lsh_geometry_for(sim.NEAR_DUP_THRESHOLD) is None
+
+    geo = sim.lsh_geometry_for(0.9)
+    assert geo is not None
+    b, n = geo
+    assert n * b <= 512
+    assert sim.lsh_random_collision_rate(b, n) <= sim.LSH_MAX_RANDOM_RATE
+    p_t = 1.0 - math.acos(0.9) / math.pi
+    recall = 1.0 - (1.0 - p_t**b) ** n
+    assert recall >= 0.95
+
+
+def test_lsh_banded_branch_high_threshold(spark):
+    """The banded branch (in-regime geometry) on a synthetic corpus
+    with planted near-duplicates: every planted pair (sim ≥ 0.99)
+    must survive candidate generation + verification, and the
+    candidate stream must stay far under n² (the whole point of
+    banding)."""
+    import numpy as np
+
+    from iceberg_kafka_playgroud_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    n_base, n_dups = 120, 15
+    base = rng.normal(size=(n_base, sim.EMB_DIM))
+    vecs = [base[i] for i in range(n_base)]
+    planted = set()
+    for k in range(n_dups):  # near-identical copies of the first docs
+        noisy = base[k] + rng.normal(scale=0.01, size=sim.EMB_DIM)
+        planted.add((k, n_base + k))
+        vecs.append(noisy)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    geo = sim.lsh_geometry_for(0.9)
+    bands = sim.sketch_bands(em, *geo)
+    b1, b2 = bands.alias("a"), bands.alias("b")
+    from pyspark.sql import functions as F
+
+    cand = (
+        b1.join(
+            b2,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        .distinct()
+        .collect()
+    )
+    cand_pairs = {(r["d1"], r["d2"]) for r in cand}
+    assert planted <= cand_pairs  # full recall on the planted dups
+    n_total = n_base + n_dups
+    assert len(cand_pairs) <= 0.05 * n_total * (n_total - 1) / 2
 
 
 # --- round-8 operator invariants ------------------------------------
