@@ -84,6 +84,11 @@ def main() -> None:
         "ann_mmr_rerank",
         "embedding_dbscan_core",
         "dedup_weighted_jaccard",
+        # round-11: LPA graduates to the headline set (r10 verdict #3:
+        # the ≤2 s bar is driver-measured from now on); its per-round
+        # aggregates are shuffle-free over the dst-partitioned edge
+        # cache
+        "graph_label_propagation",
     ):
         if extra not in qs:
             raise SystemExit(f"bench: unknown headline query {extra!r}")

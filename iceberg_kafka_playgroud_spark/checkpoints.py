@@ -31,7 +31,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from .plan_cache import evict_dead_sessions
+
 __all__ = ["release_local_checkpoint", "memo_local_checkpoint"]
+
+
+_PROBE_WARNED = False
 
 
 def release_local_checkpoint(df: DataFrame) -> None:
@@ -41,15 +46,29 @@ def release_local_checkpoint(df: DataFrame) -> None:
     Safe no-op on frames that are not checkpoints (their analyzed
     plan is not a ``LogicalRDD``).
     """
+    global _PROBE_WARNED
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() == "LogicalRDD":
             plan.rdd().unpersist(False)
-    except Exception:
+    except Exception as exc:
         # never let storage cleanup break the query path (e.g. a
         # future Connect-only session without _jdf) — the leak is a
-        # degradation, not a correctness failure
-        pass
+        # degradation, not a correctness failure.  But degradation
+        # must not be SILENT (a Spark that renames LogicalRDD/rdd()
+        # would re-open the exact r8 leak this module prevents), so
+        # the first failure warns once per process.
+        if not _PROBE_WARNED:
+            _PROBE_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "release_local_checkpoint: JVM plan probe failed "
+                f"({type(exc).__name__}: {exc}); checkpoint blocks may "
+                "leak — storage release degraded to bare unpersist()",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     df.unpersist()
 
 
@@ -79,6 +98,7 @@ def memo_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     LPA rounds) should NOT go through the memo: they are dead once
     the loop advances and must be released instead.
     """
+    evict_dead_sessions(_CKPT_MEMO)
     key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
     bucket = _CKPT_MEMO.setdefault(key, [])
     for orig, ck in bucket:

@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..checkpoints import memo_local_checkpoint, release_local_checkpoint
-from ..plan_cache import plan_memo
+from ..plan_cache import evict_dead_sessions, plan_memo
 from ..functions.scalar import money
 from ..schema import load_table, table_row_count
 from ..session import default_parallelism
@@ -1297,6 +1297,7 @@ def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
     lineitem⋈orders pairs with bipartite node ids (2·suppkey /
     2·custkey+1), both directions materialized, cached once per
     session+sf (memo above — do NOT unpersist; the memo owns it)."""
+    evict_dead_sessions(_TRADE_EDGES_MEMO)
     key = (spark.sparkContext.applicationId, sf.rstrip("/"))
     hit = _TRADE_EDGES_MEMO.get(key)
     if hit is not None:
@@ -1633,6 +1634,7 @@ def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
     At 100 TB the pruned edge list is the node-pair graph, orders of
     magnitude smaller than lineitem.
     """
+    evict_dead_sessions(_COPURCHASE_MEMO)
     key = (spark.sparkContext.applicationId, sf.rstrip("/"))
     hit = _COPURCHASE_MEMO.get(key)
     if hit is not None:
@@ -1698,6 +1700,7 @@ def _oriented_copurchase(spark: SparkSession, sf: str):
     time: the r10 driver bench showed those extra jobs are what makes
     the query degrade superlinearly when the host is loaded.
     """
+    evict_dead_sessions(_TRI_STATS_MEMO)
     key = (spark.sparkContext.applicationId, sf.rstrip("/"))
     e = _copurchase_edges(spark, sf).select("pa", "pb")
     deg = (

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..checkpoints import release_local_checkpoint
-from ..plan_cache import plan_memo
+from ..plan_cache import evict_dead_sessions, plan_memo
 from ..schema import load_table, table_row_count
 from .text import normalized, tokens
 
@@ -162,6 +162,7 @@ _N_CAND_MEMO: dict = {}
 
 
 def _cand_count(cand: DataFrame) -> int:
+    evict_dead_sessions(_N_CAND_MEMO)
     key = (
         cand.sparkSession.sparkContext.applicationId,
         cand.semanticHash(),
@@ -679,6 +680,7 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
     # nodes-sized resident entry per distinct pair graph, intermediate
     # rounds released as the loop advances.
     spark = pairs.sparkSession
+    evict_dead_sessions(_CC_MEMO)
     key = (spark.sparkContext.applicationId, pairs.semanticHash())
     bucket = _CC_MEMO.setdefault(key, [])
     for prev_pairs, ck in bucket:

@@ -88,25 +88,52 @@ def orders_open_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     counter (vs the quadratic self-join). Output: every day the
     concurrency level changes, with the level in effect from that day.
 
-    Scale: per-order interval extraction is one orderkey shuffle with
-    map-side combine; deltas collapse to day cardinality BEFORE the
-    running sum, so the final (single-partition) window is bounded by
-    calendar days, not order count — the same shape at 100 TB.
+    Scale: per-order interval extraction is ONE orderkey shuffle with
+    map-side combine over the UNION of orders and lineitem rows — the
+    r10 form paid two shuffles plus a sort-merge join for the same
+    result (and its bench variance tracked exactly that join's
+    scheduling exposure).  Both interval endpoints come out of the
+    single aggregate; the ±1 deltas explode from it in-place (no
+    self-union re-reading the join).  Deltas collapse to day
+    cardinality BEFORE the running sum, so the final
+    (single-partition) window is bounded by calendar days, not order
+    count — the same shape at 100 TB.
     """
-    li = load_table(spark, sf, "lineitem").groupBy("l_orderkey").agg(
-        F.max(F.to_date("l_shipdate")).alias("end_day")
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.to_date("l_shipdate").alias("d"),
+        F.lit(False).alias("is_start"),
     )
     o = load_table(spark, sf, "orders").select(
-        "o_orderkey", F.to_date("o_orderdate").alias("start_day")
+        F.col("o_orderkey").alias("k"),
+        F.to_date("o_orderdate").alias("d"),
+        F.lit(True).alias("is_start"),
     )
-    iv = o.join(li, o.o_orderkey == li.l_orderkey)
-    deltas = iv.select(
-        F.col("start_day").alias("day"), F.lit(1).alias("delta")
-    ).unionAll(
-        iv.select(
-            F.date_add("end_day", 1).alias("day"), F.lit(-1).alias("delta")
+    per_order = (
+        o.unionAll(li)
+        .groupBy("k")
+        .agg(
+            F.min(F.when(F.col("is_start"), F.col("d"))).alias("start_day"),
+            F.max(F.when(~F.col("is_start"), F.col("d"))).alias("end_day"),
         )
+        # inner-join semantics of the interval: an order with no
+        # line items (no end) or a ship row with no order (no start)
+        # contributes nothing
+        .where(F.col("start_day").isNotNull() & F.col("end_day").isNotNull())
     )
+    deltas = per_order.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_day").alias("day"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.date_add("end_day", 1).alias("day"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.day", "e.delta")
     per_day = deltas.groupBy("day").agg(
         F.sum("delta").cast("long").alias("net_delta")
     )

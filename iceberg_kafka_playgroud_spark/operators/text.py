@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plan_cache import evict_dead_sessions
 from ..schema import load_table
 
 # minimal English function-word list for the stopword heuristics
@@ -1282,6 +1283,7 @@ def text_boilerplate_coverage(spark: SparkSession, sf: str) -> DataFrame:
     BOILER_N), and the exact covered-position union is an array
     expression over that bounded-by-dl set.
     """
+    evict_dead_sessions(_BOILER_DOCS_MEMO)
     memo_key = (spark.sparkContext.applicationId, sf.rstrip("/"))
     docs = _BOILER_DOCS_MEMO.get(memo_key)
     if docs is None:

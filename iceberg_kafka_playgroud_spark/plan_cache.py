@@ -43,29 +43,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["plan_memo", "evict_dead_sessions", "clear"]
 
-# (applicationId, sf, qualname, gate-values...) → (session, DataFrame)
-_PLAN_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
-
-
-def _session_stopped(spark: SparkSession) -> bool:
-    """True when the session's JVM context is provably gone."""
-    try:
-        return spark.sparkContext._jsc is None
-    except Exception:
-        return True
+# (applicationId, sf, qualname, gate-values...) → DataFrame
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
 
 
 def evict_dead_sessions(memo: dict | None = None) -> int:
-    """Drop memo entries whose owning session has been stopped.
+    """Drop memo entries owned by stopped sessions.
 
-    Long-lived processes that build several SparkSessions (test
-    runners, notebook restarts) would otherwise accumulate dead
-    entries holding py4j handles to stopped JVMs.  Entries must store
-    ``(session, value)`` tuples (this module's shape); returns the
-    number evicted.
+    Works on any session-keyed memo whose keys are tuples with the
+    ``applicationId`` FIRST (the repo-wide memo convention —
+    checkpoints, trade/co-purchase edges, candidate counts, boiler
+    grams, this module's plan cache).  PySpark allows exactly ONE
+    active SparkContext per process, so every appId other than the
+    live one is provably dead; a long-lived process that creates
+    several sessions (test runners, notebook restarts) would
+    otherwise accumulate entries holding py4j handles to stopped
+    JVMs.  Returns the number evicted.
     """
     memo = _PLAN_CACHE if memo is None else memo
-    dead = [k for k, (s, _) in memo.items() if _session_stopped(s)]
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    live = None
+    if sc is not None and getattr(sc, "_jsc", None) is not None:
+        live = sc.applicationId
+    dead = [k for k in memo if k[0] != live]
     for k in dead:
         del memo[k]
     return len(dead)
@@ -99,9 +101,9 @@ def plan_memo(*gate_names: str) -> Callable:
             )
             hit = _PLAN_CACHE.get(key)
             if hit is not None:
-                return hit[1]
+                return hit
             df = fn(spark, sf)
-            _PLAN_CACHE[key] = (spark, df)
+            _PLAN_CACHE[key] = df
             return df
 
         wrapped.__wrapped__ = fn

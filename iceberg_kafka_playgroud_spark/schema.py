@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .plan_cache import evict_dead_sessions
+
 # --- canonical PurchaseEvent schema (SURVEY §1.1) -------------------------
 
 USER_DETAILS = T.StructType(
@@ -222,9 +224,20 @@ def table_column_max(sf_dir: str, name: str, col: str):
     else:
         files = [path]
     best = None
+    is_nanos_ts = False
     for f in files:
         md = pq.ParquetFile(f).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        # keyed on the column's LOGICAL type, not its name: any
+        # nanos-encoded timestamp column (which pyarrow's statistics
+        # surface as raw ints) gets the same ns → µs truncation as
+        # normalize_event_ts, whatever it is called
+        lt = md.schema.column(idx).logical_type
+        if str(getattr(lt, "type", "")).upper() == "TIMESTAMP":
+            is_nanos_ts = str(getattr(lt, "unit", "")).lower() in (
+                "nanos",
+                "nanoseconds",
+            )
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:
@@ -233,7 +246,7 @@ def table_column_max(sf_dir: str, name: str, col: str):
                 )
             v = st.max
             best = v if best is None else max(best, v)
-    if isinstance(best, int) and col == "ts":
+    if isinstance(best, int) and is_nanos_ts:
         # nanos-long fixture layout: ns → µs truncation (normalize_event_ts)
         best = _dt.datetime(1970, 1, 1) + _dt.timedelta(
             microseconds=best // 1000
@@ -258,6 +271,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # later memo hit. Runtime (not only our session factory) so the
     # engine also works under the correctness driver's own SparkSession.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    evict_dead_sessions(_TABLE_MEMO)
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
     memo = _TABLE_MEMO.get(key)
     if memo is not None:

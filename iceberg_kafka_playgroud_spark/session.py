@@ -58,6 +58,10 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(64 * 1024 * 1024))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # enable the DSv2 pushFilters hook for Python sources (used by
+        # sources/python_datasource.py; an optimization hook only, no
+        # semantic effect on other operators)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # fixture events.parquet stores TIMESTAMP(NANOS); read as long and

@@ -505,8 +505,18 @@ def source_python_pushdown(spark: SparkSession, sf: str) -> DataFrame:
     Same row rule as ``purchase_fabric``, so the oracle replays the
     surviving range from generate_series.
     """
-    # pushdown is opt-in (runtime conf, settable per session)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # Pushdown is opt-in (runtime conf).  Deliberately NOT
+    # save/restored like _stream_partitions' confs: the returned
+    # frame is lazy and every later action RE-PLANS it (AQE + DSv2
+    # pushFilters run per QueryExecution), so restoring after build
+    # would silently disable the pushdown this operator exists to
+    # exercise.  Leaving it on is safe session-wide — the flag only
+    # enables an optimization hook for Python sources that implement
+    # pushFilters; it changes no operator's semantics.  get_spark()
+    # sets it at session setup; this set covers plain sessions (the
+    # grading driver's) and is skipped when already on.
+    if spark.conf.get("spark.sql.python.filterPushdown.enabled", None) != "true":
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     _register(spark, FabricPushdownDataSource)
     return _bucket_audit(
         spark.read.format("purchase_fabric_pushdown")

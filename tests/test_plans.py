@@ -796,10 +796,56 @@ def test_candidate_broadcast_gate_fallback_matches(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(dedup, "CAND_SHINGLE_BROADCAST_MAX_PAIRS", 0)
     cal = dedup.dedup_minhash_calibration(spark, sf_dir)
     wj = dedup.dedup_weighted_jaccard(spark, sf_dir)
-    # the explicit hint must be gone from the pre-AQE plan shape:
-    # no broadcast exchange forced at planning time on the docdata join
+    # the explicit hint must be GONE from the pre-AQE plan shape, not
+    # merely result-neutral: with the stats-based auto threshold also
+    # disabled, a gate that ignored the budget and still hinted would
+    # leave a planner-forced BroadcastExchange behind — assert none
+    # survives anywhere in either plan
+    # the explicit hint must be GONE from the plan, not merely
+    # result-neutral (ADVICE r10 #5): a gate that ignored the budget
+    # and always hinted would still pass the result compare.  Hint
+    # markers are asserted on the OPTIMIZED LOGICAL plan — the
+    # physical plan string embeds cached subtrees' historical AQE
+    # plans (runtime-converted broadcasts that are not hints).
+    def hint_count(df):
+        return (
+            df._jdf.queryExecution().optimizedPlan().toString()
+        ).count("strategy=broadcast")
+
+    assert hint_count(wj) == 0
+    assert hint_count(cal) == 0
+    monkeypatch.setattr(dedup, "CAND_BROADCAST_MAX_PAIRS", 10**9)
+    monkeypatch.setattr(dedup, "CAND_SHINGLE_BROADCAST_MAX_PAIRS", 10**9)
+    assert hint_count(dedup.dedup_weighted_jaccard(spark, sf_dir)) > 0
+    monkeypatch.setattr(dedup, "CAND_BROADCAST_MAX_PAIRS", 0)
+    monkeypatch.setattr(dedup, "CAND_SHINGLE_BROADCAST_MAX_PAIRS", 0)
     assert [r.asDict() for r in cal.collect()] == [r.asDict() for r in base_cal]
     assert [r.asDict() for r in wj.collect()] == [r.asDict() for r in base_wj]
+
+
+def test_memo_eviction_drops_dead_sessions(spark, sf_dir):
+    """Session-keyed memos evict entries owned by stopped sessions
+    (ADVICE r10 #1): only ONE SparkContext can be live per process, so
+    any other applicationId is dead and its py4j handles must go."""
+    from iceberg_kafka_playgroud_spark.plan_cache import evict_dead_sessions
+
+    live = spark.sparkContext.applicationId
+    fake = {
+        ("app-dead-123", "sf0.x", "q"): object(),
+        (live, "sf0.y", "q"): object(),
+    }
+    assert evict_dead_sessions(fake) == 1
+    assert list(fake) == [(live, "sf0.y", "q")]
+
+    # the real memos only hold live-session entries after any access
+    from iceberg_kafka_playgroud_spark.operators import advanced, dedup
+
+    dedup._minhash_candidates(spark, sf_dir)
+    sh, cand = dedup._minhash_candidates(spark, sf_dir)
+    dedup._cand_count(cand)
+    advanced._trade_edges(spark, sf_dir)
+    for memo in (dedup._N_CAND_MEMO, advanced._TRADE_EDGES_MEMO):
+        assert all(k[0] == live for k in memo)
 
 
 def test_boilerplate_docs_single_cache_entry(spark, sf_dir):
