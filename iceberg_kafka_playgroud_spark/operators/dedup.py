@@ -518,6 +518,7 @@ def dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@plan_memo()
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash Hamming-0 bucket sizes: doc_id, signature, and how many
     docs share it exactly (near-dup group size). The signature table is
@@ -1450,6 +1451,7 @@ FROM sizes GROUP BY band_idx ORDER BY band_idx
 """
 
 
+@plan_memo("CAND_BROADCAST_MAX_PAIRS", "CAND_SHINGLE_BROADCAST_MAX_PAIRS")
 def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
     """Signature-calibration audit: how well does MinHash agreement
     predict exact Jaccard? For every banded candidate pair, count the

@@ -61,6 +61,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..checkpoints import memo_local_checkpoint
+from ..plan_cache import evict_dead_sessions, plan_memo
 from ..schema import load_table, table_row_count
 
 TOP_K = 5
@@ -1927,6 +1928,7 @@ def _pq_train_encode(spark: SparkSession, sf: str):
     PQ exists for: a 100 TB embedding corpus compresses ~32× before
     the distance pass).
     """
+    evict_dead_sessions(_PQ_MODEL_MEMO)
     key = (spark.sparkContext.applicationId, sf.rstrip("/"))
     memo = _PQ_MODEL_MEMO.get(key)
     if memo is not None:
@@ -2035,6 +2037,7 @@ def _pq_train_on(base: DataFrame, key):
     return _PQ_MODEL_MEMO[key]
 
 
+@plan_memo()
 def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance (ADC) — the
     missing family member next to brute/blocked/LSH/IVF: vectors are
@@ -2824,6 +2827,7 @@ MMR_MU = 0.3  # redundancy weight — an explicit literal, NOT 1-λ: the
 # oracle's parsed 0.3 in the last ulp
 
 
+@plan_memo()
 def ann_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """Maximal-marginal-relevance diversification (Carbonell &
     Goldstein 1998) — the standard post-ANN re-rank that trades raw
