@@ -2870,3 +2870,104 @@ FROM orders
 WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 25000000
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+def agg_listagg_ordered(spark: SparkSession, sf: str) -> DataFrame:
+    """``listagg(expr, sep) WITHIN GROUP (ORDER BY ...)`` — the Spark
+    4.1 ordered string aggregation (SQL:2016 T625).  Deterministic by
+    construction: the WITHIN GROUP order is the aggregated column
+    itself (unique nation names per region), so both engines emit the
+    identical byte string — the property ``collect_list`` never had
+    (engine-order-dependent) and the reason listagg is the right tool
+    for stable concatenated keys / fingerprints at any scale.  The
+    second column aggregates over a DISTINCT set (listagg_distinct's
+    SQL form) to pin de-dup-before-concat semantics too.
+
+    Plan: one region-keyed shuffle of 25 nation rows after a broadcast
+    join — string build-up happens once per group at the reducer, so
+    output size is group-bounded regardless of input row count.
+    """
+    _views(spark, sf, "nation", "region", "customer")
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                 AS nations_csv,
+               listagg(DISTINCT substring(n.n_name, 1, 1), '')
+                 WITHIN GROUP (ORDER BY substring(n.n_name, 1, 1))
+                 AS initials,
+               CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+        """
+    )
+
+
+QUERIES["agg_listagg_ordered"] = agg_listagg_ordered
+ORACLES["agg_listagg_ordered"] = """
+SELECT r.r_name,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+       string_agg(DISTINCT substring(n.n_name, 1, 1), ''
+                  ORDER BY substring(n.n_name, 1, 1)) AS initials,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY r.r_name
+"""
+
+
+def sql_scripting_control_flow(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN…END compound statements, SQL/PSM):
+    DECLARE'd local variables and a WHILE loop drive a data-dependent
+    search — double a price threshold until at most 100 orders remain
+    above it — entirely in SQL, the procedural tier the reference's
+    REST server pushed into Python glue.  Each loop iteration is one
+    scalar aggregate job; the loop is O(log(max_price)) iterations by
+    construction, so the script costs a handful of tiny jobs at any
+    corpus size (the driver never sees row data, only the scalar).
+
+    The DuckDB oracle replays the identical doubling as a recursive
+    CTE — same start, same predicate, same exit state — so parity
+    covers the loop's termination semantics, not just the final
+    aggregate.
+    """
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    _views(spark, sf, "orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE th BIGINT DEFAULT 1000000;
+          DECLARE n INT DEFAULT 0;
+          DECLARE cnt BIGINT DEFAULT 0;
+          SET cnt = (SELECT COUNT(*) FROM orders
+                     WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= th);
+          WHILE cnt > 100 DO
+            SET th = th * 2;
+            SET n = n + 1;
+            SET cnt = (SELECT COUNT(*) FROM orders
+                       WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= th);
+          END WHILE;
+          SELECT CAST(n AS BIGINT) AS n_doublings,
+                 CAST(th AS BIGINT) AS final_threshold_cents,
+                 CAST(cnt AS BIGINT) AS n_above;
+        END
+        """
+    )
+
+
+QUERIES["sql_scripting_control_flow"] = sql_scripting_control_flow
+ORACLES["sql_scripting_control_flow"] = """
+WITH RECURSIVE steps(i, th) AS (
+  SELECT 0, CAST(1000000 AS BIGINT)
+  UNION ALL
+  SELECT i + 1, th * 2 FROM steps
+  WHERE (SELECT COUNT(*) FROM orders
+         WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= th) > 100
+),
+fin AS (SELECT i, th FROM steps ORDER BY i DESC LIMIT 1)
+SELECT CAST(fin.i AS BIGINT) AS n_doublings,
+       CAST(fin.th AS BIGINT) AS final_threshold_cents,
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= fin.th)
+         AS BIGINT) AS n_above
+FROM fin
+"""

@@ -823,6 +823,44 @@ def test_candidate_broadcast_gate_fallback_matches(spark, sf_dir, monkeypatch):
     assert [r.asDict() for r in wj.collect()] == [r.asDict() for r in base_wj]
 
 
+SOME_GATE = 7
+
+
+def test_plan_memo_contract(spark, sf_dir):
+    """plan_memo: same (session, sf, gates) → the SAME DataFrame object
+    (no rebuild); a changed gate constant → a FRESH build keyed
+    separately (monkeypatched budgets can never hit a stale plan); the
+    wrapper never swallows execution — the returned frame is lazy."""
+    from iceberg_kafka_playgroud_spark import plan_cache
+
+    calls = {"n": 0}
+
+    @plan_cache.plan_memo("SOME_GATE")
+    def build(sp, sf):
+        calls["n"] += 1
+        from pyspark.sql import functions as F
+
+        return sp.range(3).select((F.col("id") * SOME_GATE).alias("x"))
+
+    a = build(spark, sf_dir)
+    b = build(spark, sf_dir)
+    assert a is b and calls["n"] == 1
+    global SOME_GATE
+    old = SOME_GATE
+    try:
+        SOME_GATE = 8
+        c = build(spark, sf_dir)
+        assert c is not a and calls["n"] == 2
+        # the gate value the plan was built under is the one executed
+        assert [r["x"] for r in c.collect()] == [0, 8, 16]
+        assert [r["x"] for r in a.collect()] == [0, 7, 14]
+    finally:
+        SOME_GATE = old
+    plan_cache.clear()
+    d = build(spark, sf_dir)
+    assert d is not a and calls["n"] == 3
+
+
 def test_memo_eviction_drops_dead_sessions(spark, sf_dir):
     """Session-keyed memos evict entries owned by stopped sessions
     (ADVICE r10 #1): only ONE SparkContext can be live per process, so
