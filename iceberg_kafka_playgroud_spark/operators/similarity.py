@@ -283,6 +283,13 @@ def ann_topk_blocked(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# (applicationId, sf, threshold) → pair frame.  A dict memo, not just
+# cache(): the plan embeds a per-call Python closure, so two builds
+# are NEVER sameSemantics and each would register a fresh cache entry
+# — the memo pins ONE frame (hence one cache entry) per threshold.
+_PAIRS_MEMO: dict = {}
+
+
 def embedding_near_dup_pairs(
     spark: SparkSession, sf: str, threshold: float = NEAR_DUP_THRESHOLD
 ) -> DataFrame:
@@ -296,6 +303,12 @@ def embedding_near_dup_pairs(
     exactly one group: (min(bu,bv), max(bu,bv)).
     """
     import numpy as np
+
+    evict_dead_sessions(_PAIRS_MEMO)
+    memo_key = (spark.sparkContext.applicationId, sf.rstrip("/"), threshold)
+    hit = _PAIRS_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
 
     em = load_table(spark, sf, "embeddings").select(
         "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).alias("bid")
@@ -372,9 +385,26 @@ def embedding_near_dup_pairs(
             }
         )
 
-    return both.groupBy("bi", "bj").applyInPandas(
-        block_pairs, schema="d1 long, d2 long, sim double"
+    # cache the RESULT frame (plan-keyed): the pair set is
+    # near-dup-sized (tiny), and it has multiple consumers — the
+    # routed embedding_near_dup_lsh, and embedding_dbscan_core whose
+    # degree/border/roles subtrees would otherwise each re-run the
+    # whole block-pair scan (Spark does not auto-materialize shared
+    # subplans) — the same pattern as dedup_minhash_lsh's pair cache
+    out = (
+        both.groupBy("bi", "bj")
+        .applyInPandas(block_pairs, schema="d1 long, d2 long, sim double")
+        # coalesce before caching (the _copurchase_edges rule): the
+        # pair set is near-dup-sized, but it inherits the block
+        # shuffle's partition count — every downstream consumer (and
+        # every broadcast-build subjob over it) would schedule ~36
+        # near-empty tasks per scan.  On a real cluster AQE advisory
+        # sizing makes the same call from runtime statistics.
+        .coalesce(8)
+        .cache()
     )
+    _PAIRS_MEMO[memo_key] = out
+    return out
 
 
 # --- LSH sketch (embedding_near_dup_lsh) ----------------------------------
@@ -2735,6 +2765,7 @@ GROUP BY e.label ORDER BY label
 DBSCAN_MIN_NEIGHBORS = 2  # core point: ≥ this many eps-neighbors
 
 
+@plan_memo()
 def embedding_dbscan_core(spark: SparkSession, sf: str) -> DataFrame:
     """DBSCAN density classification of the embedding corpus at
     eps = NEAR_DUP_THRESHOLD cosine: CORE points have ≥
@@ -2759,7 +2790,16 @@ def embedding_dbscan_core(spark: SparkSession, sf: str) -> DataFrame:
     nbrs = pairs.select(
         F.col("d1").alias("v"), F.col("d2").alias("nbr")
     ).unionByName(pairs.select(F.col("d2").alias("v"), F.col("d1").alias("nbr")))
-    deg = nbrs.groupBy("v").agg(F.count("*").cast("long").alias("degree"))
+    # cache the degree frame too: core/border/roles each consume it,
+    # and every broadcast build over an uncached deg re-scans the
+    # pair cache in its own job (measured: 12 of dbscan's 16 warm
+    # jobs were exactly these rescans)
+    deg = (
+        nbrs.groupBy("v")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .coalesce(4)
+        .cache()
+    )
     core = deg.where(F.col("degree") >= DBSCAN_MIN_NEIGHBORS).select("v")
     border = (
         nbrs.join(core.withColumnRenamed("v", "nbr"), "nbr")
