@@ -80,6 +80,7 @@ _PRIORITY = [
     "dedup_minhash_calibration", "ann_mmr_rerank", "ann_pq_adc_topk",
     "curation_global_shuffle", "stream_stream_left_outer", "stream_stream_full_outer",
     "source_python_pushdown", "agg_listagg_ordered", "sql_scripting_control_flow",
+    "stream_state_rocksdb",
     "join_anti", "join_cross",
     "join_full_outer", "join_inner_dim", "join_left_outer",
     "join_right_outer", "join_semi", "join_theta_range",

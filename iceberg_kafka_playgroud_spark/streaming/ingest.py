@@ -916,6 +916,57 @@ def stream_dim_enrichment(spark: SparkSession, sf: str) -> DataFrame:
     return _run_to_memory(enriched, "append")
 
 
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def stream_state_rocksdb(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stateful aggregation under the ROCKSDB state-store
+    provider — the large-state deployment configuration.  The default
+    HDFS-backed provider keeps every state key on the executor HEAP,
+    which caps total streaming state at cluster memory; RocksDB spills
+    state to local SSD with incremental checkpointing, the setting
+    every production Spark deployment with 100 GB+ of state runs
+    (it ships in OSS Spark, no extra jar).  The provider changes
+    STORAGE only — with availableNow over the bounded replay the
+    complete-mode result must equal the batch aggregate, which is the
+    oracle; running the same stateful shape as the heap-provider
+    queries proves provider-independence of results, not just that
+    the config parses.
+
+    The provider conf is pinned by the query AT START, so the scoped
+    save/restore cannot affect the running query or other operators.
+    """
+    stream = events_file_stream(spark, sf)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "6 hours"), "event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+        out = _run_to_memory(agg, "complete")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    return out.select(
+        F.col("window.start").alias("bucket_start"), "event_type", "n", "cents"
+    )
+
+
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sliding_counts": stream_sliding_counts,
@@ -934,6 +985,7 @@ QUERIES = {
     "stream_anomaly_zscore": stream_anomaly_zscore,
     "stream_incremental_dedup": stream_incremental_dedup,
     "stream_quality_gate": stream_quality_gate,
+    "stream_state_rocksdb": stream_state_rocksdb,
 }
 
 ORACLES = {
@@ -1113,6 +1165,15 @@ ORACLES = {
 # its oracle IS the single-batch incremental dedup's oracle
 from ..operators.dedup import ORACLES as _DEDUP_ORACLES  # noqa: E402
 
+ORACLES["stream_state_rocksdb"] = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 * 1000000
+                           AS BIGINT)) AS bucket_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
 ORACLES["stream_incremental_dedup"] = _DEDUP_ORACLES["dedup_incremental_minhash"]
 
 from ..operators.curation import MAX_CHARS as _QMAX  # noqa: E402

@@ -131,6 +131,7 @@ def _clear_engine_memos() -> None:
     from iceberg_kafka_playgroud_spark.operators import similarity as _sim
 
     _sim._PQ_MODEL_MEMO.clear()
+    _sim._PAIRS_MEMO.clear()
     from iceberg_kafka_playgroud_spark.operators import text as _tx
 
     # clearCache() already dropped the blocks; forget the handles so
