@@ -1610,12 +1610,7 @@ COSINE_TOP = 20
 KMV_K = 32  # k-minimum-values sketch size
 
 
-# (applicationId, sf) → cached support-pruned pair list (same
-# session-keyed discipline as _TRADE_EDGES_MEMO; the dict skips the
-# per-call plan rebuild + redundant cache() registration)
-_COPURCHASE_MEMO: dict[tuple[str, str], DataFrame] = {}
-
-
+@plan_memo("PAIR_MIN_SUPPORT")
 def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Undirected co-purchase part graph: (pa < pb, n_orders) pairs
     co-occurring in >= PAIR_MIN_SUPPORT orders.
@@ -1634,11 +1629,6 @@ def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
     At 100 TB the pruned edge list is the node-pair graph, orders of
     magnitude smaller than lineitem.
     """
-    evict_dead_sessions(_COPURCHASE_MEMO)
-    key = (spark.sparkContext.applicationId, sf.rstrip("/"))
-    hit = _COPURCHASE_MEMO.get(key)
-    if hit is not None:
-        return hit
     baskets = (
         load_table(spark, sf, "lineitem")
         .groupBy(F.col("l_orderkey").alias("o"))
@@ -1661,15 +1651,13 @@ def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
     # relation. A handful of cached partitions keeps downstream stages
     # at O(1) tasks; on a real cluster AQE's advisory sizing makes the
     # same call from runtime statistics.
-    edges = (
+    return (
         pairs.groupBy("pa", "pb")
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= PAIR_MIN_SUPPORT)
         .coalesce(4)
         .cache()
     )
-    _COPURCHASE_MEMO[key] = edges
-    return edges
 
 
 # edge-list broadcast budget: 5M edges × ~24 B/row ≈ 120 MB, inside
@@ -1701,7 +1689,10 @@ def _oriented_copurchase(spark: SparkSession, sf: str):
     the query degrade superlinearly when the host is loaded.
     """
     evict_dead_sessions(_TRI_STATS_MEMO)
-    key = (spark.sparkContext.applicationId, sf.rstrip("/"))
+    # PAIR_MIN_SUPPORT is in the key: the scalar stats are computed
+    # from the support-pruned edge list, so a monkeypatched support
+    # gate must never serve stale counts
+    key = (spark.sparkContext.applicationId, sf.rstrip("/"), PAIR_MIN_SUPPORT)
     e = _copurchase_edges(spark, sf).select("pa", "pb")
     deg = (
         e.select(F.col("pa").alias("p"))

@@ -1209,7 +1209,7 @@ GLOBAL_SHUFFLE_SALT = "epoch0"  # seed: change per epoch for a new order
 GLOBAL_SHUFFLE_SHARD = 256  # docs per training shard
 
 
-@plan_memo()
+@plan_memo("GLOBAL_SHUFFLE_SALT", "GLOBAL_SHUFFLE_SHARD")
 def curation_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     """Seeded global shuffle + shard assignment — the reproducible
     pseudorandom permutation a training run needs before packing

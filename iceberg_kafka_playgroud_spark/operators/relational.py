@@ -2887,7 +2887,7 @@ def agg_listagg_ordered(spark: SparkSession, sf: str) -> DataFrame:
     join — string build-up happens once per group at the reducer, so
     output size is group-bounded regardless of input row count.
     """
-    _views(spark, sf, "nation", "region", "customer")
+    _views(spark, sf, "nation", "region")
     return spark.sql(
         """
         SELECT r.r_name,

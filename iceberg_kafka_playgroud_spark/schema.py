@@ -231,13 +231,18 @@ def table_column_max(sf_dir: str, name: str, col: str):
         # keyed on the column's LOGICAL type, not its name: any
         # nanos-encoded timestamp column (which pyarrow's statistics
         # surface as raw ints) gets the same ns → µs truncation as
-        # normalize_event_ts, whatever it is called
+        # normalize_event_ts, whatever it is called.  The time unit
+        # is only exposed via the logical type's JSON form
+        # (ParquetLogicalType has no 'unit' attribute).
         lt = md.schema.column(idx).logical_type
         if str(getattr(lt, "type", "")).upper() == "TIMESTAMP":
-            is_nanos_ts = str(getattr(lt, "unit", "")).lower() in (
-                "nanos",
-                "nanoseconds",
-            )
+            try:
+                import json as _json
+
+                unit = _json.loads(lt.to_json()).get("timeUnit", "")
+            except Exception:
+                unit = ""
+            is_nanos_ts = str(unit).lower() in ("nanos", "nanoseconds")
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:

@@ -796,11 +796,6 @@ def test_candidate_broadcast_gate_fallback_matches(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(dedup, "CAND_SHINGLE_BROADCAST_MAX_PAIRS", 0)
     cal = dedup.dedup_minhash_calibration(spark, sf_dir)
     wj = dedup.dedup_weighted_jaccard(spark, sf_dir)
-    # the explicit hint must be GONE from the pre-AQE plan shape, not
-    # merely result-neutral: with the stats-based auto threshold also
-    # disabled, a gate that ignored the budget and still hinted would
-    # leave a planner-forced BroadcastExchange behind — assert none
-    # survives anywhere in either plan
     # the explicit hint must be GONE from the plan, not merely
     # result-neutral (ADVICE r10 #5): a gate that ignored the budget
     # and always hinted would still pass the result compare.  Hint

@@ -119,9 +119,6 @@ def _clear_engine_memos() -> None:
     for e in _adv._TRADE_EDGES_MEMO.values():
         e.unpersist()
     _adv._TRADE_EDGES_MEMO.clear()
-    for e in _adv._COPURCHASE_MEMO.values():
-        e.unpersist()
-    _adv._COPURCHASE_MEMO.clear()
     _adv._TRI_STATS_MEMO.clear()
     # prepared plans hold references into the cleared caches/memos —
     # a cold rep must rebuild the plan too
