@@ -1729,7 +1729,7 @@ def _oriented_copurchase(spark: SparkSession, sf: str):
     return memo_local_checkpoint(oriented), n_edges, n_nodes
 
 
-@plan_memo("TRIANGLE_BROADCAST_MAX")
+@plan_memo("TRIANGLE_BROADCAST_MAX", "PAIR_MIN_SUPPORT")
 def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     """Triangle counting over the co-purchase graph with DEGREE-ORDERED
     orientation (compact-forward): each undirected edge is directed

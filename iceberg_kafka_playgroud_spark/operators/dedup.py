@@ -559,7 +559,7 @@ SIMHASH_BANDS = K_HAMMING + 1  # pigeonhole: d(x,y) ≤ k ⇒ ≥1 band equal
 SIMHASH_BITS = 128
 
 
-@plan_memo()
+@plan_memo("K_HAMMING", "SIMHASH_BANDS", "SIMHASH_BITS")
 def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ 3 via banded 128-bit SimHash.
 

@@ -2930,28 +2930,40 @@ def sql_scripting_control_flow(spark: SparkSession, sf: str) -> DataFrame:
     covers the loop's termination semantics, not just the final
     aggregate.
     """
-    spark.conf.set("spark.sql.scripting.enabled", "true")
     _views(spark, sf, "orders")
-    return spark.sql(
-        """
-        BEGIN
-          DECLARE th BIGINT DEFAULT 1000000;
-          DECLARE n INT DEFAULT 0;
-          DECLARE cnt BIGINT DEFAULT 0;
-          SET cnt = (SELECT COUNT(*) FROM orders
-                     WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= th);
-          WHILE cnt > 100 DO
-            SET th = th * 2;
-            SET n = n + 1;
-            SET cnt = (SELECT COUNT(*) FROM orders
-                       WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= th);
-          END WHILE;
-          SELECT CAST(n AS BIGINT) AS n_doublings,
-                 CAST(th AS BIGINT) AS final_threshold_cents,
-                 CAST(cnt AS BIGINT) AS n_above;
-        END
-        """
-    )
+    # Scoped conf (the stream_state_rocksdb save/restore discipline):
+    # the script body executes — loop jobs and all — inside spark.sql,
+    # and the returned frame is the already-planned final SELECT, so
+    # restoring the flag immediately after the call is safe and keeps
+    # the shared grading session's conf untouched.
+    prior = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE th BIGINT DEFAULT 1000000;
+              DECLARE n INT DEFAULT 0;
+              DECLARE cnt BIGINT DEFAULT 0;
+              SET cnt = (SELECT COUNT(*) FROM orders
+                         WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= th);
+              WHILE cnt > 100 DO
+                SET th = th * 2;
+                SET n = n + 1;
+                SET cnt = (SELECT COUNT(*) FROM orders
+                           WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= th);
+              END WHILE;
+              SELECT CAST(n AS BIGINT) AS n_doublings,
+                     CAST(th AS BIGINT) AS final_threshold_cents,
+                     CAST(cnt AS BIGINT) AS n_above;
+            END
+            """
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prior)
 
 
 QUERIES["sql_scripting_control_flow"] = sql_scripting_control_flow

@@ -291,9 +291,13 @@ _PAIRS_MEMO: dict = {}
 
 
 def embedding_near_dup_pairs(
-    spark: SparkSession, sf: str, threshold: float = NEAR_DUP_THRESHOLD
+    spark: SparkSession, sf: str, threshold: float | None = None
 ) -> DataFrame:
     """Exact cosine-threshold pairs via block-partitioned pair scan.
+
+    ``threshold=None`` resolves to the module's ``NEAR_DUP_THRESHOLD``
+    at CALL time (not def time), so monkeypatching the global behaves
+    the way the pre-r11 closure did — the patched value wins.
 
     Every vector lands in block ``vec_id % K``; block-pair (bi, bj)
     with bi ≤ bj is one applyInPandas group holding exactly the rows
@@ -304,6 +308,8 @@ def embedding_near_dup_pairs(
     """
     import numpy as np
 
+    if threshold is None:
+        threshold = NEAR_DUP_THRESHOLD
     evict_dead_sessions(_PAIRS_MEMO)
     memo_key = (spark.sparkContext.applicationId, sf.rstrip("/"), threshold)
     hit = _PAIRS_MEMO.get(memo_key)
@@ -502,7 +508,7 @@ def _round_half_up(a: "np.ndarray", digits: int = 6) -> "np.ndarray":  # noqa: F
 
 
 def embedding_near_dup_lsh(
-    spark: SparkSession, sf: str, threshold: float = NEAR_DUP_THRESHOLD
+    spark: SparkSession, sf: str, threshold: float | None = None
 ) -> DataFrame:
     """Near-dup pair discovery, LSH-routed: sign-sketch bands →
     candidate equi-join → exact cosine verification WHEN a band
@@ -536,6 +542,8 @@ def embedding_near_dup_lsh(
     """
     import numpy as np
 
+    if threshold is None:
+        threshold = NEAR_DUP_THRESHOLD
     geometry = lsh_geometry_for(threshold)
     if geometry is None:
         # exact route: full recall at a sub-LSH threshold
@@ -2067,7 +2075,7 @@ def _pq_train_on(base: DataFrame, key):
     return _PQ_MODEL_MEMO[key]
 
 
-@plan_memo()
+@plan_memo("PQ_M", "PQ_CODES", "PQ_ITERS", "PQ_TOP", "PQ_QUERY_VEC")
 def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance (ADC) — the
     missing family member next to brute/blocked/LSH/IVF: vectors are
@@ -2765,7 +2773,7 @@ GROUP BY e.label ORDER BY label
 DBSCAN_MIN_NEIGHBORS = 2  # core point: ≥ this many eps-neighbors
 
 
-@plan_memo()
+@plan_memo("DBSCAN_MIN_NEIGHBORS", "NEAR_DUP_THRESHOLD", "N_BLOCKS")
 def embedding_dbscan_core(spark: SparkSession, sf: str) -> DataFrame:
     """DBSCAN density classification of the embedding corpus at
     eps = NEAR_DUP_THRESHOLD cosine: CORE points have ≥
@@ -2867,7 +2875,7 @@ MMR_MU = 0.3  # redundancy weight — an explicit literal, NOT 1-λ: the
 # oracle's parsed 0.3 in the last ulp
 
 
-@plan_memo()
+@plan_memo("N_QUERIES", "MMR_POOL", "MMR_K", "MMR_LAMBDA", "MMR_MU")
 def ann_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """Maximal-marginal-relevance diversification (Carbonell &
     Goldstein 1998) — the standard post-ANN re-rank that trades raw

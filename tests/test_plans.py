@@ -989,3 +989,49 @@ def test_sql_session_variable_folds_to_literal(spark, sf_dir):
     assert ">= 25000000" in plan
     assert "o_totalprice:double,o_orderpriority:string" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sql_scripting_conf_restored(spark, sf_dir):
+    """sql_scripting_control_flow enables spark.sql.scripting.enabled
+    only for the duration of the call (stream_state_rocksdb's scoped
+    save/restore discipline): after the call — and after collecting
+    the result — the session conf is back to its prior value, so the
+    flag cannot leak into later queries on a shared grading session."""
+    key = "spark.sql.scripting.enabled"
+    prior = spark.conf.get(key, None)
+    out = relational.sql_scripting_control_flow(spark, sf_dir)
+    assert spark.conf.get(key, None) == prior
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["n_above"] <= 100
+    assert spark.conf.get(key, None) == prior
+
+
+def test_plan_memo_gate_constants_bust_cache(spark, sf_dir, monkeypatch):
+    """Every plan-shaping module constant must be in the plan_memo key:
+    monkeypatching a gate after a warm call must produce a FRESH plan,
+    never a stale hit (plan_cache.py rule #2). Exercised on the r11
+    adjudicated site: graph_triangle_count × PAIR_MIN_SUPPORT."""
+    warm = advanced.graph_triangle_count(spark, sf_dir)
+    again = advanced.graph_triangle_count(spark, sf_dir)
+    assert again is warm  # same gates -> memo hit
+    monkeypatch.setattr(
+        advanced, "PAIR_MIN_SUPPORT", advanced.PAIR_MIN_SUPPORT + 1
+    )
+    fresh = advanced.graph_triangle_count(spark, sf_dir)
+    assert fresh is not warm  # patched gate -> fresh build
+
+
+def test_near_dup_threshold_binds_at_call_time(spark, sf_dir, monkeypatch):
+    """threshold=None defaults must resolve the module global at CALL
+    time: monkeypatching similarity.NEAR_DUP_THRESHOLD changes the
+    pair set (the pre-r11 closure behavior, regressed by def-time
+    default binding and restored in r12)."""
+    base = similarity.embedding_near_dup_pairs(spark, sf_dir)
+    n_base = base.count()
+    monkeypatch.setattr(similarity, "NEAR_DUP_THRESHOLD", 0.999999)
+    tight = similarity.embedding_near_dup_pairs(spark, sf_dir)
+    n_tight = tight.count()
+    assert n_tight <= n_base
+    # at a sim threshold of ~1.0 the fixture corpus has (near) zero
+    # pairs while the 0.45 default has a verified non-empty set
+    assert n_base > 0 and n_tight < n_base
