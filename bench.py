@@ -1,11 +1,19 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE JSON line (last line; a detail line precedes it):
   {"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1}
 
 Each query executes via the no-op sink so we measure full plan
 execution (scan → shuffle → agg) without driver-collect overhead.
+
+``value``/``ratio`` are the RECOMPUTE-warm column: engine memos and
+the Spark block cache are cleared between timed reps, so every rep
+re-executes the full distributed dataflow with a hot JVM — the same
+work DuckDB pays per run.  ``value_cold`` (first run, pays JIT/AQE
+specialization + one-time materializations) and ``value_cache_warm``
+(prepared plans + cached intermediates left warm, the resident-engine
+steady state) bracket it on either side.
 """
 
 from __future__ import annotations
@@ -106,30 +114,76 @@ def main() -> None:
         except Exception:
             pass
 
-    # steady-state timing: best of N runs per query (TPC-style warm
-    # runs; runs 1-2 at target scale still pay AQE/codegen
-    # specialization and JIT tiering, and this host shares cores with
-    # co-tenants — best-of-4 rides out both)
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4")))
+    # Three timing columns per query (r11 verdict #1 — the warm
+    # headline must measure RECOMPUTE, not cache reads):
+    #
+    #   cold            run 1 at target scale after a full engine
+    #                   reset — pays plan compilation, AQE/codegen
+    #                   specialization, JIT tiering, and every
+    #                   one-time materialization.
+    #   recompute-warm  best of N runs, each preceded by
+    #                   plan_cache.clear_materializations(spark)
+    #                   (prepared plans, operator memos, block cache
+    #                   all dropped) — every timed run re-executes the
+    #                   FULL distributed dataflow with a hot JVM.
+    #                   This is the apples-to-apples column against
+    #                   DuckDB (which recomputes every run) and the
+    #                   HEADLINE ratio.
+    #   cache-warm      best of N runs with memos/caches left warm —
+    #                   the prepared-plan + cached-intermediate
+    #                   steady state a resident engine serves.
+    from iceberg_kafka_playgroud_spark.plan_cache import (
+        clear_materializations,
+    )
+
+    runs_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs_rec = max(
+        1, int(os.environ.get("SPARK_GRAFT_BENCH_RECOMPUTE_RUNS", "2"))
+    )
     timings: dict[str, float] = {}
+    recompute: dict[str, float] = {}
     cold: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
         all_runs[name] = []
-        for i in range(runs):
+
+        def timed_run() -> float:
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             dt = time.perf_counter() - t0
             all_runs[name].append(round(dt, 3))
-            if i == 0:
-                # first run at target scale: pays plan compilation,
-                # AQE specialization, and — for the cached dedup
-                # family — the one-time signature materialization.
-                # Reported separately so cache effects are explicit.
-                cold[name] = round(dt, 3)
-            best = min(best, dt)
+            return dt
+
+        clear_materializations(spark)
+        cold[name] = round(timed_run(), 3)
+        best = float("inf")
+        for _ in range(runs_rec):
+            clear_materializations(spark)
+            best = min(best, timed_run())
+        recompute[name] = round(best, 3)
+        best = float("inf")
+        for _ in range(runs_warm):
+            best = min(best, timed_run())
         timings[name] = round(best, 3)
+
+    # streaming lifecycle floor (r11 verdict #4): time stream_
+    # sessionize's machinery over ZERO rows so the detail JSON
+    # decomposes its headline number into query start/stop +
+    # state-store setup (scale-independent) vs data execution.
+    lifecycle = None
+    try:
+        from iceberg_kafka_playgroud_spark.streaming import ingest as _ing
+
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ing.stream_lifecycle_floor(spark)
+            best = min(best, time.perf_counter() - t0)
+        lifecycle = round(best, 3)
+    except Exception as exc:  # diagnostic, never fatal
+        print(f"bench: lifecycle floor skipped: {exc}", file=sys.stderr)
 
     # DuckDB comparator: time the IDENTICAL oracle SQLs on the same
     # parquet in the same process, so the recorded ratio cancels host
@@ -156,7 +210,7 @@ def main() -> None:
             # failures are carried IN the JSON, not just on stderr
             try:
                 best = float("inf")
-                for _ in range(runs):
+                for _ in range(max(runs_warm, runs_rec)):
                     t0 = time.perf_counter()
                     con.execute(sql).fetchall()
                     best = min(best, time.perf_counter() - t0)
@@ -167,11 +221,12 @@ def main() -> None:
     except Exception as exc:  # comparator is diagnostic, never fatal
         print(f"bench: duckdb comparator skipped: {exc}", file=sys.stderr)
 
-    spark_total = round(sum(timings.values()), 3)
+    spark_total = round(sum(recompute.values()), 3)
     duckdb_total = round(sum(duckdb_timings.values()), 3)
     # ratio over the common subset only; <1.0 means Spark is faster
     common = [n for n in names if n in duckdb_timings]
-    spark_common = sum(timings[n] for n in common)
+    rec_common = sum(recompute[n] for n in common)
+    warm_common = sum(timings[n] for n in common)
     # r7 verdict task #6: the driver records only the last ~2 KB of
     # stdout, and one all-inclusive JSON line overflowed it (BENCH_r07
     # "parsed": null).  Emit the full detail FIRST (and to a side
@@ -179,7 +234,8 @@ def main() -> None:
     # tail always parses.
     detail = {
         "metric": "headline_queries_detail",
-        "queries": timings,
+        "queries": recompute,
+        "queries_cache_warm": timings,
         "queries_cold": cold,
         # every individual run per query (r9 verdict #6): run-to-run
         # spread on this shared host routinely exceeds 25%, so a
@@ -188,6 +244,9 @@ def main() -> None:
         "queries_runs": all_runs,
         "duckdb_queries": duckdb_timings,
         "duckdb_errors": duckdb_errors,
+        # zero-row run of the sessionize machinery: subtract from
+        # stream_sessionize for its execution-only time
+        "stream_lifecycle_floor": lifecycle,
         "sf": sf,
     }
     print(json.dumps(detail))
@@ -198,22 +257,33 @@ def main() -> None:
         pass
     out = {
         "metric": "headline_queries_total",
+        # HEADLINE value/ratio are the RECOMPUTE-warm column: every
+        # timed run re-executed the full distributed plan (engine
+        # memos + block cache cleared between reps), matching what
+        # the DuckDB comparator pays per run.  cache-warm (prepared
+        # plans + cached intermediates served) is reported alongside.
         "value": spark_total,
         "unit": "sec",
-        "queries": timings,
+        "ratio_semantics": "recompute_warm",
+        "queries": recompute,
+        "value_cache_warm": round(sum(timings.values()), 3),
         "value_cold": round(sum(cold.values()), 3),
         "sf": sf,
     }
     if duckdb_timings:
         out["duckdb_total"] = duckdb_total
-        out["ratio"] = round(spark_common / max(duckdb_total, 1e-9), 3)
+        out["ratio"] = round(rec_common / max(duckdb_total, 1e-9), 3)
+        out["ratio_recompute"] = out["ratio"]
+        out["ratio_cache_warm"] = round(
+            warm_common / max(duckdb_total, 1e-9), 3
+        )
     if duckdb_errors:
         out["duckdb_error_count"] = len(duckdb_errors)
     line = json.dumps(out)
     if len(line) > 2000:
         # keep only the 6 slowest warm queries if the map alone would
         # overflow the driver's tail capture
-        worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:6])
+        worst = dict(sorted(recompute.items(), key=lambda kv: -kv[1])[:6])
         out["queries"] = worst
         out["queries_truncated_to_worst"] = len(worst)
         line = json.dumps(out)

@@ -49,7 +49,12 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["plan_memo", "evict_dead_sessions", "clear"]
+__all__ = [
+    "plan_memo",
+    "evict_dead_sessions",
+    "clear",
+    "clear_materializations",
+]
 
 # (applicationId, sf, qualname, gate-values...) → DataFrame
 _PLAN_CACHE: dict[tuple, DataFrame] = {}
@@ -85,6 +90,50 @@ def clear() -> None:
     """Drop every prepared plan (bench growth harnesses use this so
     cold-path measurements cannot hit a warm plan)."""
     _PLAN_CACHE.clear()
+
+
+def clear_materializations(spark: SparkSession | None = None) -> None:
+    """Forget EVERY engine-owned materialization: prepared plans,
+    session-keyed memos (CC labels, trade/co-purchase edges, PQ
+    codebooks, pair graphs, boiler grams), released localCheckpoints,
+    and — when a session is passed — the whole Spark block cache.
+
+    This is the shared cold-path reset used by BOTH the growth
+    batteries and bench.py's RECOMPUTE-warm column: after calling it,
+    the next action on any operator re-executes the full distributed
+    dataflow (a memo or cache hit is corpus-size-insensitive, so any
+    measurement claiming to scale must start from here).  Imports are
+    lazy so this module keeps zero operator dependencies.
+    """
+    from iceberg_kafka_playgroud_spark import checkpoints
+    from iceberg_kafka_playgroud_spark.operators import advanced as _adv
+    from iceberg_kafka_playgroud_spark.operators import dedup as _dd
+    from iceberg_kafka_playgroud_spark.operators import similarity as _sim
+    from iceberg_kafka_playgroud_spark.operators import text as _tx
+
+    if spark is not None:
+        spark.catalog.clearCache()
+    for bucket in list(checkpoints._CKPT_MEMO.values()):
+        for _, ck in bucket:
+            checkpoints.release_local_checkpoint(ck)
+    checkpoints._CKPT_MEMO.clear()
+    for bucket in list(_dd._CC_MEMO.values()):
+        for _, lbl in bucket:
+            checkpoints.release_local_checkpoint(lbl)
+    _dd._CC_MEMO.clear()
+    _dd._N_CAND_MEMO.clear()
+    for e in _adv._TRADE_EDGES_MEMO.values():
+        e.unpersist()
+    _adv._TRADE_EDGES_MEMO.clear()
+    _adv._TRI_STATS_MEMO.clear()
+    # prepared plans hold references into the cleared caches/memos —
+    # a cold rep must rebuild the plan too
+    clear()
+    _sim._PQ_MODEL_MEMO.clear()
+    _sim._PAIRS_MEMO.clear()
+    # clearCache() already dropped the blocks; forget the handles so
+    # the next call re-persists (3 plan consumers read the gram frame)
+    _tx._BOILER_DOCS_MEMO.clear()
 
 
 def plan_memo(*gate_names: str) -> Callable:

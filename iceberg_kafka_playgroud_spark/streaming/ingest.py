@@ -285,6 +285,27 @@ def stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stream_lifecycle_floor(spark: SparkSession) -> None:
+    """Run ``stream_sessionize``'s exact machinery over ZERO rows: the
+    same file source (sf0.001 footer), the same watermark +
+    session_window stateful aggregation, the same memory-sink
+    availableNow lifecycle — but with a ``user_id < 0`` filter so no
+    row survives the scan.  Wall time is therefore pure lifecycle:
+    checkpoint-dir setup, query start, state-store instantiation for
+    STREAM_SHUFFLE_PARTITIONS partitions, one empty micro-batch, and
+    stop.  bench.py times this to decompose stream_sessionize's
+    headline number into lifecycle floor vs data execution (r11
+    verdict #4) — the DuckDB oracle pays neither."""
+    stream = events_file_stream(spark, "/root/testdata/sf0.001")
+    agg = (
+        stream.where(F.col("user_id") < 0)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    _run_to_memory(agg, "complete").collect()
+
+
 def stream_dual_sink(spark: SparkSession, sf: str) -> DataFrame:
     """ST2/ST3/ST4 end-to-end: run the dual-sink ingest into temp dirs,
     read the partitioned sink back, and return per-partition counts

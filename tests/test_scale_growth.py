@@ -102,38 +102,13 @@ def _clear_engine_memos() -> None:
     """Forget the engine's session-keyed materialization memos (CC
     labels, pinned range partitionings, trade edges): the growth claim
     is about the COLD dataflow, and a memo hit is corpus-size-
-    insensitive just like a cache hit."""
-    from iceberg_kafka_playgroud_spark import checkpoints
-    from iceberg_kafka_playgroud_spark.operators import advanced as _adv
-    from iceberg_kafka_playgroud_spark.operators import dedup as _dd
-
-    for bucket in list(checkpoints._CKPT_MEMO.values()):
-        for _, ck in bucket:
-            checkpoints.release_local_checkpoint(ck)
-    checkpoints._CKPT_MEMO.clear()
-    for bucket in list(_dd._CC_MEMO.values()):
-        for _, lbl in bucket:
-            checkpoints.release_local_checkpoint(lbl)
-    _dd._CC_MEMO.clear()
-    _dd._N_CAND_MEMO.clear()
-    for e in _adv._TRADE_EDGES_MEMO.values():
-        e.unpersist()
-    _adv._TRADE_EDGES_MEMO.clear()
-    _adv._TRI_STATS_MEMO.clear()
-    # prepared plans hold references into the cleared caches/memos —
-    # a cold rep must rebuild the plan too
+    insensitive just like a cache hit.  The actual clear list lives in
+    ``plan_cache.clear_materializations`` — ONE inventory shared with
+    bench.py's recompute-warm column, so a new memo added to the
+    engine cannot silently stay warm in just one of the harnesses."""
     from iceberg_kafka_playgroud_spark import plan_cache as _pc
 
-    _pc.clear()
-    from iceberg_kafka_playgroud_spark.operators import similarity as _sim
-
-    _sim._PQ_MODEL_MEMO.clear()
-    _sim._PAIRS_MEMO.clear()
-    from iceberg_kafka_playgroud_spark.operators import text as _tx
-
-    # clearCache() already dropped the blocks; forget the handles so
-    # the next call re-persists (3 plan consumers read the gram frame)
-    _tx._BOILER_DOCS_MEMO.clear()
+    _pc.clear_materializations()
 
 
 def _best_of(fn, spark, sf_dir, n=2):
