@@ -3266,6 +3266,88 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def applyinarrow_group_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """``groupBy().applyInArrow`` — the GROUPED Arrow tier (Spark 4),
+    completing the Arrow half of the X5 matrix next to ``mapInArrow``:
+    the function receives each group as one ``pyarrow.Table`` with no
+    pandas materialization, the right tier for whole-group vectorized
+    logic.  Per order priority it computes exact index-based quartiles
+    of the order value (the element at ``floor(p·(n−1))`` in cents
+    order — discrete, no interpolation, engine-portable) with
+    ``pyarrow.compute`` kernels only: sort_indices + take, zero
+    Python-per-row work.
+
+    Scale: groups here are the 5 priority classes, so one group spans
+    many input partitions — exactly the shuffle applyInArrow implies;
+    per-task memory is one group's (cents) column, and a real corpus
+    would pre-aggregate or sketch instead (``sketch_kll_quantiles`` is
+    this repo's mergeable path).  The operator exists to pin the API
+    tier's semantics, not to replace the sketch at 100 TB.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def quartiles(table: "pa.Table") -> "pa.Table":
+        cents = table.column("cents").combine_chunks()
+        order = pc.sort_indices(cents)
+        n = len(cents)
+        picks = [(n - 1) // 4, (n - 1) // 2, (3 * (n - 1)) // 4]
+        vals = pc.take(cents, pc.take(order, pa.array(picks)))
+        return pa.table(
+            {
+                "o_orderpriority": [table.column("o_orderpriority")[0]],
+                "n_orders": pa.array([n], pa.int64()),
+                "cents_sum": pa.array(
+                    [pc.sum(cents).as_py()], pa.int64()
+                ),
+                "p25_cents": pa.array([vals[0].as_py()], pa.int64()),
+                "p50_cents": pa.array([vals[1].as_py()], pa.int64()),
+                "p75_cents": pa.array([vals[2].as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        o.groupBy("o_orderpriority")
+        .applyInArrow(
+            quartiles,
+            "o_orderpriority string, n_orders long, cents_sum long, "
+            "p25_cents long, p50_cents long, p75_cents long",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["applyinarrow_group_quantiles"] = applyinarrow_group_quantiles
+ORACLES["applyinarrow_group_quantiles"] = """
+WITH c AS (
+  SELECT o_orderpriority AS pr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT pr, cents,
+         ROW_NUMBER() OVER (PARTITION BY pr ORDER BY cents) - 1 AS rk,
+         COUNT(*) OVER (PARTITION BY pr) AS n
+  FROM c
+)
+SELECT pr AS o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       CAST(MAX(CASE WHEN rk = (n - 1) // 4 THEN cents END) AS BIGINT)
+         AS p25_cents,
+       CAST(MAX(CASE WHEN rk = (n - 1) // 2 THEN cents END) AS BIGINT)
+         AS p50_cents,
+       CAST(MAX(CASE WHEN rk = (3 * (n - 1)) // 4 THEN cents END) AS BIGINT)
+         AS p75_cents
+FROM r GROUP BY pr ORDER BY pr
+"""
+
+
 BOT_MIN_GAPS = 5  # users with fewer inter-event gaps are not judged
 BOT_CV2_PPM = 750_000  # flag if cv² = var/mean² < 0.75 (Poisson → 1.0)
 BOT_TOP = 50

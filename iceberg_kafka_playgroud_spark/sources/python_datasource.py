@@ -422,6 +422,200 @@ ORACLES["source_python_stream_reader"] = ORACLES["source_python_datasource"]
 
 
 # ---------------------------------------------------------------------------
+# Custom Python STREAMING sink (DataSourceStreamWriter) — the last
+# quadrant of the Python DataSource V2 surface (batch read, batch
+# write, stream read, stream write).  Per-EPOCH transactional commit:
+# executors spool dot-prefixed temp files; the driver's commit(batchId)
+# renames them to epoch-addressed visible names and THEN atomically
+# publishes a per-epoch manifest — a reader that trusts manifests
+# observes each micro-batch all-or-nothing, which is the foreachBatch/
+# FileStreamSink guarantee re-expressed through the Python API.
+# Reference counterpart: kafka_publisher.py's per-send delivery
+# callbacks — same at-least-once-spool/exactly-once-publish split.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamWriter
+
+
+@_dc.dataclass
+class _EpochCommit(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class JsonlEpochStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> _EpochCommit:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _EpochCommit(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        cdir = os.path.join(self.path, "_commits")
+        os.makedirs(cdir, exist_ok=True)
+        entries = []
+        for i, m in enumerate(messages):
+            final = os.path.join(
+                self.path, f"epoch-{batchId:05d}-part-{i:04d}.jsonl"
+            )
+            os.replace(m.tmp_path, final)
+            entries.append(
+                {"file": os.path.basename(final), "n_rows": m.n_rows}
+            )
+        # manifest LAST, via temp+rename: the epoch becomes visible to
+        # manifest-trusting readers atomically or not at all
+        tmp = os.path.join(cdir, f".tmp-{batchId:05d}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batchId, "files": entries}, fh)
+        os.replace(tmp, os.path.join(cdir, f"{batchId:05d}.json"))
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
+class JsonlEpochSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_epoch_sink"
+
+    def streamWriter(self, schema, overwrite) -> JsonlEpochStreamWriter:
+        return JsonlEpochStreamWriter(self.options)
+
+
+_STREAM_SINK_MEMO: dict = {}
+
+
+def sink_python_stream_writer(spark: SparkSession, sf: str) -> DataFrame:
+    """Full Python-V2 streaming loop: the custom Python STREAM source
+    feeds the custom Python STREAM sink, micro-batch by micro-batch,
+    with the sink's per-epoch rename-then-manifest commit protocol in
+    between.  Read-back opens ONLY manifest-listed files (an
+    uncommitted epoch is invisible even if its rename half landed) and
+    folds to the shared per-bucket audit plus the manifests' total row
+    claim — so a lost epoch, a replayed epoch, or an over/under-counted
+    manifest all surface as a hash mismatch.  The oracle regenerates
+    the fabric from ``generate_series``: same rows, two custom
+    transports and one commit protocol apart.
+    """
+    import json as _json
+    import os
+
+    _register_stream(spark)
+    _register(spark, JsonlEpochSinkDataSource)
+    key = (spark.sparkContext.applicationId, "jsonl_stream_sink")
+    out = _STREAM_SINK_MEMO.get(key)
+    if out is None:
+        import atexit
+        import shutil
+        import tempfile
+        import time
+
+        out = tempfile.mkdtemp(prefix="jsonl_stream_sink_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        ckpt = tempfile.mkdtemp(prefix="jsonl_stream_sink_ckpt_")
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+        stream = (
+            spark.readStream.format("purchase_fabric_stream")
+            .option("n_rows", str(DEFAULT_ROWS))
+            .load()
+        )
+        q = (
+            stream.writeStream.format("jsonl_epoch_sink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+        def _committed() -> int:
+            cdir = os.path.join(out, "_commits")
+            if not os.path.isdir(cdir):
+                return 0
+            tot = 0
+            for f in os.listdir(cdir):
+                if f.startswith("."):
+                    continue
+                with open(os.path.join(cdir, f)) as fh:
+                    tot += sum(e["n_rows"] for e in _json.load(fh)["files"])
+            return tot
+
+        try:
+            deadline = time.monotonic() + 120
+            while _committed() < DEFAULT_ROWS:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"python stream sink stalled: "
+                        f"{_committed()}/{DEFAULT_ROWS} rows committed"
+                    )
+                time.sleep(0.3)
+        finally:
+            q.stop()
+        _STREAM_SINK_MEMO[key] = out
+
+    cdir = os.path.join(out, "_commits")
+    files, manifest_rows = [], 0
+    for f in sorted(os.listdir(cdir)):
+        if f.startswith("."):
+            continue
+        with open(os.path.join(cdir, f)) as fh:
+            man = _json.load(fh)
+        for e in man["files"]:
+            files.append(os.path.join(out, e["file"]))
+            manifest_rows += e["n_rows"]
+    back = spark.read.schema(
+        "id bigint, ts_ms bigint, user_id string, amount double"
+    ).json(files)
+    return (
+        back.groupBy((F.col("id") % N_BUCKETS).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("amount") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+        .withColumn(
+            "committed_rows", F.lit(int(manifest_rows)).cast("long")
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["sink_python_stream_writer"] = sink_python_stream_writer
+ORACLES["sink_python_stream_writer"] = f"""
+WITH fab AS (
+  SELECT id, ({FABRIC_BASE_MS} + id * 5000) // 10 % 1000 AS cents
+  FROM (SELECT unnest(generate_series(0, {DEFAULT_ROWS - 1})) AS id)
+)
+SELECT CAST(id % {N_BUCKETS} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       CAST(SUM(id) AS BIGINT) AS id_sum,
+       CAST({DEFAULT_ROWS} AS BIGINT) AS committed_rows
+FROM fab GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # Filter pushdown (Spark 4.1 DataSourceReader.pushFilters): the source
 # receives the query's conjunctive filters at PLANNING time and prunes
 # entire partitions before any executor runs — the Python-source
