@@ -61,35 +61,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks the FIRST 50 registry
-# entries per round.  Round-11 ordering (r10 verdict task #6, the
-# dirty-requeue rule): slots 1-22 are every operator whose executed
-# plan or routing changed in round 11 (the open-concurrency single-
-# shuffle rewrite, the near-dup LSH threshold router, the memoized
-# degree-oriented triangle build, the dst-partitioned trade-edge
-# consumers, the plan-memoized dedup/ANN family, the stream-stream
-# sentinel's type-keyed footer max, the pushdown-source conf change);
-# everything after is ordered by ASCENDING last-driver-checked round
-# (the r1 TPC-H/window/set cohort first), so each future 50-window
-# automatically drains the stalest rows next.
+# entries per round.  Round-12 ordering (the standing dirty-requeue
+# rotation): slots 1-11 are every operator whose executed plan, code
+# path, or registration changed in round 12 (the two NEW queries —
+# Python streaming sink, grouped-Arrow quantiles; the late-bound
+# near-dup threshold pair + their consumers dbscan and
+# lexical-semantic eval, per the r11 advisor; the five plan_memo
+# gate-key sites; the scoped scripting conf); everything after is
+# ordered by ASCENDING last-driver-checked round, ties broken by the
+# r11 order (which already encoded the prior staleness sort) — the
+# r12 window therefore drains the full r1/r2 cohort and the oldest
+# half of the r4 cohort, and each future 50-window keeps draining the
+# stalest tail automatically.  NOTE the arithmetic: 186 rows were
+# last driver-checked before r8, and the window moves 50/round, so
+# "nothing older than r8" needs ~3 more windows even with zero new
+# dirty rows; the builder's own full-registry sf0.01 sweep each
+# round-close is the compensating evidence in the meantime.
 _PRIORITY = [
-    "orders_open_concurrency", "embedding_near_dup_lsh", "embedding_near_dup_pairs",
-    "graph_triangle_count", "graph_label_propagation", "graph_pagerank",
-    "graph_bfs_reachability", "graph_kcore_peel", "graph_link_prediction",
-    "item_item_cosine", "basket_association_rules", "dedup_weighted_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_hamming",
-    "dedup_minhash_calibration", "ann_mmr_rerank", "ann_pq_adc_topk",
-    "curation_global_shuffle", "stream_stream_left_outer", "stream_stream_full_outer",
-    "source_python_pushdown", "agg_listagg_ordered", "sql_scripting_control_flow",
-    "stream_state_rocksdb",
-    "join_anti", "join_cross",
-    "join_full_outer", "join_inner_dim", "join_left_outer",
-    "join_right_outer", "join_semi", "join_theta_range",
-    "limit0_probe", "map_functions", "partition_prune_time",
-    "pivot_linestatus", "q10_returned_items", "q14_promo_revenue",
-    "q18_large_orders", "q19_disjunctive_pred", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_region_revenue", "q6_forecast_revenue",
-    "scan_project", "set_except", "set_intersect",
-    "set_union_all", "sort_topk", "str_functions",
+    "sink_python_stream_writer", "applyinarrow_group_quantiles", "embedding_dbscan_core",
+    "dedup_lexical_semantic_eval", "embedding_near_dup_pairs", "embedding_near_dup_lsh",
+    "graph_triangle_count", "ann_mmr_rerank", "ann_pq_adc_topk",
+    "dedup_simhash_hamming", "sql_scripting_control_flow", "str_functions",
     "subquery_exists", "subquery_in", "subquery_scalar",
     "top_k_per_group", "window_lag_lead", "window_moving_avg",
     "window_ntile_first_last", "window_range_numeric", "window_rank",
@@ -167,29 +159,43 @@ _PRIORITY = [
     "write_dynamic_partition_overwrite", "agg_salted_skew", "ann_ivfpq_residual_topk",
     "ann_topk_blocked", "ann_topk_bruteforce", "ann_topk_ivf",
     "cogroup_asof_attribution", "dedup_chunk_stitch_audit", "dedup_exact",
-    "dedup_ngram_jaccard", "doc_stats_by_source", "embedding_dbscan_core",
-    "events_activity_powerlaw", "grouping_sets_agg", "intersect_all_keys",
-    "multimodal_aspect_bucket", "multimodal_color_histogram", "multimodal_features",
-    "multimodal_frame_sample", "multimodal_resize", "orders_survival_hazard",
-    "percentile_exact", "sample_hash_bucket", "sketch_misra_gries_heavy",
-    "snapshot_file_size_audit", "snapshot_time_travel", "source_xml_roundtrip",
-    "sql_parameterized_query", "text_bpe_token_count", "text_collated_terms",
-    "text_feature_hashing", "text_fingerprint", "text_lang_id",
-    "text_pmi_bigrams", "text_quality_score", "text_zipf_slope",
-    "udtf_table_arg_deltas", "union_by_name", "agg_count_distinct",
-    "agg_cube", "agg_having", "agg_rollup",
-    "ann_ivf_nprobe_curve", "basket_diversity_simpson", "cast_functions",
-    "cte_query", "decontaminate_fuzzy_minhash", "dedup_cluster_canonical",
-    "dedup_cluster_cohesion", "dedup_cluster_stats", "dedup_connected_components",
-    "dedup_incremental_minhash", "dedup_lexical_semantic_eval", "dedup_loss_by_source",
-    "dedup_similarity_histogram", "distinct_proj", "embedding_cluster_canonical",
-    "embedding_cluster_components", "files_glob_listing", "filter_like",
-    "filter_predicates", "mixture_token_waterfill", "orders_abc_analysis",
-    "orders_gini_concentration", "orders_rfm_segmentation", "quality_dup_calibration",
-    "sample_systematic_pps", "sort_nulls_ordering", "split_largest_remainder",
-    "sql_session_variables", "sql_udf_scalar_tvf", "stream_decontaminate_gate",
-    "stream_incremental_dedup", "stream_state_store_read", "text_boilerplate_coverage",
-    "udtf_dynamic_schema", "vocab_coverage_curve",
+    "dedup_ngram_jaccard", "doc_stats_by_source", "events_activity_powerlaw",
+    "grouping_sets_agg", "intersect_all_keys", "multimodal_aspect_bucket",
+    "multimodal_color_histogram", "multimodal_features", "multimodal_frame_sample",
+    "multimodal_resize", "orders_survival_hazard", "percentile_exact",
+    "sample_hash_bucket", "sketch_misra_gries_heavy", "snapshot_file_size_audit",
+    "snapshot_time_travel", "source_xml_roundtrip", "sql_parameterized_query",
+    "text_bpe_token_count", "text_collated_terms", "text_feature_hashing",
+    "text_fingerprint", "text_lang_id", "text_pmi_bigrams",
+    "text_quality_score", "text_zipf_slope", "udtf_table_arg_deltas",
+    "union_by_name", "agg_count_distinct", "agg_cube",
+    "agg_having", "agg_rollup", "ann_ivf_nprobe_curve",
+    "basket_diversity_simpson", "cast_functions", "cte_query",
+    "decontaminate_fuzzy_minhash", "dedup_cluster_canonical", "dedup_cluster_cohesion",
+    "dedup_cluster_stats", "dedup_connected_components", "dedup_incremental_minhash",
+    "dedup_loss_by_source", "dedup_similarity_histogram", "distinct_proj",
+    "embedding_cluster_canonical", "embedding_cluster_components", "files_glob_listing",
+    "filter_like", "filter_predicates", "mixture_token_waterfill",
+    "orders_abc_analysis", "orders_gini_concentration", "orders_rfm_segmentation",
+    "quality_dup_calibration", "sample_systematic_pps", "sort_nulls_ordering",
+    "split_largest_remainder", "sql_session_variables", "sql_udf_scalar_tvf",
+    "stream_decontaminate_gate", "stream_incremental_dedup", "stream_state_store_read",
+    "text_boilerplate_coverage", "udtf_dynamic_schema", "vocab_coverage_curve",
+    "orders_open_concurrency", "graph_label_propagation", "graph_pagerank",
+    "graph_bfs_reachability", "graph_kcore_peel", "graph_link_prediction",
+    "item_item_cosine", "basket_association_rules", "dedup_weighted_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_minhash_calibration",
+    "curation_global_shuffle", "stream_stream_left_outer", "stream_stream_full_outer",
+    "source_python_pushdown", "agg_listagg_ordered", "stream_state_rocksdb",
+    "join_anti", "join_cross", "join_full_outer",
+    "join_inner_dim", "join_left_outer", "join_right_outer",
+    "join_semi", "join_theta_range", "limit0_probe",
+    "map_functions", "partition_prune_time", "pivot_linestatus",
+    "q10_returned_items", "q14_promo_revenue", "q18_large_orders",
+    "q19_disjunctive_pred", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_region_revenue", "q6_forecast_revenue", "scan_project",
+    "set_except", "set_intersect", "set_union_all",
+    "sort_topk",
 ]
 
 
