@@ -3052,6 +3052,114 @@ QUERIES["ann_mmr_rerank"] = ann_mmr_rerank
 ORACLES["ann_mmr_rerank"] = _mmr_oracle()
 
 
+# -- triplet mining: hardest negatives + hardest positive --------------
+
+TRIPLET_NEG_K = 3  # hard negatives reported per anchor
+
+
+def embedding_triplet_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative / hardest-positive TRIPLET mining — the standard
+    contrastive-training data op (embedding models train on (anchor,
+    positive, negative) triplets, and uniform-random negatives are too
+    easy to carry gradient): per anchor, the TRIPLET_NEG_K
+    most-similar DIFFERENT-label vectors (hard negatives, rank-ordered)
+    joined with the LEAST-similar same-label vector's sim (the hardest
+    positive), plus the triplet margin hardest_pos − neg (negative
+    margin = an active triplet the loss would push on).
+
+    Parity: the round-6 JVM cosines and (sim DESC, id) tie-break are
+    the ``_topk_cosine``/MMR recipe; MIN over same-label sims is
+    order-insensitive; the margin is one IEEE subtraction of two
+    already-identical doubles in both engines.
+
+    Plan at 100 TB: anchors broadcast (query-set-sized) against ONE
+    corpus pass; per-anchor state after the pass is candidate-graph-
+    sized (a window over anchor-keyed rows + one MIN aggregate), the
+    corpus is never self-joined.  For anchor sets that outgrow the
+    broadcast budget the shortlist generation swaps to the
+    block-partitioned scan (``ann_topk_blocked``) or the IVF route —
+    the mining semantics downstream are unchanged.
+    """
+    em = load_table(spark, sf, "embeddings").select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("vec")
+    )
+    anchors = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("vec").alias("avec"),
+    )
+    sims = (
+        F.broadcast(anchors)
+        .crossJoin(em)
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            F.round(cosine(F.col("avec"), F.col("vec")), 6).alias("sim"),
+        )
+    )
+    pos = (
+        sims.filter(F.col("cand_label") == F.col("anchor_label"))
+        .groupBy("anchor_id")
+        .agg(F.min("sim").alias("hardest_pos_sim"))
+    )
+    wneg = W.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    negs = (
+        sims.filter(F.col("cand_label") != F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(wneg))
+        .filter(F.col("rn") <= TRIPLET_NEG_K)
+    )
+    return (
+        negs.join(pos, "anchor_id")
+        .select(
+            "anchor_id",
+            F.col("rn").cast("long").alias("neg_rank"),
+            F.col("cand_id").alias("hard_neg_id"),
+            F.col("sim").alias("neg_sim"),
+            "hardest_pos_sim",
+            (F.col("hardest_pos_sim") - F.col("sim")).alias("margin"),
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )
+
+
+QUERIES["embedding_triplet_mining"] = embedding_triplet_mining
+_TRIP_COS = (
+    f"round({_DOT.format(a='q.ae', b='e.embedding')}"
+    f" / ({_NORM.format(a='q.ae')} * {_NORM.format(a='e.embedding')}), 6)"
+)
+ORACLES["embedding_triplet_mining"] = f"""
+WITH q AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+                  embedding AS ae
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+sims AS (
+  SELECT q.anchor_id, q.anchor_label, e.vec_id AS cand_id,
+         e.label AS cand_label, {_TRIP_COS} AS sim
+  FROM q, embeddings e WHERE e.vec_id != q.anchor_id
+),
+pos AS (
+  SELECT anchor_id, MIN(sim) AS hardest_pos_sim
+  FROM sims WHERE cand_label = anchor_label GROUP BY anchor_id
+),
+negs AS (
+  SELECT anchor_id, cand_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+           ORDER BY sim DESC, cand_id) AS rn
+  FROM sims WHERE cand_label != anchor_label
+)
+SELECT n.anchor_id, CAST(n.rn AS BIGINT) AS neg_rank,
+       n.cand_id AS hard_neg_id, n.sim AS neg_sim,
+       p.hardest_pos_sim, p.hardest_pos_sim - n.sim AS margin
+FROM negs n JOIN pos p USING (anchor_id)
+WHERE n.rn <= {TRIPLET_NEG_K}
+ORDER BY anchor_id, neg_rank
+"""
+
+
 # -- IVF-PQ: coarse cells + residual product quantization -------------
 
 IVFPQ_CELLS = 8  # coarse cells; production ≈ √corpus_rows
