@@ -3100,21 +3100,24 @@ def embedding_triplet_mining(spark: SparkSession, sf: str) -> DataFrame:
             F.round(cosine(F.col("avec"), F.col("vec")), 6).alias("sim"),
         )
     )
-    pos = (
-        sims.filter(F.col("cand_label") == F.col("anchor_label"))
-        .groupBy("anchor_id")
-        .agg(F.min("sim").alias("hardest_pos_sim"))
-    )
+    # ONE anchor-keyed shuffle computes both sides: the hardest-
+    # positive MIN rides a plain partition window over the same rows
+    # the negative ranking windows over, so the corpus is scanned
+    # once and there is no join back (the first cut ran pos/neg as
+    # separate branches — two corpus passes + a join on a 15-row
+    # frame)
+    wa = W.partitionBy("anchor_id")
     wneg = W.partitionBy("anchor_id").orderBy(
         F.col("sim").desc(), F.col("cand_id")
     )
-    negs = (
-        sims.filter(F.col("cand_label") != F.col("anchor_label"))
-        .withColumn("rn", F.row_number().over(wneg))
-        .filter(F.col("rn") <= TRIPLET_NEG_K)
+    same = F.col("cand_label") == F.col("anchor_label")
+    scored = sims.withColumn(
+        "hardest_pos_sim", F.min(F.when(same, F.col("sim"))).over(wa)
     )
     return (
-        negs.join(pos, "anchor_id")
+        scored.filter(~same)
+        .withColumn("rn", F.row_number().over(wneg))
+        .filter(F.col("rn") <= TRIPLET_NEG_K)
         .select(
             "anchor_id",
             F.col("rn").cast("long").alias("neg_rank"),

@@ -1035,3 +1035,28 @@ def test_near_dup_threshold_binds_at_call_time(spark, sf_dir, monkeypatch):
     # at a sim threshold of ~1.0 the fixture corpus has (near) zero
     # pairs while the 0.45 default has a verified non-empty set
     assert n_base > 0 and n_tight < n_base
+
+
+def test_triplet_mining_one_corpus_pass_no_python(spark, sf_dir):
+    """Triplet mining must touch the corpus ONCE (anchors broadcast
+    into a single nested-loop pass; hardest-positive and negative
+    ranks share one anchor-keyed window stage) with no Python eval
+    node and no join-back of the positive side."""
+    plan = physical_plan(similarity.embedding_triplet_mining(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # the one corpus pass
+    assert "SortMergeJoin" not in plan  # no pos-side join-back
+    assert "BroadcastHashJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_applyinarrow_is_grouped_arrow_single_exchange(spark, sf_dir):
+    """applyInArrow compiles to FlatMapGroupsInArrow behind ONE
+    pre-group exchange — the grouped-Arrow tier, not a pandas
+    conversion or a row-at-a-time Python eval."""
+    plan = physical_plan(
+        advanced.applyinarrow_group_quantiles(spark, sf_dir)
+    )
+    assert "FlatMapGroupsInArrow" in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan

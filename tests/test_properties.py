@@ -922,3 +922,50 @@ def test_integer_div_exact_past_2_53(spark, batch):
     # not asserted (floor(/) is *sometimes* right by luck), but the
     # counter documents why `div` is load-bearing
     del double_breaks
+
+
+def test_stream_sink_epoch_commit_protocol(tmp_path):
+    """The Python streaming sink's crash contract, unit-tested without
+    a streaming query: spooled-but-ABORTED epochs leave nothing a
+    reader can see (dot-prefixed temps removed), and a committed epoch
+    becomes visible files + a manifest whose row counts match — the
+    all-or-nothing property the oracle-paired query relies on."""
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    from iceberg_kafka_playgroud_spark.sources.python_datasource import (
+        JsonlEpochStreamWriter,
+    )
+
+    out = str(tmp_path / "sink")
+    w = JsonlEpochStreamWriter({"path": out})
+    rows = [Row(id=i, ts_ms=0, user_id=f"u{i}", amount=1.0) for i in range(7)]
+
+    # epoch 0: spooled then aborted -> directory shows nothing visible
+    m0 = w.write(iter(rows[:3]))
+    w.abort([m0], batchId=0)
+    visible = [f for f in os.listdir(out) if not f.startswith(".")]
+    assert visible == [], visible
+
+    # epoch 1: spooled then committed -> files + manifest, counts match
+    m1a = w.write(iter(rows[:3]))
+    m1b = w.write(iter(rows[3:]))
+    w.commit([m1a, m1b], batchId=1)
+    cdir = os.path.join(out, "_commits")
+    manifests = [f for f in os.listdir(cdir) if not f.startswith(".")]
+    assert manifests == ["00001.json"]
+    man = json.load(open(os.path.join(cdir, "00001.json")))
+    assert man["batch_id"] == 1
+    assert sum(e["n_rows"] for e in man["files"]) == 7
+    for e in man["files"]:
+        p = os.path.join(out, e["file"])
+        assert os.path.exists(p)
+        assert sum(1 for _ in open(p)) == e["n_rows"]
+    # no stray temp spools survive a commit either
+    strays = [
+        f for f in os.listdir(out)
+        if f.startswith(".tmp-")
+    ]
+    assert strays == [], strays
