@@ -1815,6 +1815,92 @@ def text_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["text_feature_hashing"] = text_feature_hashing
+
+
+# -- hashed linear quality classifier gate -----------------------------
+
+QC_WEIGHT_MOD = 1001  # weight(dim) = (dim·2654435761) mod 1001 − 500
+
+
+def quality_classifier_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-shaped quality GATE: per document, a linear score over
+    the signed hashed features (``text_feature_hashing``'s dims and
+    signs), thresholded at 0 — the learned-classifier filtering stage
+    production pipelines run after the heuristic rules
+    (``text_quality_score``/``text_gopher_quality_rules`` are the rule
+    tier; this is the model tier's execution shape).  Reported as the
+    per-source gate audit: docs, pass count, score sum and extremes —
+    the table a curation run reviews before committing a filter.
+
+    The weight vector is a deterministic fixture — weight(d) =
+    (d·2654435761) mod 1001 − 500, Knuth's multiplicative constant, so
+    both engines derive identical int64 weights with no literal table.
+    A real deployment broadcasts its trained vector (FH_DIMS·8 bytes);
+    the plan is byte-for-byte the same shape.
+
+    Plan at 100 TB: explode → per-(doc,dim) contribution → ONE
+    doc-keyed map-side-combined aggregate (integer score, no floats);
+    the per-source roll-up shuffles doc-count rows.  No vocab build,
+    no join, no Python.
+    """
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "source", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    h = F.md5(F.col("w"))
+    dim = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(FH_DIMS)
+    ).cast("long")
+    sign = (
+        F.when(F.substring(h, 9, 1) <= "7", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    weight = F.pmod(dim * F.lit(2654435761), F.lit(QC_WEIGHT_MOD)) - F.lit(500)
+    scored = (
+        d.select("doc_id", "source", (sign * weight).alias("contrib"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("contrib").cast("long").alias("score"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+            F.sum("score").cast("long").alias("score_sum"),
+            F.min("score").cast("long").alias("score_min"),
+            F.max("score").cast("long").alias("score_max"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["quality_classifier_gate"] = quality_classifier_gate
+ORACLES["quality_classifier_gate"] = f"""
+WITH w AS (SELECT doc_id, source, unnest({_LTOKS}) AS w FROM documents),
+feat AS (
+  SELECT doc_id, source,
+         CAST(CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+              % {FH_DIMS} AS BIGINT) AS dim,
+         CAST(CASE WHEN substring(md5(w), 9, 1) <= '7'
+                   THEN 1 ELSE -1 END AS BIGINT) AS sign
+  FROM w
+),
+scored AS (
+  SELECT doc_id, source,
+         CAST(SUM(sign * ((dim * 2654435761) % {QC_WEIGHT_MOD} - 500))
+              AS BIGINT) AS score
+  FROM feat GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(score) AS BIGINT) AS score_sum,
+       CAST(MIN(score) AS BIGINT) AS score_min,
+       CAST(MAX(score) AS BIGINT) AS score_max
+FROM scored GROUP BY source ORDER BY source
+"""
 ORACLES["text_feature_hashing"] = f"""
 WITH w AS (SELECT source, unnest({_LTOKS}) AS w FROM documents),
 feat AS (
