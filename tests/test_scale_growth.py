@@ -95,6 +95,9 @@ def _ops():
         "dedup_chunk_stitch_audit": dedup.dedup_chunk_stitch_audit,
         "text_pmi_bigrams": text.text_pmi_bigrams,
         "text_feature_hashing": text.text_feature_hashing,
+        # round-12: the hashed-linear classifier gate (full-corpus
+        # token explode + doc-keyed integer aggregate)
+        "quality_classifier_gate": text.quality_classifier_gate,
     }
 
 
@@ -379,6 +382,9 @@ def _embedding_ops():
         # corpora dedup at far higher thresholds where banding prunes)
         "embedding_kmeans_lloyd": similarity.embedding_kmeans_lloyd,
         "dedup_semantic_semdedup": similarity.dedup_semantic_semdedup,
+        # round-12: triplet mining (one broadcast corpus pass + an
+        # anchor-keyed window; anchors stay fixed as the corpus grows)
+        "embedding_triplet_mining": similarity.embedding_triplet_mining,
     }
 
 
