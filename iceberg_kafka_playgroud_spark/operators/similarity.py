@@ -789,6 +789,52 @@ def ann_index_persist_probe(spark: SparkSession, sf: str) -> DataFrame:
     return _ivf_probe(spark, em, corpus, cent_ids, cent_mat)
 
 
+def ann_ivf_balance_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF cell-BALANCE audit — the observability that decides whether
+    an IVF index is servable: hot cells make probe latency quadratic
+    in the hot share (every query probing a hot cell scans it all) and
+    empty cells waste codebook capacity, so production ANN services
+    watch exactly this table after every index build (it is the signal
+    that triggers re-training or cell splitting).  Per cell: resident
+    vector count (empty cells included via the codebook, count 0),
+    integer-ppm share of the corpus, and the size rank.
+
+    Plan: the build's narrow Arrow-batched assignment → ONE cell-keyed
+    map-side-combined count (K_CELLS rows out) → share/rank over the
+    16-row counts frame.  The two unpartitioned windows run on a frame
+    bounded by K_CELLS — whitelisted in the global-window sweep with
+    that justification.  At 100 TB the audit is the same one aggregate
+    over the index you just wrote.
+    """
+    _, corpus, cent_ids, _ = _ivf_build(spark, sf)
+    cells = spark.createDataFrame(
+        [(int(c),) for c in cent_ids], "cell long"
+    )
+    counts = (
+        F.broadcast(cells)
+        .join(
+            corpus.groupBy("cell").agg(
+                F.count("*").cast("long").alias("n")
+            ),
+            "cell",
+            "left",
+        )
+        .select("cell", F.coalesce(F.col("n"), F.lit(0)).alias("n_vecs"))
+    )
+    wtot = W.partitionBy()  # K_CELLS rows by construction
+    wrank = W.orderBy(F.col("n_vecs").desc(), F.col("cell"))
+    return counts.select(
+        "cell",
+        "n_vecs",
+        F.floor(
+            F.lit(1_000_000) * F.col("n_vecs") / F.sum("n_vecs").over(wtot)
+        )
+        .cast("long")
+        .alias("share_ppm"),
+        F.row_number().over(wrank).cast("long").alias("size_rank"),
+    ).orderBy("cell")
+
+
 def embedding_norm_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding health check: vectors whose norm is extreme are
     usually corrupt (zeroed buffers, double-scaled uploads) — flag
@@ -1226,6 +1272,7 @@ QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_blocked": ann_topk_blocked,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_ivf_balance_audit": ann_ivf_balance_audit,
     "embedding_centroids": embedding_centroids,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
@@ -1380,8 +1427,11 @@ SELECT query_id, neighbor_id, sim, rank FROM (
 
 # procedure-replicating IVF oracle: same codebook (first K_CELLS
 # vectors), same argmax assignment, same NPROBE probe, same final top-k
-_IVF_ORACLE = f"""
-WITH cents AS (
+# the IVF codebook + assignment CTE prefix — ONE definition shared by
+# the probe oracles and the balance audit, so an assignment-rule fix
+# can never diverge between them
+_IVF_ASSIGN_CTES = f"""
+cents AS (
   SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < {K_CELLS}
 ),
 allsims AS (
@@ -1396,7 +1446,10 @@ assign AS (
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id) AS rn
     FROM allsims
   ) WHERE rn = 1
-),
+)"""
+
+_IVF_ORACLE = f"""
+WITH {_IVF_ASSIGN_CTES},
 probes AS (
   SELECT vec_id AS query_id, cell_id AS cell FROM (
     SELECT vec_id, cell_id,
@@ -1514,6 +1567,21 @@ ORACLES = {
     """,
     "ann_topk_blocked": _TOPK_ORACLE,
     "ann_topk_ivf": _IVF_ORACLE,
+    "ann_ivf_balance_audit": f"""
+WITH {_IVF_ASSIGN_CTES},
+counts AS (
+  SELECT c.cell_id AS cell,
+         CAST(COUNT(a.vec_id) AS BIGINT) AS n_vecs
+  FROM cents c LEFT JOIN assign a ON a.cell = c.cell_id
+  GROUP BY c.cell_id
+),
+tot AS (SELECT SUM(n_vecs) AS t FROM counts)
+SELECT cell, n_vecs,
+       CAST(FLOOR(1000000 * n_vecs / t) AS BIGINT) AS share_ppm,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_vecs DESC, cell) AS BIGINT)
+         AS size_rank
+FROM counts, tot ORDER BY cell
+""",
     "embedding_centroids": f"""
         SELECT label, pos, CAST(SUM(q) AS DOUBLE) / {CENTROID_SCALE}.0
                / CAST(COUNT(*) AS DOUBLE) AS centroid_val,

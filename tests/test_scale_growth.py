@@ -251,6 +251,9 @@ GLOBAL_WINDOW_BOUNDED_OK = {
     # survival table lives on DISTINCT reorder-interval day values —
     # calendar-bounded cardinality (≤ days in the date span)
     "orders_survival_hazard",
+    # cell-counts frame: corpus collapsed to K_CELLS=16 rows by the
+    # cell-keyed aggregate BEFORE the share/rank windows
+    "ann_ivf_balance_audit",
 }
 
 
