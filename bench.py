@@ -143,29 +143,36 @@ def main() -> None:
     timings: dict[str, float] = {}
     recompute: dict[str, float] = {}
     cold: dict[str, float] = {}
-    all_runs: dict[str, list[float]] = {}
+    # per-regime run lists (r9 verdict #6 wants a variance band;
+    # mixing regimes in one list would conflate systematically
+    # different distributions — recompute reps re-materialize work
+    # cache-warm reps don't)
+    runs_recompute_all: dict[str, list[float]] = {}
+    runs_cache_warm_all: dict[str, list[float]] = {}
     for name in names:
-        all_runs[name] = []
 
-        def timed_run() -> float:
+        def timed_run(sink: list[float] | None = None) -> float:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             dt = time.perf_counter() - t0
-            all_runs[name].append(round(dt, 3))
+            if sink is not None:
+                sink.append(round(dt, 3))
             return dt
 
         clear_materializations(spark)
         cold[name] = round(timed_run(), 3)
         best = float("inf")
+        runs_recompute_all[name] = []
         for _ in range(runs_rec):
             clear_materializations(spark)
-            best = min(best, timed_run())
+            best = min(best, timed_run(runs_recompute_all[name]))
         recompute[name] = round(best, 3)
         best = float("inf")
+        runs_cache_warm_all[name] = []
         for _ in range(runs_warm):
-            best = min(best, timed_run())
+            best = min(best, timed_run(runs_cache_warm_all[name]))
         timings[name] = round(best, 3)
 
     # streaming lifecycle floor (r11 verdict #4): time stream_
@@ -237,11 +244,14 @@ def main() -> None:
         "queries": recompute,
         "queries_cache_warm": timings,
         "queries_cold": cold,
-        # every individual run per query (r9 verdict #6): run-to-run
-        # spread on this shared host routinely exceeds 25%, so a
-        # best-of delta between rounds is only a regression if it
-        # clears the recorded variance band
-        "queries_runs": all_runs,
+        # every individual run per query (r9 verdict #6), SPLIT BY
+        # REGIME: run-to-run spread on this shared host routinely
+        # exceeds 25%, so a best-of delta between rounds is only a
+        # regression if it clears the recorded variance band — and the
+        # band must be computed within one regime (cold is in
+        # queries_cold)
+        "queries_runs_recompute": runs_recompute_all,
+        "queries_runs_cache_warm": runs_cache_warm_all,
         "duckdb_queries": duckdb_timings,
         "duckdb_errors": duckdb_errors,
         # zero-row run of the sessionize machinery: subtract from

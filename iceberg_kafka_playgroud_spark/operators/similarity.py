@@ -810,17 +810,13 @@ def ann_ivf_balance_audit(spark: SparkSession, sf: str) -> DataFrame:
     cells = spark.createDataFrame(
         [(int(c),) for c in cent_ids], "cell long"
     )
-    counts = (
-        F.broadcast(cells)
-        .join(
-            corpus.groupBy("cell").agg(
-                F.count("*").cast("long").alias("n")
-            ),
-            "cell",
-            "left",
-        )
-        .select("cell", F.coalesce(F.col("n"), F.lit(0)).alias("n_vecs"))
-    )
+    # no broadcast hint: Spark ignores a hint on the PRESERVED side of
+    # a left outer join, and both sides here are K_CELLS rows anyway
+    counts = cells.join(
+        corpus.groupBy("cell").agg(F.count("*").cast("long").alias("n")),
+        "cell",
+        "left",
+    ).select("cell", F.coalesce(F.col("n"), F.lit(0)).alias("n_vecs"))
     wtot = W.partitionBy()  # K_CELLS rows by construction
     wrank = W.orderBy(F.col("n_vecs").desc(), F.col("cell"))
     return counts.select(
@@ -3184,6 +3180,11 @@ def embedding_triplet_mining(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         scored.filter(~same)
+        # an anchor with NO same-label peer has no positive to mine a
+        # triplet against — drop it (matches the oracle's inner join;
+        # without this, Spark would emit its negatives with NULL
+        # hardest_pos_sim while DuckDB emits nothing)
+        .filter(F.col("hardest_pos_sim").isNotNull())
         .withColumn("rn", F.row_number().over(wneg))
         .filter(F.col("rn") <= TRIPLET_NEG_K)
         .select(

@@ -104,6 +104,18 @@ def clear_materializations(spark: SparkSession | None = None) -> None:
     dataflow (a memo or cache hit is corpus-size-insensitive, so any
     measurement claiming to scale must start from here).  Imports are
     lazy so this module keeps zero operator dependencies.
+
+    Deliberately RETAINED (not derived compute, so keeping them warm
+    cannot flatter a recompute measurement): ``schema._TABLE_MEMO``
+    (lazy scan handles — pure plans, the catalog role) and the
+    one-shot fixture/sink STAGING memos (``ingest._STREAM_SRC_MEMO``/
+    ``_DOC_STAGE_MEMO``, ``relational._FMT_STAGE_MEMO``,
+    ``python_datasource._SINK_STAGE_MEMO``/``_STREAM_SINK_MEMO``) —
+    those hold /tmp paths of deterministic staged artifacts whose
+    re-write would leak a copy per rep; the artifact is the test
+    subject, not a cached answer.  Everything DERIVED — trained
+    models (k-means, PQ), the persisted IVF index, pair graphs,
+    edges, labels, checkpoints, prepared plans — is cleared here.
     """
     from iceberg_kafka_playgroud_spark import checkpoints
     from iceberg_kafka_playgroud_spark.operators import advanced as _adv
@@ -131,6 +143,13 @@ def clear_materializations(spark: SparkSession | None = None) -> None:
     clear()
     _sim._PQ_MODEL_MEMO.clear()
     _sim._PAIRS_MEMO.clear()
+    # trained k-means models and the persisted IVF index are derived
+    # compute too: a recompute rep must re-run Lloyd training and the
+    # index build (the index dirs are atexit-reclaimed; ~MBs each)
+    for assigned, _ in _sim._KM_MODEL_MEMO.values():
+        assigned.unpersist()
+    _sim._KM_MODEL_MEMO.clear()
+    _sim._IVF_INDEX_MEMO.clear()
     # clearCache() already dropped the blocks; forget the handles so
     # the next call re-persists (3 plan consumers read the gram frame)
     _tx._BOILER_DOCS_MEMO.clear()

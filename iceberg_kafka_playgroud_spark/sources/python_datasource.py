@@ -584,19 +584,8 @@ def sink_python_stream_writer(spark: SparkSession, sf: str) -> DataFrame:
     back = spark.read.schema(
         "id bigint, ts_ms bigint, user_id string, amount double"
     ).json(files)
-    return (
-        back.groupBy((F.col("id") % N_BUCKETS).alias("bucket"))
-        .agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.sum(F.round(F.col("amount") * 100).cast("long"))
-            .cast("long")
-            .alias("cents_sum"),
-            F.sum("id").cast("long").alias("id_sum"),
-        )
-        .withColumn(
-            "committed_rows", F.lit(int(manifest_rows)).cast("long")
-        )
-        .orderBy("bucket")
+    return _bucket_audit(back).withColumn(
+        "committed_rows", F.lit(int(manifest_rows)).cast("long")
     )
 
 

@@ -26,10 +26,7 @@ import uuid
 import pytest
 from pyspark.sql import functions as F
 
-from iceberg_kafka_playgroud_spark.streaming.ingest import (
-    ROCKSDB_PROVIDER,
-    _ckpt_dir,
-)
+from iceberg_kafka_playgroud_spark.streaming.ingest import ROCKSDB_PROVIDER
 
 PERF = os.environ.get("SPARK_GRAFT_PERF") == "1"
 pytestmark = pytest.mark.skipif(
@@ -86,10 +83,17 @@ def test_rocksdb_state_spills_under_bounded_memory(spark):
             .groupBy("k")
             .agg(F.count("*").alias("n"))
         )
+        # checkpoint on real DISK, not the _ckpt_dir tmpfs default:
+        # this query uploads state-store snapshots comparable to the
+        # full state size, and the test's claim is precisely that the
+        # state does NOT live in host memory
         q = (
             agg.writeStream.format("noop")
             .outputMode("update")
-            .option("checkpointLocation", _ckpt_dir("rocksdb_perf_"))
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="rocksdb_perf_ckpt_"),
+            )
             .queryName(f"rocksdb_perf_{uuid.uuid4().hex[:8]}")
             .trigger(availableNow=True)
             .start()
