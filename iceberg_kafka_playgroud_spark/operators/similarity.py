@@ -1063,24 +1063,20 @@ def _km_assign_frame(base: DataFrame, cents: dict) -> DataFrame:
     tie-break via array_min over structs — the one definition of the
     assignment expression, shared by the Lloyd training rounds and the
     streaming per-batch assigner so they can never diverge."""
-    structs = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qx"),
-                        F.array(*[F.lit(c).cast("long") for c in cents[j]]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(j).alias("cid"),
-            )
-            for j in sorted(cents)
-        ]
+    # Built as ONE SQL string parsed JVM-side: the K×DIM centroid
+    # literals as py4j Column algebra cost ~2 s of driver round trips
+    # PER BUILD (measured r12 — 75% of the k-means/PQ recompute
+    # totals); the parsed expression tree and execution plan are
+    # identical.
+    structs = ", ".join(
+        "struct(aggregate(zip_with(qx, array({arr}), "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) "
+        "AS dist, {j} AS cid)".format(
+            arr=", ".join(f"{int(c)}L" for c in cents[j]), j=j
+        )
+        for j in sorted(cents)
     )
-    best = F.array_min(structs)
+    best = F.expr(f"array_min(array({structs}))")
     return base.select(
         "vec_id", "qx", best["cid"].alias("cid"), best["dist"].alias("dist")
     )
@@ -2057,25 +2053,21 @@ def _pq_sub_assign_expr(m: int, cents: dict):
     applied to a slice, so the recipe (integer Σ(qx−c)², (dist, cid)
     tie-break) stays the single shared definition."""
     lo = m * PQ_SUBDIM
-    sub = F.slice("qx", lo + 1, PQ_SUBDIM)
-    structs = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(c).cast("long") for c in cents[j]]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(j).alias("cid"),
-            )
-            for j in sorted(cents)
-        ]
+    # ONE SQL string parsed JVM-side (same rationale and identical
+    # plan as `_km_assign_frame`'s rewrite — py4j literal algebra cost
+    # ~2 s per build for the M×K×SUBDIM codebook)
+    sub = f"slice(qx, {lo + 1}, {PQ_SUBDIM})"
+    structs = ", ".join(
+        "struct(aggregate(zip_with({sub}, array({arr}), "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) "
+        "AS dist, {j} AS cid)".format(
+            sub=sub,
+            arr=", ".join(f"{int(c)}L" for c in cents[j]),
+            j=j,
+        )
+        for j in sorted(cents)
     )
-    return F.array_min(structs)
+    return F.expr(f"array_min(array({structs}))")
 
 
 def _pq_train_on(base: DataFrame, key):
@@ -2180,12 +2172,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
         for j, cent in books[m].items():
             d = sum((a - b) * (a - b) for a, b in zip(qsub, cent))
             adc_entries.append((m * PQ_CODES + j, d))
-    lut = F.create_map(
-        *[
-            x
-            for k, d in adc_entries
-            for x in (F.lit(k), F.lit(int(d)).cast("long"))
-        ]
+    lut = F.expr(
+        "map("
+        + ", ".join(f"{k}, {int(d)}L" for k, d in adc_entries)
+        + ")"
     )
     adc = None
     for m in range(PQ_M):
@@ -2195,7 +2185,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     # multiply-adds per row is cheaper than a second scan + join, so
     # the whole warm query is ONE TakeOrdered job over the cached
     # codes frame (previously: top-k job + join-back job).
-    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qrow])
+    qlit = F.expr("array(" + ", ".join(f"{int(v)}L" for v in qrow) + ")")
     return (
         codes.filter(F.col("vec_id") != PQ_QUERY_VEC)
         .select(
@@ -2220,7 +2210,7 @@ def _pq_sub_ctes(m: int, src: str = "pqbase", adc: bool = True) -> str:
     the (vec_id, qx) CTE to train on; ``adc=False`` skips the flat-PQ
     query distance table (IVF-PQ builds per-cell tables instead)."""
     lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
-    s = f"_{m}"
+    s = f"_{m}"  # (SQL oracle CTE builder — unrelated to the Spark expr)
     out = f"""
     sub{s} AS (SELECT vec_id, qx[{lo}:{hi}] AS qx FROM {src}),
     cent0f{s} AS (
@@ -3287,11 +3277,13 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
         assign = _km_assign_frame(base, cents).select(
             "vec_id", "qx", F.col("cid").alias("cell")
         )
-        centlit = F.array(
-            *[
-                F.array(*[F.lit(int(v)).cast("long") for v in cents[j]])
+        centlit = F.expr(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{int(v)}L" for v in cents[j]) + ")"
                 for j in sorted(cents)
-            ]
+            )
+            + ")"
         )
         res = assign.select(
             "vec_id",
@@ -3333,8 +3325,8 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
                 entries.append(
                     (cell * PQ_M * PQ_CODES + m * PQ_CODES + j, int(d))
                 )
-    lut = F.create_map(
-        *[x for k, d in entries for x in (F.lit(k), F.lit(d).cast("long"))]
+    lut = F.expr(
+        "map(" + ", ".join(f"{k}, {int(d)}L" for k, d in entries) + ")"
     )
     adc = None
     for m in range(PQ_M):
@@ -3353,7 +3345,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("pq_dist").asc(), F.col("vec_id").asc())
         .limit(PQ_TOP)
     )
-    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qrow])
+    qlit = F.expr("array(" + ", ".join(f"{int(v)}L" for v in qrow) + ")")
     exact = base.select(
         "vec_id",
         F.aggregate(
