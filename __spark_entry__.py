@@ -62,9 +62,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness harness checks the FIRST 50 registry
 # entries per round.  Round-12 ordering (the standing dirty-requeue
-# rotation): slots 1-14 are every operator whose executed plan, code
+# rotation): slots 1-20 are every operator whose executed plan, code
 # path, or registration changed in round 12 (the three NEW queries —
-# Python streaming sink, grouped-Arrow quantiles, triplet mining, the classifier gate, the IVF balance audit; the late-bound
+# Python streaming sink, grouped-Arrow quantiles, triplet mining, the classifier gate, the IVF balance audit; the six k-means/PQ
+# consumers whose assignment expressions moved to JVM-parsed SQL
+# strings in the late perf pass; the late-bound
 # near-dup threshold pair + their consumers dbscan and
 # lexical-semantic eval, per the r11 advisor; the five plan_memo
 # gate-key sites; the scoped scripting conf); everything after is
@@ -79,7 +81,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-close is the compensating evidence in the meantime.
 _PRIORITY = [
     "sink_python_stream_writer", "applyinarrow_group_quantiles", "embedding_triplet_mining",
-    "quality_classifier_gate", "ann_ivf_balance_audit", "embedding_dbscan_core",
+    "quality_classifier_gate", "ann_ivf_balance_audit",
+    "ann_ivfpq_residual_topk", "embedding_kmeans_lloyd", "dedup_semantic_semdedup",
+    "stream_ann_cell_assign", "embedding_cluster_canonical", "embedding_cluster_components", "embedding_dbscan_core",
     "dedup_lexical_semantic_eval", "embedding_near_dup_pairs", "embedding_near_dup_lsh",
     "graph_triangle_count", "ann_mmr_rerank", "ann_pq_adc_topk",
     "dedup_simhash_hamming", "sql_scripting_control_flow", "str_functions",
