@@ -241,7 +241,15 @@ def main() -> None:
     # tail always parses.
     detail = {
         "metric": "headline_queries_detail",
+        # regime marker (r12 advisor): "queries" switched meaning in
+        # r12 from cache-warm best-of to RECOMPUTE-warm best-of; any
+        # cross-round comparison of the bare "queries" key must check
+        # this field first (BENCH_r02..r11 detail lines predate it and
+        # are cache-warm)
+        "ratio_semantics": "recompute_warm",
+        "queries_regime": "recompute_warm_since_r12",
         "queries": recompute,
+        "queries_recompute": recompute,
         "queries_cache_warm": timings,
         "queries_cold": cold,
         # every individual run per query (r9 verdict #6), SPLIT BY

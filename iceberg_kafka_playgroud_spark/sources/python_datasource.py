@@ -462,6 +462,13 @@ class JsonlEpochStreamWriter(DataSourceStreamWriter):
         return _EpochCommit(tmp_path=tmp, n_rows=n)
 
     def commit(self, messages, batchId: int) -> None:
+        # NOTE: commit() runs on the DRIVER while write() spooled the
+        # temp files on EXECUTORS — the os.replace() below therefore
+        # assumes driver and executors share a filesystem.  That holds
+        # in local mode (and any shared-FS deployment: NFS, a fuse
+        # mount); on a multi-host cluster with node-local disks the
+        # write() half must stage to a driver-visible path (object
+        # store / DFS) before this protocol applies as-is.
         import json
         import os
 
@@ -561,6 +568,18 @@ def sink_python_stream_writer(spark: SparkSession, sf: str) -> DataFrame:
         try:
             deadline = time.monotonic() + 120
             while _committed() < DEFAULT_ROWS:
+                # surface the query's own failure immediately instead
+                # of spinning out the deadline and masking it with a
+                # generic TimeoutError
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
+                if not q.isActive:
+                    raise RuntimeError(
+                        "python stream sink query terminated without "
+                        f"an exception at {_committed()}/{DEFAULT_ROWS}"
+                        " committed rows"
+                    )
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"python stream sink stalled: "

@@ -46,3 +46,21 @@ def test_survey_and_notes_tallies_match_registry():
     m2 = re.search(r"\((\d+) total\)", notes)
     assert m2, "NOTES.md tally missing"
     assert int(m2.group(1)) == n, f"NOTES.md says {m2.group(1)}, registry {n}"
+
+
+def test_priority_covers_registry_exactly_once():
+    """_PRIORITY drives the driver's rotating 50-query correctness
+    window; a duplicate entry silently shifts every later row up and
+    skews the staleness-rotation bookkeeping (r12 advisor finding:
+    six dirty-promoted rows kept their stale tail copies)."""
+    prio = entry._PRIORITY
+    reg = set(entry.queries())
+    dupes = [n for n in set(prio) if prio.count(n) > 1]
+    assert not dupes, f"duplicate _PRIORITY entries: {sorted(dupes)}"
+    assert len(prio) == len(reg), (
+        f"_PRIORITY has {len(prio)} entries, registry {len(reg)}"
+    )
+    assert set(prio) == reg, (
+        f"missing={sorted(reg - set(prio))[:5]} "
+        f"extra={sorted(set(prio) - reg)[:5]}"
+    )
