@@ -80,6 +80,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # dirty rows; the builder's own full-registry sf0.01 sweep each
 # round-close is the compensating evidence in the meantime.
 _PRIORITY = [
+    "ann_ivf_rebalance", "dedup_incremental_cc",
     "sink_python_stream_writer", "applyinarrow_group_quantiles", "embedding_triplet_mining",
     "quality_classifier_gate", "ann_ivf_balance_audit", "ann_ivfpq_residual_topk",
     "embedding_kmeans_lloyd", "dedup_semantic_semdedup", "stream_ann_cell_assign",

@@ -2051,3 +2051,102 @@ JOIN wsizes n1 ON n1.doc_id = w.d1
 JOIN wsizes n2 ON n2.doc_id = w.d2
 ORDER BY w.d1, w.d2
 """
+
+
+def dedup_incremental_cc(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL connected components — merge a new batch's edges
+    into an existing component labeling without ever re-running label
+    propagation over old×old edges (the cluster-maintenance twin of
+    ``dedup_incremental_minhash``, and the missing half of a daily
+    dedup pipeline: yesterday you labeled the corpus, today you must
+    fold in the new batch's near-dup edges, and re-clustering 100 TB
+    from scratch is not an option).
+
+    Batch split: "today's batch" = doc_id % NEW_BATCH_MOD ==
+    NEW_BATCH_RESIDUE (the ``dedup_incremental_minhash`` convention).
+    Old edges = MinHash pairs with both endpoints old; new edges =
+    pairs touching at least one new doc.
+
+    Algorithm (the standard union-find contraction): (1) yesterday's
+    state = CC labels over old edges only (here recomputed via the
+    memoized loop; in production a table read); (2) CONTRACT — map
+    each new edge's endpoints through the old labeling (old node → its
+    component label, unseen node → itself), so whole old components
+    become single super-nodes; (3) run label propagation on the
+    contracted graph, whose size is bounded by the NEW edge set — the
+    old corpus appears only as O(#touched components) super-nodes;
+    (4) COMPOSE — old nodes take their component's merged label via
+    one labels⋈merge join, contracted-only nodes (new docs, plus old
+    docs with no old edges) take theirs directly.
+
+    Labels stay min-doc-id by construction (each old component's
+    super-node id IS its min member; the merged min-of-mins is the
+    union component's global min), so the result must equal — and is
+    oracled by — full CC over the union pair graph. Per-round shuffle
+    in step 3 scales with today's batch, never with the corpus.
+    """
+    pairs = dedup_minhash_lsh(spark, sf).select("d1", "d2")
+
+    def is_new(c: str):
+        return (F.col(c) % NEW_BATCH_MOD) == NEW_BATCH_RESIDUE
+
+    old_pairs = pairs.filter(~is_new("d1") & ~is_new("d2"))
+    new_pairs = pairs.filter(is_new("d1") | is_new("d2"))
+    old_labels = connected_components_over(old_pairs).select(
+        "doc_id", "component"
+    )
+    return incremental_components_merge(old_labels, new_pairs)
+
+
+def incremental_components_merge(
+    old_labels: DataFrame, new_pairs: DataFrame
+) -> DataFrame:
+    """Contract-propagate-compose merge of a new edge batch into an
+    existing min-id component labeling (``dedup_incremental_cc`` steps
+    2-4, factored out so the merge semantics are unit-testable on
+    synthetic graphs). ``old_labels`` must be a (doc_id, component)
+    min-id labeling; ``new_pairs`` a (d1, d2) edge frame."""
+    m1 = old_labels.select(
+        F.col("doc_id").alias("d1"), F.col("component").alias("c1")
+    )
+    m2 = old_labels.select(
+        F.col("doc_id").alias("d2"), F.col("component").alias("c2")
+    )
+    contracted = (
+        new_pairs.join(m1, "d1", "left")
+        .join(m2, "d2", "left")
+        .select(
+            F.coalesce("c1", F.col("d1")).alias("d1"),
+            F.coalesce("c2", F.col("d2")).alias("d2"),
+        )
+    )
+    merge = connected_components_over(contracted).select(
+        F.col("doc_id").alias("super"), F.col("component").alias("merged")
+    )
+    old_final = (
+        old_labels.join(
+            merge, old_labels.component == merge.super, "left"
+        ).select(
+            "doc_id", F.coalesce("merged", "component").alias("component")
+        )
+    )
+    # super-nodes that are NOT old component labels are real doc ids
+    # seen only in new edges — label them directly
+    new_final = merge.join(
+        old_labels.select(F.col("component").alias("super")).distinct(),
+        "super",
+        "left_anti",
+    ).select(F.col("super").alias("doc_id"), F.col("merged").alias("component"))
+    from pyspark.sql import Window as W
+
+    return old_final.unionByName(new_final).select(
+        "doc_id",
+        "component",
+        F.count("*").over(W.partitionBy("component")).alias("component_size"),
+    )
+
+
+QUERIES["dedup_incremental_cc"] = dedup_incremental_cc
+# the incremental merge must be indistinguishable from full CC over
+# the union pair graph — so the oracle IS the full-CC oracle
+ORACLES["dedup_incremental_cc"] = ORACLES["dedup_connected_components"]

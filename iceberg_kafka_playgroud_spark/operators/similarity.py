@@ -767,6 +767,18 @@ def ann_index_persist_probe(spark: SparkSession, sf: str) -> DataFrame:
     which is the oracle (same SQL). Build and assignment logic is the
     SAME ``_ivf_build`` the inline variant runs.
     """
+    index_dir, cent_ids, cent_mat = _ivf_index_on_disk(spark, sf)
+    em = load_table(spark, sf, "embeddings").select(
+        "vec_id", _to_double(F.col("embedding")).alias("vec")
+    )
+    corpus = spark.read.parquet(index_dir).select("vec_id", "cell", "vec")
+    return _ivf_probe(spark, em, corpus, cent_ids, cent_mat)
+
+
+def _ivf_index_on_disk(spark: SparkSession, sf: str):
+    """Build-once (per session × sf) cell-partitioned on-disk IVF
+    index — the nightly artifact both the probe lifecycle op and the
+    rebalance op serve from. Returns (index_dir, cent_ids, cent_mat)."""
     import tempfile
 
     key = (spark.sparkContext.applicationId, sf.rstrip("/"))
@@ -781,12 +793,7 @@ def ann_index_persist_probe(spark: SparkSession, sf: str) -> DataFrame:
         built.write.mode("overwrite").partitionBy("cell").parquet(index_dir)
         memo = (index_dir, cent_ids, cent_mat)
         _IVF_INDEX_MEMO[key] = memo
-    index_dir, cent_ids, cent_mat = memo
-    em = load_table(spark, sf, "embeddings").select(
-        "vec_id", _to_double(F.col("embedding")).alias("vec")
-    )
-    corpus = spark.read.parquet(index_dir).select("vec_id", "cell", "vec")
-    return _ivf_probe(spark, em, corpus, cent_ids, cent_mat)
+    return memo
 
 
 def ann_ivf_balance_audit(spark: SparkSession, sf: str) -> DataFrame:
@@ -3449,3 +3456,141 @@ _IVFPQ_ORACLE = f"""
 
 QUERIES["ann_ivfpq_residual_topk"] = ann_ivfpq_residual_topk
 ORACLES["ann_ivfpq_residual_topk"] = _IVFPQ_ORACLE
+
+
+SPLIT_CELL_OFFSET = 1_000_000  # split-half cell ids: offset + seed vec_id
+
+
+def ann_ivf_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF index REBALANCE — the maintenance action the balance audit
+    (``ann_ivf_balance_audit``) exists to trigger: take the hottest
+    cell (max resident count, ties on cell id), split it in two by
+    re-seeding from its own members, and re-assign ONLY that cell's
+    members — the rest of the index is untouched, which is the whole
+    point at 100 TB (a full retrain re-shuffles the corpus; a hot-cell
+    split re-shuffles one cell).
+
+    Deterministic procedure (replayed verbatim by the oracle): hot
+    cell = argmax count (tie: lower cell id); split seeds = the two
+    lowest vec_ids among its members; each member goes to the seed
+    with the higher round-6 cosine (tie: lower seed id) — the same
+    parity-exact kernel as the build (``_cell_sim_matrix`` argmax ==
+    SQL ``csim DESC, seed_id`` row_number). Split halves get cell id
+    ``SPLIT_CELL_OFFSET + seed_vec_id`` (collision-free vs the
+    codebook ids, which are < K_CELLS).
+
+    Plan shape: serve from the PERSISTED cell-partitioned index
+    (``_ivf_index_on_disk`` — the same nightly artifact
+    ``ann_index_persist_probe`` probes), so the count is one
+    map-side-combined agg over the index, and the seed fetch + member
+    re-assignment read ONLY the hot cell's partition — partition
+    pruning does the "only its members" guarantee structurally. The
+    hot-cell pick and the 2-row seed fetch are bounded driver
+    collects; the final audit frame is K_CELLS+1 rows (the
+    unpartitioned total window is whitelisted at that bound, same
+    justification as the balance audit). Output is the post-rebalance
+    audit: per cell, its seed, what it was split from (-1 =
+    untouched), count, and corpus share in ppm.
+    """
+    import numpy as np
+
+    index_dir, cent_ids, _ = _ivf_index_on_disk(spark, sf)
+    corpus = spark.read.parquet(index_dir).select("vec_id", "cell", "vec")
+    counts = corpus.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    cnt_rows = counts.collect()  # K_CELLS rows by construction
+    hot = min(cnt_rows, key=lambda r: (-r["n_vecs"], r["cell"]))["cell"]
+    seed_rows = (
+        corpus.filter(F.col("cell") == hot)
+        .select("vec_id", "vec")
+        .orderBy("vec_id")
+        .limit(2)
+        .collect()
+    )
+    assert len(seed_rows) == 2, "hot cell must have >= 2 members"
+    seed_ids = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
+    seed_mat = np.array([r["vec"] for r in seed_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((seed_ids, seed_mat))
+    halves = _assign_cells(
+        corpus.filter(F.col("cell") == hot).select("vec_id", "vec"), bc,
+        keep_vec=False,
+    ).select(
+        (F.col("cell") + F.lit(SPLIT_CELL_OFFSET)).alias("cell"),
+        F.col("cell").alias("seed_id"),
+        F.lit(int(hot)).cast("long").alias("split_from"),
+    )
+    untouched = spark.createDataFrame(
+        [(int(c),) for c in cent_ids if int(c) != int(hot)], "cell long"
+    ).select(
+        "cell",
+        F.col("cell").alias("seed_id"),
+        F.lit(-1).cast("long").alias("split_from"),
+    )
+    kept = untouched.join(
+        counts, "cell", "left"
+    ).select(
+        "cell", "seed_id", "split_from",
+        F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"),
+    )
+    split = halves.groupBy("cell", "seed_id", "split_from").agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    out = kept.unionByName(split)
+    wtot = W.partitionBy()  # K_CELLS + 1 rows by construction
+    return out.select(
+        "cell", "seed_id", "split_from", "n_vecs",
+        F.floor(
+            F.lit(1_000_000) * F.col("n_vecs") / F.sum("n_vecs").over(wtot)
+        ).cast("long").alias("share_ppm"),
+    ).orderBy("cell")
+
+
+_REBALANCE_ORACLE = f"""
+WITH {_IVF_ASSIGN_CTES},
+counts AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM assign GROUP BY cell
+),
+hot AS (SELECT cell FROM counts ORDER BY n DESC, cell LIMIT 1),
+seeds AS (
+  SELECT e.vec_id AS seed_id, e.embedding AS se
+  FROM embeddings e
+  JOIN (SELECT a.vec_id FROM assign a, hot h WHERE a.cell = h.cell
+        ORDER BY a.vec_id LIMIT 2) s ON e.vec_id = s.vec_id
+),
+subassign AS (
+  SELECT vec_id, seed_id FROM (
+    SELECT a.vec_id, s.seed_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+             round({_DOT.format(a='e.embedding', b='s.se')}
+                   / ({_NORM.format(a='e.embedding')}
+                      * {_NORM.format(a='s.se')}), 6) DESC,
+             s.seed_id) AS rn
+    FROM assign a
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    CROSS JOIN seeds s
+    WHERE a.cell = (SELECT cell FROM hot)
+  ) WHERE rn = 1
+),
+split AS (
+  SELECT {SPLIT_CELL_OFFSET} + seed_id AS cell, seed_id,
+         (SELECT cell FROM hot) AS split_from,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM subassign GROUP BY seed_id
+),
+kept AS (
+  SELECT c.cell_id AS cell, c.cell_id AS seed_id, -1 AS split_from,
+         CAST(COALESCE(n.n, 0) AS BIGINT) AS n_vecs
+  FROM cents c LEFT JOIN counts n ON n.cell = c.cell_id
+  WHERE c.cell_id != (SELECT cell FROM hot)
+),
+allcells AS (SELECT * FROM kept UNION ALL SELECT * FROM split),
+tot AS (SELECT SUM(n_vecs) AS t FROM allcells)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(seed_id AS BIGINT) AS seed_id,
+       CAST(split_from AS BIGINT) AS split_from, n_vecs,
+       CAST(FLOOR(1000000 * n_vecs / t) AS BIGINT) AS share_ppm
+FROM allcells, tot ORDER BY cell
+"""
+
+QUERIES["ann_ivf_rebalance"] = ann_ivf_rebalance
+ORACLES["ann_ivf_rebalance"] = _REBALANCE_ORACLE

@@ -1,0 +1,100 @@
+"""Round-13 index/cluster-maintenance operators: the IVF hot-cell
+rebalance and the incremental connected-components merge — the
+behaviors their DuckDB oracles can't isolate (partition pruning on
+the hot cell; merge semantics on adversarial synthetic graphs)."""
+
+from pyspark.sql import functions as F
+
+from iceberg_kafka_playgroud_spark.operators import dedup, similarity
+from iceberg_kafka_playgroud_spark.plans.inspect import physical_plan
+
+
+def _labels(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, component long")
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "d1 long, d2 long")
+
+
+def test_incremental_merge_chains_across_old_components(spark):
+    """A new node bridging two old components must merge them to the
+    global min label; untouched components and new-only edges keep
+    their own labels."""
+    old = _labels(
+        spark, [(1, 1), (2, 1), (10, 10), (11, 10), (20, 20), (21, 20)]
+    )
+    new = _pairs(spark, [(2, 100), (100, 10), (200, 201)])
+    got = {
+        r["doc_id"]: (r["component"], r["component_size"])
+        for r in dedup.incremental_components_merge(old, new).collect()
+    }
+    assert got == {
+        1: (1, 5),
+        2: (1, 5),
+        10: (1, 5),
+        11: (1, 5),
+        100: (1, 5),
+        20: (20, 2),
+        21: (20, 2),
+        200: (200, 2),
+        201: (200, 2),
+    }
+
+
+def test_incremental_merge_old_node_without_old_edges(spark):
+    """An OLD doc that had no old-graph edges (absent from the
+    labeling) entering via a new edge is a super-node of its own id —
+    it must not be dropped or double-labeled."""
+    old = _labels(spark, [(5, 5), (6, 5)])
+    new = _pairs(spark, [(7, 6)])  # 7 never appeared in old labeling
+    got = {
+        r["doc_id"]: (r["component"], r["component_size"])
+        for r in dedup.incremental_components_merge(old, new).collect()
+    }
+    assert got == {5: (5, 3), 6: (5, 3), 7: (5, 3)}
+
+
+def test_incremental_merge_empty_new_batch(spark):
+    """No new edges → yesterday's labeling verbatim."""
+    old = _labels(spark, [(3, 3), (4, 3)])
+    new = _pairs(spark, [])
+    got = {
+        r["doc_id"]: (r["component"], r["component_size"])
+        for r in dedup.incremental_components_merge(old, new).collect()
+    }
+    assert got == {3: (3, 2), 4: (3, 2)}
+
+
+def test_rebalance_reads_only_hot_partition(spark, sf_dir):
+    """The split side of the rebalance must prune the on-disk index
+    scan to the single hot cell's partition — the structural 'only its
+    members are re-assigned' guarantee."""
+    plan = physical_plan(similarity.ann_ivf_rebalance(spark, sf_dir))
+    import re
+
+    prunes = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    hot_prunes = [p for p in prunes if re.search(r"cell#\d+L? = \d+", p)]
+    assert hot_prunes, f"no hot-cell partition filter in plan:\n{plan}"
+
+
+def test_rebalance_output_shape(spark, sf_dir):
+    """K_CELLS+1 rows, exactly two split halves keyed off the hot
+    cell, shares summing to ~1e6, split ids collision-free."""
+    rows = similarity.ann_ivf_rebalance(spark, sf_dir).collect()
+    assert len(rows) == similarity.K_CELLS + 1
+    split = [r for r in rows if r["split_from"] >= 0]
+    kept = [r for r in rows if r["split_from"] == -1]
+    assert len(split) == 2 and len(kept) == similarity.K_CELLS - 1
+    assert {r["split_from"] for r in split} == {split[0]["split_from"]}
+    assert all(
+        r["cell"] == similarity.SPLIT_CELL_OFFSET + r["seed_id"]
+        for r in split
+    )
+    assert all(r["cell"] == r["seed_id"] for r in kept)
+    total = sum(r["n_vecs"] for r in rows)
+    assert total == spark.read.parquet(
+        f"{sf_dir}/embeddings.parquet"
+    ).count()
+    share = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= share <= 1_000_000

@@ -481,3 +481,83 @@ def test_orders_ops_grow_linearly(spark, scaled_orders_dir):
     print("\norders scale growth (10x corpus):\n" + table)
     bad = [(n, r) for n, _, _, r in rows if r > COPIES * LINEAR_SLACK]
     assert not bad, f"superlinear growth {bad}:\n{table}"
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components: the merge of a FIXED new edge
+# batch into an existing labeling must not re-pay the propagation
+# loop over the old corpus (r12 verdict task 6).  Synthetic chain
+# graph: full CC needs O(chain length) corpus-wide rounds, the
+# incremental merge is a constant number of single passes — so at the
+# SAME scale the merge must be decisively cheaper than re-clustering,
+# and its own growth with old-corpus size stays ~linear (one-pass).
+
+
+CHAIN_LEN = 8
+N_CHAINS_1X = 20_000
+
+
+def _chain_state(spark, n_chains):
+    """(old_pairs, old_labels) for n_chains disjoint CHAIN_LEN-node
+    chains; labels are the closed-form min-id labeling (yesterday's
+    persisted state — no CC run needed to produce it)."""
+    base = spark.range(n_chains).select(
+        (F.col("id") * CHAIN_LEN).alias("base")
+    )
+    offs = F.explode(F.sequence(F.lit(0), F.lit(CHAIN_LEN - 2))).alias("j")
+    pairs = base.select("base", offs).select(
+        (F.col("base") + F.col("j")).alias("d1"),
+        (F.col("base") + F.col("j") + 1).alias("d2"),
+    )
+    noffs = F.explode(F.sequence(F.lit(0), F.lit(CHAIN_LEN - 1))).alias("j")
+    labels = base.select("base", noffs).select(
+        (F.col("base") + F.col("j")).alias("doc_id"),
+        F.col("base").alias("component"),
+    )
+    return pairs, labels
+
+
+def test_incremental_cc_merge_beats_reclustering(spark):
+    from iceberg_kafka_playgroud_spark.operators import dedup
+
+    new_edges = spark.range(100).select(
+        (F.col("id") * 2 * CHAIN_LEN).alias("d1"),
+        ((F.col("id") * 2 + 1) * CHAIN_LEN).alias("d2"),
+    )
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    rows = []
+    for mult in (1, 10):
+        pairs, labels = _chain_state(spark, N_CHAINS_1X * mult)
+        pairs = pairs.repartition(32).localCheckpoint(eager=True)
+        labels = labels.repartition(32).localCheckpoint(eager=True)
+        union_pairs = pairs.unionByName(new_edges)
+        t_merge = t_full = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            _clear_engine_memos()
+            t0 = time.perf_counter()
+            run(dedup.incremental_components_merge(labels, new_edges))
+            t_merge = min(t_merge, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            _clear_engine_memos()
+            t0 = time.perf_counter()
+            run(dedup.connected_components_over(union_pairs))
+            t_full = min(t_full, time.perf_counter() - t0)
+        rows.append((mult, t_merge, t_full))
+    table = "\n".join(
+        f"  {m:>2}x old corpus: merge={tm:6.2f}s full_cc={tf:6.2f}s "
+        f"({tf / tm:4.1f}x)"
+        for m, tm, tf in rows
+    )
+    print("\nincremental CC vs re-clustering (fixed 100-edge batch):\n" + table)
+    # at 10x the old corpus the merge must beat re-clustering clearly
+    m10, merge10, full10 = rows[-1]
+    assert merge10 < 0.6 * full10, table
+    # and the merge itself grows ~linearly (single-pass class)
+    growth = rows[-1][1] / rows[0][1]
+    assert growth <= COPIES * LINEAR_SLACK, (
+        f"merge growth {growth:.1f}x\n{table}"
+    )
