@@ -33,6 +33,28 @@ N_BANDS = 4  # rows-per-band r = 2
 JACCARD_THRESHOLD = 0.5
 
 
+def _spread_for_compute(df: DataFrame) -> DataFrame:
+    """Hash-spread a scan whose downstream work is CPU-amplified far
+    beyond its byte size (the MinHash family: ~100 shingles × 2 md5
+    per doc ≈ 1000× compute per input byte), so Spark's
+    byte-proportional split sizing doesn't serialize it.
+
+    r13 event-log profile: at sf0.1 documents.parquet is 580 KB → ONE
+    input split at maxPartitionBytes=4M, and the whole
+    shingle→md5→min pipeline ran as back-to-back 1-task stages
+    (~1.6 s of the 3.4 s wall) while 31 cores idled.  The repartition
+    moves only the raw text bytes (trivial at the sizes where it
+    fires) and is GATED on the scan's split count: at 100 TB the
+    input has thousands of splits, the gate is false, and no
+    corpus-wide shuffle is ever added."""
+    from ..session import default_parallelism
+
+    cores = default_parallelism()
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup by normalized-content hash: keeper = min doc_id."""
     d = load_table(spark, sf, "documents")
@@ -200,6 +222,7 @@ def _jaccard_on_candidates(
     right: str,
     threshold: float | None = JACCARD_THRESHOLD,
     n_cand: int | None = None,
+    cache_pruned: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification over candidate pairs ONLY — shared by
     the corpus-wide and incremental MinHash variants so the scoring
@@ -217,6 +240,16 @@ def _jaccard_on_candidates(
         .distinct()
     )
     shc = sh.join(_bcast_if_small(cand_docs, n_cand), "doc_id")
+    if cache_pruned:
+        # batch callers: the pruned table is candidate-doc-sized and
+        # feeds THREE consumers below (sizes + both intersection
+        # sides); uncached, each consumer re-scanned the full cached
+        # corpus shingle table (r13 event-log profile: three ~0.25 s
+        # 5 MB cache scans per recompute).  Streaming callers keep the
+        # default: their per-micro-batch plans differ every batch, so
+        # a cache entry per call would accumulate for the query's
+        # lifetime.
+        shc = shc.cache()
     sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     s1 = shc.alias("s1")
     s2 = shc.alias("s2")
@@ -249,9 +282,14 @@ def _jaccard_on_candidates(
 def _minhash_candidates(spark: SparkSession, sf: str):
     """Shared shingle table + banded candidate pairs (both cached) —
     one definition for the verified-pair op and the score histogram."""
-    d = load_table(spark, sf, "documents")
+    d = _spread_for_compute(load_table(spark, sf, "documents"))
     sh = shingle_set(d).cache()
-    bands = lsh_bands(minhash_signatures(sh))
+    # cache the BAND table too (docs x N_BANDS rows, tiny): the band
+    # self-join consumes it on BOTH sides, and without the cache each
+    # side re-ran the whole md5 signature pipeline from the cached
+    # shingles (r13 event-log profile: two concurrent ~0.4 s
+    # md5-heavy stages per recompute, cpu 9 + 3 s across cores)
+    bands = lsh_bands(minhash_signatures(sh)).cache()
     b1 = bands.alias("a")
     b2 = bands.alias("b")
     cand = (
@@ -285,7 +323,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # shingle→minhash→band→verify pipeline (measured 3.2→1.4 s for CC
     # at sf0.1 when the pairs were materialized by a prior call)
     return _jaccard_on_candidates(
-        sh, cand, "d1", "d2", n_cand=_cand_count(cand)
+        sh, cand, "d1", "d2", n_cand=_cand_count(cand), cache_pruned=True
     ).cache()
 
 
@@ -307,7 +345,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
     matched or not.
     """
     d = load_table(spark, sf, "documents")
-    sh = shingle_set(d).cache()
+    sh = shingle_set(_spread_for_compute(d)).cache()
     bands = lsh_bands(minhash_signatures(sh))
     is_new = (F.col("doc_id") % NEW_BATCH_MOD) == NEW_BATCH_RESIDUE
     nb = bands.filter(is_new).select(
@@ -1361,7 +1399,8 @@ def dedup_similarity_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """
     sh, cand = _minhash_candidates(spark, sf)
     pairs = _jaccard_on_candidates(
-        sh, cand, "d1", "d2", threshold=None, n_cand=_cand_count(cand)
+        sh, cand, "d1", "d2", threshold=None, n_cand=_cand_count(cand),
+        cache_pruned=True,
     )
     return (
         pairs.select(
@@ -1414,7 +1453,7 @@ def dedup_minhash_band_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
     One map-side-combined aggregate over the band table (doc×bands
     rows), then a bands-count-sized rollup — no pair join anywhere.
     """
-    d = load_table(spark, sf, "documents")
+    d = _spread_for_compute(load_table(spark, sf, "documents"))
     sh = shingle_set(d)
     bands = lsh_bands(minhash_signatures(sh))
     sizes = bands.groupBy("band_idx", "band_val").agg(
