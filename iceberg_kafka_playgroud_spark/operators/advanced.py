@@ -1308,6 +1308,17 @@ def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders").select(
         "o_orderkey", (F.col("o_custkey") * 2 + 1).alias("b")
     )
+    # scoped 1 MB advisory for the BUILD (set before .cache(): the
+    # cached plan captures the session conf at registration): the
+    # build's distinct reduce is a 12 MB exchange that the global
+    # 64 MB advisory coalesced to 1-2 tasks (0.45 s serial inside
+    # LPA's 2.4 s wall, r13 event-log profile; isolated measure:
+    # 4.3 s -> 0.75 s for the distinct at 1 MB).  Scope ends before
+    # any consumer plan is built, so no other query's coalescing is
+    # touched; at 100 TB this exchange is far above any advisory.
+    advisory_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prev = spark.conf.get(advisory_key)
+    spark.conf.set(advisory_key, str(1024 * 1024))
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey).select("a", "b").distinct()
     )
@@ -1328,6 +1339,15 @@ def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(default_parallelism(), "dst")
         .cache()
     )
+    # materialize EAGERLY inside the scope: every iterative consumer
+    # launches concurrent jobs (broadcast builds + rounds), and an
+    # uncommitted cache would be recomputed by each of them (the
+    # MinHash race class).  The eager count is the once-a-session
+    # index-build cost.
+    try:
+        edges.count()
+    finally:
+        spark.conf.set(advisory_key, prev)
     _TRADE_EDGES_MEMO[key] = edges
     return edges
 
@@ -1629,6 +1649,18 @@ def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
     At 100 TB the pruned edge list is the node-pair graph, orders of
     magnitude smaller than lineitem.
     """
+    # scoped 1 MB advisory + eager materialization (the _trade_edges
+    # recipe): the basket exchange is ~8 MB, so the global 64 MB
+    # advisory coalesced the basket reduce — which also carries the
+    # O(basket²) pair fan-out and the pair partial-agg, the expensive
+    # compute of this build — to ONE task (1.92 s serial of triangle
+    # count's 3.6 s wall, r13 event-log profile).  Scope covers plan
+    # construction AND the materializing count (the cached plan
+    # captures session conf at registration); consumers see only the
+    # committed cache.
+    advisory_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prev = spark.conf.get(advisory_key)
+    spark.conf.set(advisory_key, str(1024 * 1024))
     baskets = (
         load_table(spark, sf, "lineitem")
         .groupBy(F.col("l_orderkey").alias("o"))
@@ -1651,13 +1683,18 @@ def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
     # relation. A handful of cached partitions keeps downstream stages
     # at O(1) tasks; on a real cluster AQE's advisory sizing makes the
     # same call from runtime statistics.
-    return (
+    edges = (
         pairs.groupBy("pa", "pb")
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= PAIR_MIN_SUPPORT)
         .coalesce(4)
         .cache()
     )
+    try:
+        edges.count()
+    finally:
+        spark.conf.set(advisory_key, prev)
+    return edges
 
 
 # edge-list broadcast budget: 5M edges × ~24 B/row ≈ 120 MB, inside
@@ -4002,15 +4039,14 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
         labels = nxt
     final = _round(labels) if LPA_ROUNDS >= 2 else labels
     comm = final.groupBy("lbl").agg(F.count("*").cast("long").alias("sz"))
-    out = (
-        comm.groupBy("sz")
-        .agg(
-            F.count("*").cast("long").alias("n_communities"),
-            F.sum("lbl").cast("long").alias("label_checksum"),
-        )
-        .orderBy("sz")
+    out = comm.groupBy("sz").agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.sum("lbl").cast("long").alias("label_checksum"),
     )
-    rows = out.collect()  # ≤ O(√nodes) distinct community sizes
+    # ≤ O(√nodes) distinct community sizes — sort DRIVER-side: a
+    # cluster orderBy before a driver collect costs a range exchange
+    # plus its sampling job (two extra job boundaries, r13 profile)
+    rows = sorted(out.collect(), key=lambda r: r["sz"])
     release_local_checkpoint(labels)
     return spark.createDataFrame(rows, out.schema)
 
