@@ -61,43 +61,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks the FIRST 50 registry
-# entries per round.  Round-12 ordering (the standing dirty-requeue
-# rotation): slots 1-20 are every operator whose executed plan, code
-# path, or registration changed in round 12 (the three NEW queries —
-# Python streaming sink, grouped-Arrow quantiles, triplet mining, the classifier gate, the IVF balance audit; the six k-means/PQ
-# consumers whose assignment expressions moved to JVM-parsed SQL
-# strings in the late perf pass; the late-bound
-# near-dup threshold pair + their consumers dbscan and
-# lexical-semantic eval, per the r11 advisor; the five plan_memo
-# gate-key sites; the scoped scripting conf); everything after is
-# ordered by ASCENDING last-driver-checked round, ties broken by the
-# r11 order (which already encoded the prior staleness sort) — the
-# r12 window therefore drains the full r1/r2 cohort and the oldest
-# half of the r4 cohort, and each future 50-window keeps draining the
-# stalest tail automatically.  NOTE the arithmetic: 186 rows were
-# last driver-checked before r8, and the window moves 50/round, so
-# "nothing older than r8" needs ~3 more windows even with zero new
-# dirty rows; the builder's own full-registry sf0.01 sweep each
-# round-close is the compensating evidence in the meantime.
+# entries per round.  The list is REGENERATED each round by
+# tools/rotate_priority.py (edit its DIRTY list, run it): dirty rows
+# first, then everything else by ASCENDING last-driver-checked round
+# (computed from the union of CORRECTNESS_r*.json), ties broken by
+# the previous order.  Round-13 ordering: slots 1-26 are every
+# operator whose executed plan or code path changed in r13 (the two
+# NEW ops — IVF hot-cell rebalance, incremental connected components;
+# the 14 consumers of the MinHash pipeline rewrite — compute-spread
+# scan, band cache, pruned-shingle cache; the 8 consumers of the
+# scoped-advisory eager trade/co-purchase edge builds; the
+# _ivf_index_on_disk refactor consumer; the stream-sink polling fix);
+# the remaining 24 slots drain the ENTIRE r4 cohort, so after this
+# window no row's latest driver check predates r5.  127 rows remain
+# pre-r8 (the window moves ≤50/round); the builder's own
+# full-registry sf0.01 sweep each round-close is the compensating
+# evidence while the rotation drains that tail.
 _PRIORITY = [
-    "ann_ivf_rebalance", "dedup_incremental_cc",
-    "sink_python_stream_writer", "applyinarrow_group_quantiles", "embedding_triplet_mining",
-    "quality_classifier_gate", "ann_ivf_balance_audit", "ann_ivfpq_residual_topk",
-    "embedding_kmeans_lloyd", "dedup_semantic_semdedup", "stream_ann_cell_assign",
-    "embedding_cluster_canonical", "embedding_cluster_components", "embedding_dbscan_core",
-    "dedup_lexical_semantic_eval", "embedding_near_dup_pairs", "embedding_near_dup_lsh",
-    "graph_triangle_count", "ann_mmr_rerank", "ann_pq_adc_topk",
-    "dedup_simhash_hamming", "sql_scripting_control_flow", "str_functions",
-    "subquery_exists", "subquery_in", "subquery_scalar",
-    "top_k_per_group", "window_lag_lead", "window_moving_avg",
-    "window_ntile_first_last", "window_range_numeric", "window_rank",
-    "window_running_sum", "ann_topk_lsh", "applyinpandas_rank",
-    "catalog_table_columns", "catalog_write_read_roundtrip", "confluent_roundtrip",
-    "pandas_udf_grouped_agg", "pandas_udf_scalar", "snapshot_files",
-    "agg_approx_distinct", "agg_stats_moments", "array_hof",
-    "bit_functions", "contamination_ngram_overlap", "embedding_centroids",
-    "events_zscore_normalize", "explode_outer_tokens", "join_bucketed_colocated",
-    "join_salted_skew", "multimodal_audio_rms", "null_safe_functions",
+    "ann_ivf_rebalance", "dedup_incremental_cc", "dedup_minhash_lsh",
+    "dedup_weighted_jaccard", "dedup_minhash_calibration", "dedup_similarity_histogram",
+    "dedup_incremental_minhash", "dedup_minhash_band_skew_audit", "dedup_connected_components",
+    "dedup_cluster_canonical", "dedup_cluster_stats", "dedup_cluster_cohesion",
+    "dedup_loss_by_source", "dedup_lexical_semantic_eval", "stream_incremental_dedup",
+    "stream_decontaminate_gate", "graph_label_propagation", "graph_pagerank",
+    "graph_bfs_reachability", "graph_kcore_peel", "graph_triangle_count",
+    "graph_link_prediction", "item_item_cosine", "basket_association_rules",
+    "ann_index_persist_probe", "sink_python_stream_writer", "null_safe_functions",
     "q11_important_parts", "q13_customer_distribution", "q15_top_supplier",
     "q16_supplier_counts", "q17_small_qty_revenue", "q20_dominant_suppliers",
     "q21_last_shipper", "q22_idle_customers", "q2_min_cost_supplier",
@@ -134,61 +123,54 @@ _PRIORITY = [
     "snapshot_wap_publish", "source_python_datasource", "source_vocab_divergence",
     "stream_quality_gate", "stream_session_window_native", "stream_windowed_approx_users",
     "text_bm25_retrieval", "text_ngram_novelty", "winsorize_event_values",
-    "ann_index_persist_probe", "basket_pair_frequency", "conversion_latency_quantiles",
-    "curation_epoch_repeat_plan", "curation_packing_efficiency_audit", "dedup_containment_pairs",
-    "dedup_cross_lingual_pairs", "dedup_minhash_band_skew_audit", "doc_chunking",
-    "embedding_norm_outliers", "events_changepoint_cusum", "events_daily_growth",
-    "events_median_abs_deviation", "events_moving_average", "events_seasonality_dow",
-    "events_throttle_dedup", "events_time_rollup", "events_trend_slope",
-    "fuzzy_join_levenshtein", "join_asof_forward", "mixture_resample_balanced",
-    "orders_ltv_cohort_matrix", "quality_weighted_sample", "rollup_serving_equivalence",
-    "scd2_dimension_join", "sink_python_datasource", "sketch_countmin_terms",
-    "snapshot_branch_tag", "snapshot_rollback", "source_csv_roundtrip",
-    "source_jsonl_roundtrip", "source_orc_roundtrip", "table_profile_orders",
-    "text_bigram_logprob", "text_keyword_extraction", "text_readability_score",
-    "text_sentence_stats", "text_unigram_logprob", "time_gapfill_interpolate",
-    "time_gapfill_locf", "unpivot_part_measures", "user_activity_streaks",
-    "window_range_time", "zorder_layout_audit", "ann_radius_count",
-    "arrow_map_batches", "batch_observe_metrics", "batch_session_window_native",
-    "catalog_view_roundtrip", "dedup_prefix_template", "dq_benford_audit",
-    "embedding_dim_variance", "embedding_knn_label_eval", "events_autocorr_lag7",
-    "events_bot_regularity", "events_dow_adjusted_anomaly", "events_m4_downsample",
-    "events_markov_transitions", "events_peak_detection", "json_variant_shred",
-    "mixture_temperature_weights", "multimodal_silence_trim", "orders_reorder_intervals",
-    "rollup_grouping_id", "session_top_paths", "sketch_hll_rollup_merge",
-    "sketch_kll_quantiles", "sketch_theta_set_ops", "snapshot_incremental_view_maintenance",
-    "snapshot_metadata_only_count", "snapshot_mor_read", "snapshot_sorted_rewrite",
-    "snapshot_upsert_rows", "source_json_corrupt_records", "source_python_stream_reader",
-    "stat_crosstab_contingency", "stream_chained_windows", "stream_dedup_within_watermark",
-    "text_gopher_quality_rules", "text_ttr_lexical_diversity", "vocab_fertility_by_lang",
-    "write_dynamic_partition_overwrite", "agg_salted_skew", "ann_topk_blocked",
-    "ann_topk_bruteforce", "ann_topk_ivf", "cogroup_asof_attribution",
-    "dedup_chunk_stitch_audit", "dedup_exact", "dedup_ngram_jaccard",
-    "doc_stats_by_source", "events_activity_powerlaw", "grouping_sets_agg",
-    "intersect_all_keys", "multimodal_aspect_bucket", "multimodal_color_histogram",
-    "multimodal_features", "multimodal_frame_sample", "multimodal_resize",
-    "orders_survival_hazard", "percentile_exact", "sample_hash_bucket",
-    "sketch_misra_gries_heavy", "snapshot_file_size_audit", "snapshot_time_travel",
-    "source_xml_roundtrip", "sql_parameterized_query", "text_bpe_token_count",
-    "text_collated_terms", "text_feature_hashing", "text_fingerprint",
-    "text_lang_id", "text_pmi_bigrams", "text_quality_score",
-    "text_zipf_slope", "udtf_table_arg_deltas", "union_by_name",
-    "agg_count_distinct", "agg_cube", "agg_having",
-    "agg_rollup", "ann_ivf_nprobe_curve", "basket_diversity_simpson",
-    "cast_functions", "cte_query", "decontaminate_fuzzy_minhash",
-    "dedup_cluster_canonical", "dedup_cluster_cohesion", "dedup_cluster_stats",
-    "dedup_connected_components", "dedup_incremental_minhash", "dedup_loss_by_source",
-    "dedup_similarity_histogram", "distinct_proj", "files_glob_listing",
+    "basket_pair_frequency", "conversion_latency_quantiles", "curation_epoch_repeat_plan",
+    "curation_packing_efficiency_audit", "dedup_containment_pairs", "dedup_cross_lingual_pairs",
+    "doc_chunking", "embedding_norm_outliers", "events_changepoint_cusum",
+    "events_daily_growth", "events_median_abs_deviation", "events_moving_average",
+    "events_seasonality_dow", "events_throttle_dedup", "events_time_rollup",
+    "events_trend_slope", "fuzzy_join_levenshtein", "join_asof_forward",
+    "mixture_resample_balanced", "orders_ltv_cohort_matrix", "quality_weighted_sample",
+    "rollup_serving_equivalence", "scd2_dimension_join", "sink_python_datasource",
+    "sketch_countmin_terms", "snapshot_branch_tag", "snapshot_rollback",
+    "source_csv_roundtrip", "source_jsonl_roundtrip", "source_orc_roundtrip",
+    "table_profile_orders", "text_bigram_logprob", "text_keyword_extraction",
+    "text_readability_score", "text_sentence_stats", "text_unigram_logprob",
+    "time_gapfill_interpolate", "time_gapfill_locf", "unpivot_part_measures",
+    "user_activity_streaks", "window_range_time", "zorder_layout_audit",
+    "ann_radius_count", "arrow_map_batches", "batch_observe_metrics",
+    "batch_session_window_native", "catalog_view_roundtrip", "dedup_prefix_template",
+    "dq_benford_audit", "embedding_dim_variance", "embedding_knn_label_eval",
+    "events_autocorr_lag7", "events_bot_regularity", "events_dow_adjusted_anomaly",
+    "events_m4_downsample", "events_markov_transitions", "events_peak_detection",
+    "json_variant_shred", "mixture_temperature_weights", "multimodal_silence_trim",
+    "orders_reorder_intervals", "rollup_grouping_id", "session_top_paths",
+    "sketch_hll_rollup_merge", "sketch_kll_quantiles", "sketch_theta_set_ops",
+    "snapshot_incremental_view_maintenance", "snapshot_metadata_only_count", "snapshot_mor_read",
+    "snapshot_sorted_rewrite", "snapshot_upsert_rows", "source_json_corrupt_records",
+    "source_python_stream_reader", "stat_crosstab_contingency", "stream_chained_windows",
+    "stream_dedup_within_watermark", "text_gopher_quality_rules", "text_ttr_lexical_diversity",
+    "vocab_fertility_by_lang", "write_dynamic_partition_overwrite", "agg_salted_skew",
+    "ann_topk_blocked", "ann_topk_bruteforce", "ann_topk_ivf",
+    "cogroup_asof_attribution", "dedup_chunk_stitch_audit", "dedup_exact",
+    "dedup_ngram_jaccard", "doc_stats_by_source", "events_activity_powerlaw",
+    "grouping_sets_agg", "intersect_all_keys", "multimodal_aspect_bucket",
+    "multimodal_color_histogram", "multimodal_features", "multimodal_frame_sample",
+    "multimodal_resize", "orders_survival_hazard", "percentile_exact",
+    "sample_hash_bucket", "sketch_misra_gries_heavy", "snapshot_file_size_audit",
+    "snapshot_time_travel", "source_xml_roundtrip", "sql_parameterized_query",
+    "text_bpe_token_count", "text_collated_terms", "text_feature_hashing",
+    "text_fingerprint", "text_lang_id", "text_pmi_bigrams",
+    "text_quality_score", "text_zipf_slope", "udtf_table_arg_deltas",
+    "union_by_name", "agg_count_distinct", "agg_cube",
+    "agg_having", "agg_rollup", "ann_ivf_nprobe_curve",
+    "basket_diversity_simpson", "cast_functions", "cte_query",
+    "decontaminate_fuzzy_minhash", "distinct_proj", "files_glob_listing",
     "filter_like", "filter_predicates", "mixture_token_waterfill",
     "orders_abc_analysis", "orders_gini_concentration", "orders_rfm_segmentation",
     "quality_dup_calibration", "sample_systematic_pps", "sort_nulls_ordering",
     "split_largest_remainder", "sql_session_variables", "sql_udf_scalar_tvf",
-    "stream_decontaminate_gate", "stream_incremental_dedup", "stream_state_store_read",
-    "text_boilerplate_coverage", "udtf_dynamic_schema", "vocab_coverage_curve",
-    "orders_open_concurrency", "graph_label_propagation", "graph_pagerank",
-    "graph_bfs_reachability", "graph_kcore_peel", "graph_link_prediction",
-    "item_item_cosine", "basket_association_rules", "dedup_weighted_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_minhash_calibration",
+    "stream_state_store_read", "text_boilerplate_coverage", "udtf_dynamic_schema",
+    "vocab_coverage_curve", "orders_open_concurrency", "dedup_simhash",
     "curation_global_shuffle", "stream_stream_left_outer", "stream_stream_full_outer",
     "source_python_pushdown", "agg_listagg_ordered", "stream_state_rocksdb",
     "join_anti", "join_cross", "join_full_outer",
@@ -199,7 +181,22 @@ _PRIORITY = [
     "q19_disjunctive_pred", "q1_pricing_summary", "q3_shipping_priority",
     "q5_region_revenue", "q6_forecast_revenue", "scan_project",
     "set_except", "set_intersect", "set_union_all",
-    "sort_topk",
+    "sort_topk", "applyinarrow_group_quantiles", "embedding_triplet_mining",
+    "quality_classifier_gate", "ann_ivf_balance_audit", "ann_ivfpq_residual_topk",
+    "embedding_kmeans_lloyd", "dedup_semantic_semdedup", "stream_ann_cell_assign",
+    "embedding_cluster_canonical", "embedding_cluster_components", "embedding_dbscan_core",
+    "embedding_near_dup_pairs", "embedding_near_dup_lsh", "ann_mmr_rerank",
+    "ann_pq_adc_topk", "dedup_simhash_hamming", "sql_scripting_control_flow",
+    "str_functions", "subquery_exists", "subquery_in",
+    "subquery_scalar", "top_k_per_group", "window_lag_lead",
+    "window_moving_avg", "window_ntile_first_last", "window_range_numeric",
+    "window_rank", "window_running_sum", "ann_topk_lsh",
+    "applyinpandas_rank", "catalog_table_columns", "catalog_write_read_roundtrip",
+    "confluent_roundtrip", "pandas_udf_grouped_agg", "pandas_udf_scalar",
+    "snapshot_files", "agg_approx_distinct", "agg_stats_moments",
+    "array_hof", "bit_functions", "contamination_ngram_overlap",
+    "embedding_centroids", "events_zscore_normalize", "explode_outer_tokens",
+    "join_bucketed_colocated", "join_salted_skew", "multimodal_audio_rms",
 ]
 
 
