@@ -97,6 +97,12 @@ def main() -> None:
         # aggregates are shuffle-free over the dst-partitioned edge
         # cache
         "graph_label_propagation",
+        # round-13 flagships: the IVF hot-cell rebalance (split +
+        # member-only reassign off the persisted partition-pruned
+        # index) and incremental connected components (contract-
+        # propagate-compose merge of the new batch's edges)
+        "ann_ivf_rebalance",
+        "dedup_incremental_cc",
     ):
         if extra not in qs:
             raise SystemExit(f"bench: unknown headline query {extra!r}")
