@@ -388,6 +388,10 @@ def _embedding_ops():
         # round-12: triplet mining (one broadcast corpus pass + an
         # anchor-keyed window; anchors stay fixed as the corpus grows)
         "embedding_triplet_mining": similarity.embedding_triplet_mining,
+        # round-13: hot-cell rebalance — cost = the once-a-session
+        # index build plus ONE cell partition's re-assignment, so
+        # growth tracks the index build, never the split
+        "ann_ivf_rebalance": similarity.ann_ivf_rebalance,
     }
 
 
