@@ -1060,3 +1060,38 @@ def test_applyinarrow_is_grouped_arrow_single_exchange(spark, sf_dir):
     assert "FlatMapGroupsInArrow" in plan
     assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_spread_for_compute_gate(spark):
+    """_spread_for_compute must repartition ONLY when the scan's split
+    count is below the session parallelism — at real scale (splits >=
+    cores) it must be a no-op, never a corpus shuffle."""
+    from iceberg_kafka_playgroud_spark.operators.dedup import (
+        _spread_for_compute,
+    )
+    from iceberg_kafka_playgroud_spark.session import default_parallelism
+
+    cores = default_parallelism()
+    narrow = spark.range(10).coalesce(1)
+    spread = _spread_for_compute(narrow)
+    assert spread.rdd.getNumPartitions() == cores
+    wide = spark.range(10_000).repartition(cores)
+    assert _spread_for_compute(wide) is wide  # identity, no new plan
+
+
+def test_scoped_advisory_restored_after_edge_builds(spark, sf_dir):
+    """The _trade_edges / _copurchase_edges builds set a 1 MB AQE
+    advisory for their own materialization only — the session value
+    must be restored afterwards (and the memo hit path must not
+    touch it at all)."""
+    from iceberg_kafka_playgroud_spark.operators import advanced
+
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    before = spark.conf.get(key)
+    advanced._trade_edges(spark, sf_dir)
+    assert spark.conf.get(key) == before
+    advanced._copurchase_edges(spark, sf_dir)
+    assert spark.conf.get(key) == before
+    # memo/cache hit path
+    advanced._trade_edges(spark, sf_dir)
+    assert spark.conf.get(key) == before

@@ -463,11 +463,17 @@ def scaled_orders_dir(spark, tmp_path_factory):
 def _orders_ops():
     from iceberg_kafka_playgroud_spark.operators import advanced
 
+    from iceberg_kafka_playgroud_spark.operators import temporal
+
     return {
         "orders_survival_hazard": advanced.orders_survival_hazard,
         "basket_diversity_simpson": advanced.basket_diversity_simpson,
         "graph_label_propagation": advanced.graph_label_propagation,
         "orders_rfm_segmentation": advanced.orders_rfm_segmentation,
+        # r12 verdict watch-item: the AQE-coalesced single-partition
+        # day-delta reduce is fine at sf0.1 — prove it stays linear
+        # as the orders fixture grows 10×
+        "orders_open_concurrency": temporal.orders_open_concurrency,
     }
 
 
