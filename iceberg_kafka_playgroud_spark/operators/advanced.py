@@ -1318,33 +1318,39 @@ def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
     # touched; at 100 TB this exchange is far above any advisory.
     advisory_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     prev = spark.conf.get(advisory_key)
-    spark.conf.set(advisory_key, str(1024 * 1024))
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey).select("a", "b").distinct()
-    )
-    edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
-        # cache HASH-PARTITIONED BY dst: every iterative consumer
-        # (PageRank contribution sums, LPA per-round label counts, BFS
-        # frontier dedup) aggregates by dst right after a broadcast
-        # join on src, and HashPartitioning(dst) satisfies grouping by
-        # (dst, ...) — dst is a subset of the grouping keys — so those
-        # per-round aggregates run WITHOUT a shuffle, every round, for
-        # one extra exchange paid once at materialization.  At 100 TB
-        # this converts k rounds × edges-sized shuffles into k narrow
-        # map-side-combined stages over co-located cached partitions.
-        .repartition(default_parallelism(), "dst")
-        .cache()
-    )
-    # materialize EAGERLY inside the scope: every iterative consumer
-    # launches concurrent jobs (broadcast builds + rounds), and an
-    # uncommitted cache would be recomputed by each of them (the
-    # MinHash race class).  The eager count is the once-a-session
-    # index-build cost.
+    # try starts immediately after capturing prev: plan construction
+    # (joins, cache registration) can throw, and the finally must
+    # restore the advisory in every path — not just around the count.
     try:
+        spark.conf.set(advisory_key, str(1024 * 1024))
+        pairs = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select("a", "b")
+            .distinct()
+        )
+        edges = (
+            pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(
+                pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            # cache HASH-PARTITIONED BY dst: every iterative consumer
+            # (PageRank contribution sums, LPA per-round label counts,
+            # BFS frontier dedup) aggregates by dst right after a
+            # broadcast join on src, and HashPartitioning(dst)
+            # satisfies grouping by (dst, ...) — dst is a subset of the
+            # grouping keys — so those per-round aggregates run WITHOUT
+            # a shuffle, every round, for one extra exchange paid once
+            # at materialization.  At 100 TB this converts k rounds ×
+            # edges-sized shuffles into k narrow map-side-combined
+            # stages over co-located cached partitions.
+            .repartition(default_parallelism(), "dst")
+            .cache()
+        )
+        # materialize EAGERLY inside the scope: every iterative
+        # consumer launches concurrent jobs (broadcast builds +
+        # rounds), and an uncommitted cache would be recomputed by
+        # each of them (the MinHash race class).  The eager count is
+        # the once-a-session index-build cost.
         edges.count()
     finally:
         spark.conf.set(advisory_key, prev)
@@ -1660,37 +1666,39 @@ def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
     # committed cache.
     advisory_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     prev = spark.conf.get(advisory_key)
-    spark.conf.set(advisory_key, str(1024 * 1024))
-    baskets = (
-        load_table(spark, sf, "lineitem")
-        .groupBy(F.col("l_orderkey").alias("o"))
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.expr(
-                    "transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS pa, y AS pb)))"
-                )
-            )
-        ).alias("pr")
-    ).select("pr.pa", "pr.pb")
-    # coalesce before caching: the pruned edge list is thousands of
-    # rows, but it inherits the basket shuffle's partition count — a
-    # 32-64-task schedule for every downstream stage over a few-KB
-    # relation. A handful of cached partitions keeps downstream stages
-    # at O(1) tasks; on a real cluster AQE's advisory sizing makes the
-    # same call from runtime statistics.
-    edges = (
-        pairs.groupBy("pa", "pb")
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= PAIR_MIN_SUPPORT)
-        .coalesce(4)
-        .cache()
-    )
+    # try starts immediately after capturing prev so the finally
+    # restores the advisory even if plan construction throws.
     try:
+        spark.conf.set(advisory_key, str(1024 * 1024))
+        baskets = (
+            load_table(spark, sf, "lineitem")
+            .groupBy(F.col("l_orderkey").alias("o"))
+            .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        )
+        pairs = baskets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ps, (x, i) -> "
+                        "transform(slice(ps, i + 2, size(ps)), "
+                        "y -> struct(x AS pa, y AS pb)))"
+                    )
+                )
+            ).alias("pr")
+        ).select("pr.pa", "pr.pb")
+        # coalesce before caching: the pruned edge list is thousands
+        # of rows, but it inherits the basket shuffle's partition
+        # count — a 32-64-task schedule for every downstream stage
+        # over a few-KB relation. A handful of cached partitions keeps
+        # downstream stages at O(1) tasks; on a real cluster AQE's
+        # advisory sizing makes the same call from runtime statistics.
+        edges = (
+            pairs.groupBy("pa", "pb")
+            .agg(F.count("*").alias("n_orders"))
+            .filter(F.col("n_orders") >= PAIR_MIN_SUPPORT)
+            .coalesce(4)
+            .cache()
+        )
         edges.count()
     finally:
         spark.conf.set(advisory_key, prev)

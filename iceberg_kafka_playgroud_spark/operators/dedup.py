@@ -34,10 +34,13 @@ JACCARD_THRESHOLD = 0.5
 
 
 def _spread_for_compute(df: DataFrame) -> DataFrame:
-    """Hash-spread a scan whose downstream work is CPU-amplified far
-    beyond its byte size (the MinHash family: ~100 shingles × 2 md5
-    per doc ≈ 1000× compute per input byte), so Spark's
-    byte-proportional split sizing doesn't serialize it.
+    """Round-robin-spread a scan (``repartition(n)`` without columns
+    is round-robin, not hash, partitioning — any even spread works
+    here since downstream ops re-shuffle on their own keys) whose
+    downstream work is CPU-amplified far beyond its byte size (the
+    MinHash family: ~100 shingles × 2 md5 per doc ≈ 1000× compute per
+    input byte), so Spark's byte-proportional split sizing doesn't
+    serialize it.
 
     r13 event-log profile: at sf0.1 documents.parquet is 580 KB → ONE
     input split at maxPartitionBytes=4M, and the whole

@@ -3508,7 +3508,14 @@ def ann_ivf_rebalance(spark: SparkSession, sf: str) -> DataFrame:
         .limit(2)
         .collect()
     )
-    assert len(seed_rows) == 2, "hot cell must have >= 2 members"
+    if len(seed_rows) != 2:
+        # data-dependent precondition — raise explicitly (a bare
+        # assert is stripped under python -O and the degenerate case
+        # would fail obscurely inside numpy instead)
+        raise ValueError(
+            f"hot cell {hot} must have >= 2 members to split; "
+            f"got {len(seed_rows)}"
+        )
     seed_ids = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
     seed_mat = np.array([r["vec"] for r in seed_rows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((seed_ids, seed_mat))

@@ -575,6 +575,13 @@ def sink_python_stream_writer(spark: SparkSession, sf: str) -> DataFrame:
                 if exc is not None:
                     raise exc
                 if not q.isActive:
+                    # the query may have failed between the exception()
+                    # check above and the isActive check — re-check so
+                    # the real streaming error isn't masked by the
+                    # generic RuntimeError
+                    exc = q.exception()
+                    if exc is not None:
+                        raise exc
                     raise RuntimeError(
                         "python stream sink query terminated without "
                         f"an exception at {_committed()}/{DEFAULT_ROWS}"

@@ -11,6 +11,10 @@ the driver checks is the FIRST 50 entries, so the list is ordered
 Run from the repo root:  python tools/rotate_priority.py
 Rewrites the _PRIORITY block in place; run the docs-consistency tests
 afterwards (they pin uniqueness and registry coverage).
+
+MUST run BEFORE this round's CORRECTNESS_rN.json exists (i.e. before
+the driver writes it): re-running after it lands would reshuffle the
+tail relative to the committed list.
 """
 
 from __future__ import annotations
@@ -70,8 +74,14 @@ def main() -> None:
     listpart, tail = rest.split("]", 1)
     prev = re.findall(r'"([^"]+)"', listpart)
 
+    # sort NUMERICALLY by round (lexicographic sort mis-orders r100+
+    # against two-digit names)
     last: dict[str, int] = {}
-    for f in sorted(glob.glob(str(ROOT / "CORRECTNESS_r*.json"))):
+    files = sorted(
+        glob.glob(str(ROOT / "CORRECTNESS_r*.json")),
+        key=lambda f: int(re.search(r"_r(\d+)\.json$", f).group(1)),
+    )
+    for f in files:
         rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
         for k in json.load(open(f)):
             last[k] = rnd
