@@ -1636,10 +1636,26 @@ COSINE_TOP = 20
 KMV_K = 32  # k-minimum-values sketch size
 
 
-@plan_memo("PAIR_MIN_SUPPORT")
+# (applicationId, sf, PAIR_MIN_SUPPORT) → (edges, n_edges, n_nodes).
+# The edge list is cached by plan (CacheManager dedupes identical
+# plans), but WITHOUT this memo every cold consumer re-paid the
+# materializing count job, and the triangle stats paid TWO more count
+# jobs (e.count + deg.count) over the cached frame — pure job-boundary
+# floor at local scale.  The stats are computed inside the ONE
+# materializing job below.
+_COPURCHASE_MEMO: dict[tuple, tuple[DataFrame, int, int]] = {}
+
+
 def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Support-pruned co-purchase edge list (see ``_copurchase_stats``,
+    which owns the build + the memoized scalar graph stats)."""
+    return _copurchase_stats(spark, sf)[0]
+
+
+def _copurchase_stats(spark: SparkSession, sf: str) -> tuple:
     """Undirected co-purchase part graph: (pa < pb, n_orders) pairs
-    co-occurring in >= PAIR_MIN_SUPPORT orders.
+    co-occurring in >= PAIR_MIN_SUPPORT orders, plus the scalar graph
+    stats — returns ``(edges, n_edges, n_nodes)``.
 
     Pair generation is ONE basket-keyed shuffle: collect_set per order
     (which also dedups repeated parts — no separate distinct pass),
@@ -1664,6 +1680,11 @@ def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
     # construction AND the materializing count (the cached plan
     # captures session conf at registration); consumers see only the
     # committed cache.
+    evict_dead_sessions(_COPURCHASE_MEMO)
+    key = (spark.sparkContext.applicationId, sf.rstrip("/"), PAIR_MIN_SUPPORT)
+    hit = _COPURCHASE_MEMO.get(key)
+    if hit is not None:
+        return hit
     advisory_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     prev = spark.conf.get(advisory_key)
     # try starts immediately after capturing prev so the finally
@@ -1699,24 +1720,31 @@ def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
             .coalesce(4)
             .cache()
         )
-        edges.count()
+        # ONE materializing job that also yields both scalar graph
+        # stats (count(*) of the exploded endpoints = 2·n_edges;
+        # count_distinct = n_nodes) — replacing the three separate
+        # jobs the cold path used to pay (cache-count, e.count,
+        # deg.count).  The stats size-gate the triangle broadcasts
+        # (footer-count-gate pattern) and feed the output columns.
+        srow = (
+            edges.select(F.explode(F.array("pa", "pb")).alias("p"))
+            .agg(
+                F.count("*").alias("two_e"),
+                F.count_distinct("p").alias("n_nodes"),
+            )
+            .collect()[0]
+        )
+        stats = (edges, int(srow["two_e"]) // 2, int(srow["n_nodes"]))
     finally:
         spark.conf.set(advisory_key, prev)
-    return edges
+    _COPURCHASE_MEMO[key] = stats
+    return stats
 
 
 # edge-list broadcast budget: 5M edges × ~24 B/row ≈ 120 MB, inside
 # the executor-side broadcast comfort zone; beyond it the triangle
 # joins shuffle instead (tests force this path with monkeypatch)
 TRIANGLE_BROADCAST_MAX = 5_000_000
-
-# (applicationId, sf) → (n_edges, n_nodes): the two scalar graph
-# stats are session-deterministic, so repeated triangle calls skip
-# both count jobs (each one is a full stage-scheduling round trip —
-# exactly the class of small-job overhead that dominated the r10
-# driver bench under co-tenant load)
-_TRI_STATS_MEMO: dict[tuple[str, str], tuple[int, int]] = {}
-
 
 def _oriented_copurchase(spark: SparkSession, sf: str):
     """Degree-oriented co-purchase edges ``(src, dst, deg_dst)`` plus
@@ -1733,30 +1761,22 @@ def _oriented_copurchase(spark: SparkSession, sf: str):
     time: the r10 driver bench showed those extra jobs are what makes
     the query degrade superlinearly when the host is loaded.
     """
-    evict_dead_sessions(_TRI_STATS_MEMO)
-    # PAIR_MIN_SUPPORT is in the key: the scalar stats are computed
-    # from the support-pruned edge list, so a monkeypatched support
-    # gate must never serve stale counts
-    key = (spark.sparkContext.applicationId, sf.rstrip("/"), PAIR_MIN_SUPPORT)
-    e = _copurchase_edges(spark, sf).select("pa", "pb")
+    # the scalar stats (n_edges, n_nodes) ride along with the memoized
+    # edge build — computed inside its one materializing job, keyed by
+    # PAIR_MIN_SUPPORT so a monkeypatched support gate never serves
+    # stale counts.  They feed the stats output columns and SIZE-GATE
+    # the broadcasts below (footer-count-gate pattern): a popular-item
+    # graph at 100× could exceed the broadcast budget and OOM the
+    # driver, in which case every join falls back to a shuffled
+    # equi-join that AQE re-balances — the algorithm itself unchanged.
+    full, n_edges, n_nodes = _copurchase_stats(spark, sf)
+    e = full.select("pa", "pb")
     deg = (
         e.select(F.col("pa").alias("p"))
         .unionAll(e.select(F.col("pb").alias("p")))
         .groupBy("p")
         .agg(F.count("*").alias("deg"))
     )
-    stats = _TRI_STATS_MEMO.get(key)
-    if stats is None:
-        # the support-pruned edge list is cached by _copurchase_edges,
-        # so these are cheap passes over cached partitions; they both
-        # feed the stats output columns and SIZE-GATE the broadcasts
-        # below (footer-count-gate pattern): a popular-item graph at
-        # 100× could exceed the broadcast budget and OOM the driver,
-        # in which case every join falls back to a shuffled equi-join
-        # that AQE re-balances — the algorithm itself is unchanged.
-        stats = (e.count(), deg.count())
-        _TRI_STATS_MEMO[key] = stats
-    n_edges, n_nodes = stats
     maybe_bcast = (
         F.broadcast if n_edges <= TRIANGLE_BROADCAST_MAX else (lambda d: d)
     )

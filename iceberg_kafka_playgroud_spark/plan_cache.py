@@ -137,7 +137,9 @@ def clear_materializations(spark: SparkSession | None = None) -> None:
     for e in _adv._TRADE_EDGES_MEMO.values():
         e.unpersist()
     _adv._TRADE_EDGES_MEMO.clear()
-    _adv._TRI_STATS_MEMO.clear()
+    for e, _, _ in _adv._COPURCHASE_MEMO.values():
+        e.unpersist()
+    _adv._COPURCHASE_MEMO.clear()
     # prepared plans hold references into the cleared caches/memos —
     # a cold rep must rebuild the plan too
     clear()

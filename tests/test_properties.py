@@ -990,7 +990,7 @@ def test_every_engine_memo_is_classified():
         "operators.dedup._CC_MEMO",
         "operators.dedup._N_CAND_MEMO",
         "operators.advanced._TRADE_EDGES_MEMO",
-        "operators.advanced._TRI_STATS_MEMO",
+        "operators.advanced._COPURCHASE_MEMO",
         "operators.similarity._PQ_MODEL_MEMO",
         "operators.similarity._PAIRS_MEMO",
         "operators.similarity._KM_MODEL_MEMO",
