@@ -747,6 +747,8 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     labels = labels0
     prev_ckpt: DataFrame | None = None
     for _ in range(MAX_CC_ITERS):
@@ -755,9 +757,12 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
             .groupBy(edges.d1)
             .agg(F.min("label").alias("nbr_label"))
         )
-        # carry the previous label through the checkpoint so the
-        # convergence check is a filter+count over the just-written
-        # checkpoint — not an extra node⋈node join per round
+        # the convergence check rides the checkpoint's materializing
+        # job as an OBSERVED metric — zero extra jobs per round (the
+        # old filter+count over the just-written checkpoint paid one
+        # full job-boundary round trip per round, ~0.1 s each in
+        # local mode and a driver sync at any scale)
+        obs = Observation()
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.d1, "left")
             .select(
@@ -767,9 +772,15 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") != F.col("old_label"), 1).otherwise(0)
+                ).alias("n_changed"),
+            )
             .localCheckpoint(eager=True)  # cut lineage each round
         )
-        changed = updated.filter(F.col("label") != F.col("old_label")).count()
+        changed = int(obs.get["n_changed"] or 0)
         # this round is materialized (the count above) — the previous
         # round's checkpoint blocks are dead: release them NOW so the
         # loop holds at most 2 rounds of state, not O(rounds)
