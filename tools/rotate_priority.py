@@ -30,39 +30,31 @@ sys.path.insert(0, str(ROOT))
 
 # EDIT EACH ROUND: this round's dirty set, most-critical first.
 DIRTY = [
-    # r13 new operators
+    # r14: IVF rebalance recompute path (footer counts, driver-side
+    # kept rows, hash-by-cell index write) + index-layout consumers
     "ann_ivf_rebalance",
-    "dedup_incremental_cc",
-    # MinHash pipeline perf rewrite (compute-spread scan, band cache,
-    # pruned-shingle cache) — every consumer of _minhash_candidates /
-    # dedup_minhash_lsh / _jaccard_on_candidates
-    "dedup_minhash_lsh",
-    "dedup_weighted_jaccard",
-    "dedup_minhash_calibration",
-    "dedup_similarity_histogram",
-    "dedup_incremental_minhash",
-    "dedup_minhash_band_skew_audit",
+    "ann_index_persist_probe",
+    # r14: co-purchase stats fused into the memoized edge build —
+    # every _copurchase_stats consumer
+    "graph_triangle_count",
+    "item_item_cosine",
+    "basket_association_rules",
+    "graph_link_prediction",
+    "graph_kcore_peel",
+    # r14: CC convergence check rides the checkpoint job as an
+    # observed metric — every connected_components_over consumer
     "dedup_connected_components",
     "dedup_cluster_canonical",
     "dedup_cluster_stats",
     "dedup_cluster_cohesion",
     "dedup_loss_by_source",
-    "dedup_lexical_semantic_eval",
-    "stream_incremental_dedup",
-    "stream_decontaminate_gate",
-    # scoped-advisory eager edge builds — every _trade_edges /
-    # _copurchase_edges consumer
+    "dedup_incremental_cc",
+    "embedding_cluster_components",
+    # r14: advisory try/finally restructure in the trade-edge build
     "graph_label_propagation",
     "graph_pagerank",
     "graph_bfs_reachability",
-    "graph_kcore_peel",
-    "graph_triangle_count",
-    "graph_link_prediction",
-    "item_item_cosine",
-    "basket_association_rules",
-    # consumers of the refactored _ivf_index_on_disk build
-    "ann_index_persist_probe",
-    # polling-loop change in the Python stream sink
+    # r14: polling-loop re-check in the Python stream sink
     "sink_python_stream_writer",
 ]
 
