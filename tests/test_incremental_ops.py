@@ -98,3 +98,56 @@ def test_rebalance_output_shape(spark, sf_dir):
     ).count()
     share = sum(r["share_ppm"] for r in rows)
     assert 1_000_000 - len(rows) <= share <= 1_000_000
+
+
+def test_ivf_footer_counts_match_scan(spark, sf_dir):
+    """The rebalance's catalog-stats path (per-cell counts from the
+    index files' parquet footers) must agree exactly with a full scan
+    of the persisted index — metadata-only must never drift from data."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    index_dir, cent_ids, _ = similarity._ivf_index_on_disk(spark, sf_dir)
+    footer = {}
+    for d in os.listdir(index_dir):
+        if not d.startswith("cell="):
+            continue
+        cdir = os.path.join(index_dir, d)
+        footer[int(d.split("=", 1)[1])] = sum(
+            pq.ParquetFile(os.path.join(cdir, f)).metadata.num_rows
+            for f in os.listdir(cdir)
+            if f.endswith(".parquet")
+        )
+    scanned = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(index_dir)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert footer == scanned
+    # the hash-by-cell pre-write repartition must keep one file per cell
+    for d in os.listdir(index_dir):
+        if d.startswith("cell="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(index_dir, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (d, files)
+
+
+def test_copurchase_stats_match_edge_table(spark, sf_dir):
+    """The graph stats fused into the co-purchase build's materializing
+    job must equal independent aggregations over the edge table."""
+    from iceberg_kafka_playgroud_spark.operators import advanced
+
+    edges, n_edges, n_nodes = advanced._copurchase_stats(spark, sf_dir)
+    assert n_edges == edges.count()
+    assert (
+        n_nodes
+        == edges.select(
+            F.explode(F.array("pa", "pb")).alias("p")
+        ).distinct().count()
+    )
