@@ -62,21 +62,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness harness checks the FIRST 50 registry
 # entries per round.  The list is REGENERATED each round by
-# tools/rotate_priority.py (edit its DIRTY list, run it): dirty rows
-# first, then everything else by ASCENDING last-driver-checked round
-# (computed from the union of CORRECTNESS_r*.json), ties broken by
-# the previous order.  Round-13 ordering: slots 1-26 are every
-# operator whose executed plan or code path changed in r13 (the two
-# NEW ops — IVF hot-cell rebalance, incremental connected components;
-# the 14 consumers of the MinHash pipeline rewrite — compute-spread
-# scan, band cache, pruned-shingle cache; the 8 consumers of the
-# scoped-advisory eager trade/co-purchase edge builds; the
-# _ivf_index_on_disk refactor consumer; the stream-sink polling fix);
-# the remaining 24 slots drain the ENTIRE r4 cohort, so after this
-# window no row's latest driver check predates r5.  127 rows remain
-# pre-r8 (the window moves ≤50/round); the builder's own
-# full-registry sf0.01 sweep each round-close is the compensating
-# evidence while the rotation drains that tail.
+# tools/rotate_priority.py (edit its DIRTY list + ROUND, run it):
+# dirty rows first, then everything else by ASCENDING last-driver-
+# checked round (computed from the union of CORRECTNESS_r*.json),
+# ties broken by the previous order.  The per-round rationale for the
+# dirty head and the staleness-tail accounting live in NOTES.md's
+# close-ritual section for that round (this comment is deliberately
+# round-agnostic: the tool rewrites only the list below, and a
+# round-specific prose description here would silently go stale).
+# The builder's own full-registry sf0.01+sf0.1 sweeps each round-close
+# are the compensating evidence while the rotation drains the tail.
 _PRIORITY = [
     "ann_ivf_rebalance", "ann_index_persist_probe", "graph_triangle_count",
     "item_item_cosine", "basket_association_rules", "graph_link_prediction",

@@ -791,11 +791,13 @@ def _ivf_index_on_disk(spark: SparkSession, sf: str):
         index_dir = tempfile.mkdtemp(prefix="ivf_index_")
         atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
         # hash-repartition BY CELL before the dynamic-partition write:
-        # same ≤K_CELLS file count (each task owns whole cells), but
-        # the per-cell files are written in PARALLEL instead of one
-        # task writing all cells sequentially (r14 A/B: 0.66 → 0.42 s
-        # median at sf0.1).  NOT the refuted round-robin spread, which
-        # fanned every task across every cell (32×16 small files).
+        # same ≤K_CELLS file count (each task owns whole cells, so
+        # still one file per cell), written MOSTLY in parallel — 16
+        # keys hashed into 16 buckets collide, so expect ~10 occupied
+        # tasks with a few writing 2-3 cells sequentially (r14 A/B:
+        # 0.66 → 0.42 s median at sf0.1).  NOT the refuted round-robin
+        # spread, which fanned every task across every cell (32×16
+        # small files).
         built.repartition(K_CELLS, "cell").write.mode(
             "overwrite"
         ).partitionBy("cell").parquet(index_dir)
@@ -3519,16 +3521,30 @@ def ann_ivf_rebalance(spark: SparkSession, sf: str) -> DataFrame:
     import pyarrow.parquet as _pq
 
     n_by_cell: dict[int, int] = {}
-    for d in sorted(_os.listdir(index_dir)):
-        if not d.startswith("cell="):
-            continue
-        cdir = _os.path.join(index_dir, d)
-        n = sum(
-            _pq.ParquetFile(_os.path.join(cdir, f)).metadata.num_rows
-            for f in _os.listdir(cdir)
-            if f.endswith(".parquet")
-        )
-        n_by_cell[int(d.split("=", 1)[1])] = n
+    try:
+        for d in sorted(_os.listdir(index_dir)):
+            if not d.startswith("cell="):
+                continue
+            cdir = _os.path.join(index_dir, d)
+            n = sum(
+                _pq.ParquetFile(_os.path.join(cdir, f)).metadata.num_rows
+                for f in _os.listdir(cdir)
+                if f.endswith(".parquet")
+            )
+            n_by_cell[int(d.split("=", 1)[1])] = n
+    except OSError:
+        n_by_cell = {}
+    if not n_by_cell:
+        # fallback for index dirs the driver cannot list POSIX-style
+        # (object store / HDFS deployments): one map-side-combined
+        # scan over the index — the pre-r14 path.  Local runs never
+        # take this branch; the footer path is its metadata-only twin.
+        n_by_cell = {
+            int(r["cell"]): int(r["n"])
+            for r in corpus.groupBy("cell")
+            .agg(F.count("*").cast("long").alias("n"))
+            .collect()
+        }
     hot = min(n_by_cell.items(), key=lambda kv: (-kv[1], kv[0]))[0]
     seed_rows = (
         corpus.filter(F.col("cell") == hot)

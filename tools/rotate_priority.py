@@ -28,6 +28,11 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
+# EDIT EACH ROUND: the round being prepared (enforces the
+# run-at-round-start invariant: this round's CORRECTNESS file must
+# not exist yet, or the staleness ordering would double-credit it).
+ROUND = 14
+
 # EDIT EACH ROUND: this round's dirty set, most-critical first.
 DIRTY = [
     # r14: IVF rebalance recompute path (footer counts, driver-side
@@ -75,6 +80,11 @@ def main() -> None:
     )
     for f in files:
         rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        assert rnd < ROUND, (
+            f"CORRECTNESS_r{rnd:02d}.json already exists but ROUND={ROUND}: "
+            "this tool must run at round start (before the driver writes "
+            "the round's file) — bump ROUND if preparing the next round"
+        )
         for k in json.load(open(f)):
             last[k] = rnd
 
