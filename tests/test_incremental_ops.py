@@ -151,3 +151,25 @@ def test_copurchase_stats_match_edge_table(spark, sf_dir):
             F.explode(F.array("pa", "pb")).alias("p")
         ).distinct().count()
     )
+
+
+def test_rebalance_scan_fallback_matches_footer_path(spark, sf_dir, monkeypatch):
+    """When the driver cannot list the index directory POSIX-style
+    (object-store deployments), the rebalance must fall back to the
+    map-side-combined index scan and produce the identical result."""
+    import os
+
+    baseline = similarity.ann_ivf_rebalance(spark, sf_dir).collect()
+    index_dir, _, _ = similarity._ivf_index_on_disk(spark, sf_dir)
+    real_listdir = os.listdir
+
+    def failing_listdir(path, *a, **kw):
+        if str(path).startswith(index_dir):
+            raise OSError("simulated non-POSIX index store")
+        return real_listdir(path, *a, **kw)
+
+    # the operator imports os lazily inside the function body, so
+    # patching the shared os module object covers it
+    monkeypatch.setattr("os.listdir", failing_listdir)
+    fallback = similarity.ann_ivf_rebalance(spark, sf_dir).collect()
+    assert sorted(map(tuple, fallback)) == sorted(map(tuple, baseline))
