@@ -701,6 +701,30 @@ def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
 MAX_CC_ITERS = 25  # fixpoint bound; components here are tiny
 
 
+def _observed_n_changed(obs, updated: DataFrame) -> int:
+    """Read the round's convergence metric off its Observation.
+
+    Pinned Spark behavior (verified on 4.1): ``Dataset.localCheckpoint
+    (eager=True)`` executes under ``withAction``, which posts the
+    ``SQLExecutionEnd`` event that fulfills the Observation — so by
+    the time the checkpoint call above returns, the metric is already
+    available and ``obs.get`` returns without blocking.  That is an
+    undocumented detail of the checkpoint path, so guard it: probe the
+    JVM-side ``getRowOrEmpty`` (non-blocking) first, and if a future
+    Spark stops running eager checkpoints under ``withAction`` — or
+    the private handle moves — fall back to an explicit filter+count
+    over the materialized checkpoint (one extra tiny job per round,
+    the pre-r14 cost) instead of hanging the CC loop in ``obs.get``.
+    """
+    try:
+        fulfilled = obs._jo is not None and obs._jo.getRowOrEmpty().isDefined()
+    except Exception:
+        fulfilled = False
+    if fulfilled:
+        return int(obs.get["n_changed"] or 0)
+    return updated.filter(F.col("label") != F.col("old_label")).count()
+
+
 def connected_components_over(pairs: DataFrame) -> DataFrame:
     """Connected components over an arbitrary (d1, d2) pair graph.
 
@@ -780,7 +804,7 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
             )
             .localCheckpoint(eager=True)  # cut lineage each round
         )
-        changed = int(obs.get["n_changed"] or 0)
+        changed = _observed_n_changed(obs, updated)
         # this round is materialized (the count above) — the previous
         # round's checkpoint blocks are dead: release them NOW so the
         # loop holds at most 2 rounds of state, not O(rounds)

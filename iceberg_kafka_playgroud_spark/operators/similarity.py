@@ -3520,7 +3520,13 @@ def ann_ivf_rebalance(spark: SparkSession, sf: str) -> DataFrame:
 
     import pyarrow.parquet as _pq
 
+    import pyarrow as _pa
+
     n_by_cell: dict[int, int] = {}
+    # ArrowException covers ArrowInvalid/ArrowIOError from a corrupt
+    # or truncated footer — any footer-read failure (not just POSIX
+    # listing errors) must take the Spark-scan fallback below rather
+    # than hard-failing the rebalance
     try:
         for d in sorted(_os.listdir(index_dir)):
             if not d.startswith("cell="):
@@ -3532,7 +3538,7 @@ def ann_ivf_rebalance(spark: SparkSession, sf: str) -> DataFrame:
                 if f.endswith(".parquet")
             )
             n_by_cell[int(d.split("=", 1)[1])] = n
-    except OSError:
+    except (OSError, _pa.ArrowException):
         n_by_cell = {}
     if not n_by_cell:
         # fallback for index dirs the driver cannot list POSIX-style

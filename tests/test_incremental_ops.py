@@ -173,3 +173,50 @@ def test_rebalance_scan_fallback_matches_footer_path(spark, sf_dir, monkeypatch)
     monkeypatch.setattr("os.listdir", failing_listdir)
     fallback = similarity.ann_ivf_rebalance(spark, sf_dir).collect()
     assert sorted(map(tuple, fallback)) == sorted(map(tuple, baseline))
+
+
+def test_rebalance_arrow_failure_takes_scan_fallback(
+    spark, sf_dir, monkeypatch
+):
+    """A corrupt/truncated parquet footer raises pyarrow ArrowInvalid
+    (not OSError); the rebalance must take the same Spark-scan
+    fallback instead of hard-failing (r15 ADVICE fix)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    baseline = similarity.ann_ivf_rebalance(spark, sf_dir).collect()
+    real_parquet_file = pq.ParquetFile
+    index_dir, _, _ = similarity._ivf_index_on_disk(spark, sf_dir)
+
+    def corrupt_footer(path, *a, **kw):
+        if str(path).startswith(index_dir):
+            raise pa.ArrowInvalid("simulated truncated footer")
+        return real_parquet_file(path, *a, **kw)
+
+    monkeypatch.setattr("pyarrow.parquet.ParquetFile", corrupt_footer)
+    fallback = similarity.ann_ivf_rebalance(spark, sf_dir).collect()
+    assert sorted(map(tuple, fallback)) == sorted(map(tuple, baseline))
+
+
+def test_observed_n_changed_falls_back_when_unfulfilled(spark):
+    """If the Observation is not fulfilled (e.g. a Spark version whose
+    eager localCheckpoint no longer posts SQLExecutionEnd), the CC
+    convergence check must fall back to an explicit filter+count
+    instead of blocking forever in obs.get (r15 ADVICE fix)."""
+    from pyspark.sql import Observation
+
+    updated = spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 1), (3, 3, 2)], "node long, old_label long, label long"
+    )
+    # unattached Observation: _jo is None — the guard must not raise
+    assert dedup._observed_n_changed(Observation(), updated) == 2
+    # attached but never actioned: getRowOrEmpty is empty — the count
+    # fallback (which itself fulfills the observation) must be taken
+    obs = Observation()
+    observed = updated.observe(
+        obs,
+        F.sum(
+            F.when(F.col("label") != F.col("old_label"), 1).otherwise(0)
+        ).alias("n_changed"),
+    )
+    assert dedup._observed_n_changed(obs, observed) == 2

@@ -80,11 +80,15 @@ def main() -> None:
     )
     for f in files:
         rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
-        assert rnd < ROUND, (
-            f"CORRECTNESS_r{rnd:02d}.json already exists but ROUND={ROUND}: "
-            "this tool must run at round start (before the driver writes "
-            "the round's file) — bump ROUND if preparing the next round"
-        )
+        # explicit raise, not assert: python -O strips asserts and the
+        # invariant would silently stop being enforced
+        if rnd >= ROUND:
+            raise SystemExit(
+                f"CORRECTNESS_r{rnd:02d}.json already exists but "
+                f"ROUND={ROUND}: this tool must run at round start "
+                "(before the driver writes the round's file) — bump "
+                "ROUND if preparing the next round"
+            )
         for k in json.load(open(f)):
             last[k] = rnd
 
@@ -92,7 +96,8 @@ def main() -> None:
 
     registry = list(entry.queries())
     missing_dirty = [d for d in DIRTY if d not in registry]
-    assert not missing_dirty, f"DIRTY not in registry: {missing_dirty}"
+    if missing_dirty:
+        raise SystemExit(f"DIRTY not in registry: {missing_dirty}")
 
     prev_pos = {n: i for i, n in enumerate(prev)}
     rest_names = [n for n in registry if n not in DIRTY]
