@@ -155,9 +155,40 @@ def main() -> None:
     # cache-warm reps don't)
     runs_recompute_all: dict[str, list[float]] = {}
     runs_cache_warm_all: dict[str, list[float]] = {}
+    # self-adjudication against host noise (r14 verdict #1): every
+    # recompute rep also records its STRUCTURAL job count (delta of
+    # the monotonically-increasing Spark job id — robust to the UI
+    # store's retention limit, unlike len()), and a fixed calibration
+    # probe runs at bench start / after the Spark section / at the
+    # very end.  A pathological wall-clock row then carries its own
+    # verdict: unchanged job count + a spiked probe = host burst;
+    # grown job count = a real plan regression.
+    status = spark.sparkContext.statusTracker()
+
+    def _max_job_id() -> int:
+        ids = status.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
+    def _calibration_probe(reps: int = 3) -> list[float]:
+        out = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            spark.range(10_000_000).selectExpr("sum(id)").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            out.append(round(time.perf_counter() - t0, 3))
+        return out
+
+    jobs_recompute_all: dict[str, list[int]] = {}
+    jobs_cold: dict[str, int] = {}
+    probe_start = _calibration_probe()
     for name in names:
 
-        def timed_run(sink: list[float] | None = None) -> float:
+        def timed_run(
+            sink: list[float] | None = None,
+            jobs_sink: list[int] | None = None,
+        ) -> float:
+            j0 = _max_job_id()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -165,21 +196,35 @@ def main() -> None:
             dt = time.perf_counter() - t0
             if sink is not None:
                 sink.append(round(dt, 3))
+            if jobs_sink is not None:
+                jobs_sink.append(_max_job_id() - j0)
             return dt
 
-        clear_materializations(spark)
-        cold[name] = round(timed_run(), 3)
+        # cold pays plan construction too: drop BOTH prepared-plan
+        # tiers (recompute reps below keep the durable tier — the
+        # analyzed-tree retention is exactly what it exists for)
+        clear_materializations(spark, drop_prepared_plans=True)
+        cold_jobs_sink: list[int] = []
+        cold[name] = round(timed_run(jobs_sink=cold_jobs_sink), 3)
+        jobs_cold[name] = cold_jobs_sink[0]
         best = float("inf")
         runs_recompute_all[name] = []
+        jobs_recompute_all[name] = []
         for _ in range(runs_rec):
             clear_materializations(spark)
-            best = min(best, timed_run(runs_recompute_all[name]))
+            best = min(
+                best,
+                timed_run(
+                    runs_recompute_all[name], jobs_recompute_all[name]
+                ),
+            )
         recompute[name] = round(best, 3)
         best = float("inf")
         runs_cache_warm_all[name] = []
         for _ in range(runs_warm):
             best = min(best, timed_run(runs_cache_warm_all[name]))
         timings[name] = round(best, 3)
+    probe_mid = _calibration_probe()
 
     # streaming lifecycle floor (r11 verdict #4): time stream_
     # sessionize's machinery over ZERO rows so the detail JSON
@@ -233,6 +278,7 @@ def main() -> None:
         con.close()
     except Exception as exc:  # comparator is diagnostic, never fatal
         print(f"bench: duckdb comparator skipped: {exc}", file=sys.stderr)
+    probe_end = _calibration_probe()
 
     spark_total = round(sum(recompute.values()), 3)
     duckdb_total = round(sum(duckdb_timings.values()), 3)
@@ -266,6 +312,22 @@ def main() -> None:
         # queries_cold)
         "queries_runs_recompute": runs_recompute_all,
         "queries_runs_cache_warm": runs_cache_warm_all,
+        # structural job counts per recompute rep + per cold run: the
+        # plan-shape fingerprint.  A wall-clock regression whose job
+        # counts match the previous round's detail file is host noise
+        # (check the calibration probes), not a plan change.
+        "queries_jobs_recompute": jobs_recompute_all,
+        "queries_jobs_cold": jobs_cold,
+        # fixed 10M-row sum, 3 reps at bench start / after the Spark
+        # section / after DuckDB: the host-health reading the noise
+        # adjudication keys on (scale-independent, ~0.05-0.3 s on a
+        # healthy box; r14's degraded box spiked this shape to 3.7 s)
+        "calibration_probe": {
+            "rows": 10_000_000,
+            "start": probe_start,
+            "mid": probe_mid,
+            "end": probe_end,
+        },
         "duckdb_queries": duckdb_timings,
         "duckdb_errors": duckdb_errors,
         # zero-row run of the sessionize machinery: subtract from
@@ -292,6 +354,10 @@ def main() -> None:
         "queries": recompute,
         "value_cache_warm": round(sum(timings.values()), 3),
         "value_cold": round(sum(cold.values()), 3),
+        # min of each calibration checkpoint (start/mid/end): a spiked
+        # probe marks the round's numbers as host-degraded at a glance;
+        # full rep lists are in the detail line / BENCH_DETAIL.json
+        "probe": [min(probe_start), min(probe_mid), min(probe_end)],
         "sf": sf,
     }
     if duckdb_timings:

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..checkpoints import release_local_checkpoint
-from ..plan_cache import evict_dead_sessions, plan_memo
+from ..plan_cache import (
+    cached,
+    durable_plan_memo,
+    evict_dead_sessions,
+)
 from ..schema import load_table, table_row_count
 from .text import normalized, tokens
 
@@ -251,8 +255,9 @@ def _jaccard_on_candidates(
         # 5 MB cache scans per recompute).  Streaming callers keep the
         # default: their per-micro-batch plans differ every batch, so
         # a cache entry per call would accumulate for the query's
-        # lifetime.
-        shc = shc.cache()
+        # lifetime.  ``cached`` (not bare .cache()) so a durable-plan
+        # caller can re-arm this handle across recompute resets.
+        shc = cached(shc)
     sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     s1 = shc.alias("s1")
     s2 = shc.alias("s2")
@@ -286,13 +291,13 @@ def _minhash_candidates(spark: SparkSession, sf: str):
     """Shared shingle table + banded candidate pairs (both cached) —
     one definition for the verified-pair op and the score histogram."""
     d = _spread_for_compute(load_table(spark, sf, "documents"))
-    sh = shingle_set(d).cache()
+    sh = cached(shingle_set(d))
     # cache the BAND table too (docs x N_BANDS rows, tiny): the band
     # self-join consumes it on BOTH sides, and without the cache each
     # side re-ran the whole md5 signature pipeline from the cached
     # shingles (r13 event-log profile: two concurrent ~0.4 s
     # md5-heavy stages per recompute, cpu 9 + 3 s across cores)
-    bands = lsh_bands(minhash_signatures(sh)).cache()
+    bands = cached(lsh_bands(minhash_signatures(sh)))
     b1 = bands.alias("a")
     b2 = bands.alias("b")
     cand = (
@@ -304,12 +309,13 @@ def _minhash_candidates(spark: SparkSession, sf: str):
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
-        .cache()  # tiny; reused for the pair join AND the doc-set prune
     )
+    # tiny; reused for the pair join AND the doc-set prune
+    cand = cached(cand)
     return sh, cand
 
 
-@plan_memo("CAND_BROADCAST_MAX_PAIRS")
+@durable_plan_memo("CAND_BROADCAST_MAX_PAIRS")
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs via MinHash LSH + exact-Jaccard verification.
 
@@ -317,6 +323,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     at scale this is the band-bucket shuffle, never an n² compare.
     Verification computes true Jaccard only on candidates
     (``_jaccard_on_candidates``).
+
+    DURABLE prepared plan (r14 verdict #4): this is the CC family's
+    shared pipeline, and its py4j expression-tree build measured
+    ~0.7 s per recompute rep — pure driver cost at any scale.  The
+    plan (and its plan-shaping candidate count, which gates the
+    broadcast hints) is built once per (session, sf, budget); every
+    ``cached`` intermediate (shingles, bands, candidates, the pruned
+    verify table, the result) is re-armed on warm hits so a recompute
+    rep re-executes the identical dataflow as a fresh build.
     """
     sh, cand = _minhash_candidates(spark, sf)
     # cache the RESULT frame too: the pair set is near-dup-sized
@@ -325,9 +340,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # Spark's cache manager instead of re-running the whole
     # shingle→minhash→band→verify pipeline (measured 3.2→1.4 s for CC
     # at sf0.1 when the pairs were materialized by a prior call)
-    return _jaccard_on_candidates(
-        sh, cand, "d1", "d2", n_cand=_cand_count(cand), cache_pruned=True
-    ).cache()
+    return cached(
+        _jaccard_on_candidates(
+            sh, cand, "d1", "d2", n_cand=_cand_count(cand), cache_pruned=True
+        )
+    )
 
 
 NEW_BATCH_MOD, NEW_BATCH_RESIDUE = 10, 3  # doc_id % 10 == 3 → "today's batch"
@@ -559,14 +576,14 @@ def dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@plan_memo()
+@durable_plan_memo()
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash Hamming-0 bucket sizes: doc_id, signature, and how many
     docs share it exactly (near-dup group size). The signature table is
     cached like the 128-bit variant's — doc-count-sized, and the
     plan-keyed cache lets repeated same-session calls skip the
     tokenize→md5→32-sum aggregation."""
-    sigs = simhash_signatures(spark, sf).cache()
+    sigs = cached(simhash_signatures(spark, sf))
     # bucket size via window — one shuffle on simhash instead of a
     # groupBy + join pair
     from pyspark.sql import Window as W
@@ -600,7 +617,7 @@ SIMHASH_BANDS = K_HAMMING + 1  # pigeonhole: d(x,y) ≤ k ⇒ ≥1 band equal
 SIMHASH_BITS = 128
 
 
-@plan_memo("K_HAMMING", "SIMHASH_BANDS", "SIMHASH_BITS")
+@durable_plan_memo("K_HAMMING", "SIMHASH_BANDS", "SIMHASH_BITS")
 def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ 3 via banded 128-bit SimHash.
 
@@ -625,7 +642,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
     reason — the table is doc-count-sized, negligible next to the
     corpus.
     """
-    sigs = simhash_signatures128(spark, sf).cache()
+    sigs = cached(simhash_signatures128(spark, sf))
     bw = SIMHASH_BITS // SIMHASH_BANDS
     # the candidate join carries BARE id pairs: natural-language simhash
     # bands have hot buckets (one fixture bucket holds 65% of one band's
@@ -1528,7 +1545,7 @@ FROM sizes GROUP BY band_idx ORDER BY band_idx
 """
 
 
-@plan_memo("CAND_BROADCAST_MAX_PAIRS", "CAND_SHINGLE_BROADCAST_MAX_PAIRS")
+@durable_plan_memo("CAND_BROADCAST_MAX_PAIRS", "CAND_SHINGLE_BROADCAST_MAX_PAIRS")
 def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
     """Signature-calibration audit: how well does MinHash agreement
     predict exact Jaccard? For every banded candidate pair, count the
@@ -1578,9 +1595,12 @@ def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
                 for i in range(N_HASHES)
             ]
         ).alias("sig"),
-    ).cache()  # candidate-doc-sized (~1k rows); cached so the g1/g2
-    # broadcast builds don't each re-run the groupBy, and repeat calls
-    # hit the cache-manager entry like `cand` above
+    )
+    # candidate-doc-sized (~1k rows); cached so the g1/g2 broadcast
+    # builds don't each re-run the groupBy, and repeat calls hit the
+    # cache-manager entry like `cand` above (re-armable for the
+    # durable plan)
+    docdata = cached(docdata)
     i_ = F.size(F.array_intersect(F.col("g1.shs"), F.col("g2.shs"))).cast(
         "long"
     )
@@ -1978,7 +1998,7 @@ ORDER BY n_stitch_pairs DESC, t.gram LIMIT {STITCH_TOP}
 # -- IDF-weighted Jaccard scoring -------------------------------------
 
 
-@plan_memo(
+@durable_plan_memo(
     "WJ_PRUNE_CAND_DOC_PCT",
     "CAND_BROADCAST_MAX_PAIRS",
     "CAND_SHINGLE_BROADCAST_MAX_PAIRS",
@@ -2051,8 +2071,8 @@ def dedup_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             .cast("long")
             .alias("w"),
         )
-        .cache()
     )
+    wsh = cached(wsh)
     wsizes = wsh.groupBy("doc_id").agg(F.sum("w").cast("long").alias("wt"))
     s1 = wsh.alias("s1")
     s2 = wsh.alias("s2")

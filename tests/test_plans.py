@@ -1095,3 +1095,81 @@ def test_scoped_advisory_restored_after_edge_builds(spark, sf_dir):
     # memo/cache hit path
     advanced._trade_edges(spark, sf_dir)
     assert spark.conf.get(key) == before
+
+
+DUR_GATE = 3
+
+
+def test_durable_plan_memo_contract(spark, sf_dir):
+    """durable_plan_memo (r15): the prepared plan survives
+    clear_materializations (same object, no rebuild) yet every
+    materialized block is gone after the reset — a warm hit must
+    RECOMPUTE; gate changes key fresh builds; drop_prepared_plans=True
+    and clear() both drop the durable tier (cold paths pay plan
+    construction)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_kafka_playgroud_spark import plan_cache
+
+    calls = {"n": 0}
+
+    @plan_cache.durable_plan_memo("DUR_GATE")
+    def build(sp, sf):
+        calls["n"] += 1
+        base = plan_cache.cached(
+            sp.range(5).select((F.col("id") * DUR_GATE).alias("x"))
+        )
+        return base.select(F.sum("x").alias("s"))
+
+    a = build(spark, sf_dir)
+    assert a.collect()[0]["s"] == 30  # populates the cache
+    plan_cache.clear_materializations(spark)
+    b = build(spark, sf_dir)
+    assert b is a and calls["n"] == 1  # analyzed tree retained
+    # nothing materialized survived the reset: the hit recomputes
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert all(i.memSize() == 0 and i.diskSize() == 0 for i in infos)
+    assert b.collect()[0]["s"] == 30
+    # a changed gate constant keys a separate durable build
+    global DUR_GATE
+    old = DUR_GATE
+    try:
+        DUR_GATE = 4
+        c = build(spark, sf_dir)
+        assert c is not a and calls["n"] == 2
+        assert c.collect()[0]["s"] == 40
+    finally:
+        DUR_GATE = old
+    # cold resets drop the durable tier too
+    plan_cache.clear_materializations(spark, drop_prepared_plans=True)
+    d = build(spark, sf_dir)
+    assert d is not a and calls["n"] == 3
+    plan_cache.clear()
+    e = build(spark, sf_dir)
+    assert e is not d and calls["n"] == 4
+
+
+def test_minhash_lsh_durable_plan_recomputes(spark, sf_dir):
+    """The CC family's shared pipeline keeps its prepared plan across
+    the recompute reset: same DataFrame object back, every registered
+    cache handle re-armed (registered, blocks not yet populated), and
+    the re-collected result hash-identical to the fresh build."""
+    from iceberg_kafka_playgroud_spark import plan_cache
+    from iceberg_kafka_playgroud_spark.operators import dedup
+
+    plan_cache.clear_materializations(spark, drop_prepared_plans=True)
+    a = dedup.dedup_minhash_lsh(spark, sf_dir)
+    base = sorted(map(tuple, a.collect()))
+    plan_cache.clear_materializations(spark)
+    b = dedup.dedup_minhash_lsh(spark, sf_dir)
+    assert b is a
+    key = next(
+        k
+        for k in plan_cache._DURABLE_PLAN_CACHE
+        if "dedup_minhash_lsh" in k[2]
+    )
+    _, handles = plan_cache._DURABLE_PLAN_CACHE[key]
+    # shingles, bands, candidates, pruned verify table, result
+    assert len(handles) == 5
+    assert all(h.storageLevel.useMemory for h in handles)
+    assert sorted(map(tuple, b.collect())) == base

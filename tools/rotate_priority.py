@@ -31,36 +31,31 @@ sys.path.insert(0, str(ROOT))
 # EDIT EACH ROUND: the round being prepared (enforces the
 # run-at-round-start invariant: this round's CORRECTNESS file must
 # not exist yet, or the staleness ordering would double-credit it).
-ROUND = 14
+ROUND = 15
 
 # EDIT EACH ROUND: this round's dirty set, most-critical first.
 DIRTY = [
-    # r14: IVF rebalance recompute path (footer counts, driver-side
-    # kept rows, hash-by-cell index write) + index-layout consumers
-    "ann_ivf_rebalance",
-    "ann_index_persist_probe",
-    # r14: co-purchase stats fused into the memoized edge build —
-    # every _copurchase_stats consumer
-    "graph_triangle_count",
-    "item_item_cosine",
-    "basket_association_rules",
-    "graph_link_prediction",
-    "graph_kcore_peel",
-    # r14: CC convergence check rides the checkpoint job as an
-    # observed metric — every connected_components_over consumer
+    # r15: durable prepared plan + cached() handle registration on the
+    # shared MinHash pipeline — every dedup_minhash_lsh /
+    # _minhash_candidates consumer
+    "dedup_minhash_lsh",
     "dedup_connected_components",
     "dedup_cluster_canonical",
     "dedup_cluster_stats",
     "dedup_cluster_cohesion",
     "dedup_loss_by_source",
     "dedup_incremental_cc",
+    "dedup_lexical_semantic_eval",
+    "dedup_similarity_histogram",
+    "dedup_minhash_calibration",
+    "dedup_weighted_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    # r15: CC convergence metric read through the guarded
+    # non-blocking Observation probe — connected_components_over
     "embedding_cluster_components",
-    # r14: advisory try/finally restructure in the trade-edge build
-    "graph_label_propagation",
-    "graph_pagerank",
-    "graph_bfs_reachability",
-    # r14: polling-loop re-check in the Python stream sink
-    "sink_python_stream_writer",
+    # r15: footer-count except clause widened to ArrowException
+    "ann_ivf_rebalance",
 ]
 
 
