@@ -27,6 +27,15 @@ At 100 TB the saved plan-build work is the same fixed driver cost
 (plan building does not scale with data); the cached intermediates
 are doc-count-sized tables any production system would persist.
 
+Two tiers (r15): ``plan_memo`` entries are dropped by
+``clear_materializations`` (their plans may reference cleared
+memos/checkpoints); ``durable_plan_memo`` entries survive it — pure
+lazy trees whose only materialization points are ``cached()``
+markers, re-armed on warm hits so recompute reps skip ONLY the py4j
+tree build, never any data work (contract pinned by
+``test_durable_plan_memo_contract`` and the eligibility tripwire in
+``test_properties.py``).
+
 Rules for wrapping an operator:
 
 1. PURE PLAN BUILDERS ONLY.  The function must return a LAZY frame
@@ -82,6 +91,10 @@ _DURABLE_PLAN_CACHE: dict[tuple, tuple[DataFrame, tuple[DataFrame, ...]]] = {}
 # collector active during a durable build (nesting-safe via
 # save/restore in the decorator)
 _COLLECT: list[DataFrame] | None = None
+
+# every durable_plan_memo-decorated builder, for the eligibility
+# tripwire test (no localCheckpoint / collect / sink in their source)
+_DURABLE_BUILDERS: list[Callable] = []
 
 
 def cached(df: DataFrame) -> DataFrame:
@@ -253,6 +266,8 @@ def durable_plan_memo(*gate_names: str) -> Callable:
     """
 
     def deco(fn: Callable) -> Callable:
+        _DURABLE_BUILDERS.append(fn)
+
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf: str) -> DataFrame:
             evict_dead_sessions()

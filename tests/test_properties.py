@@ -1029,3 +1029,50 @@ def test_every_engine_memo_is_classified():
     # the cleared list must actually exist (catch renames)
     missing = CLEARED - found
     assert not missing, f"expected memos vanished: {sorted(missing)}"
+
+
+def test_durable_builders_are_eligible():
+    """Eligibility tripwire for the durable prepared-plan tier (r15):
+    a durable builder's plan survives clear_materializations, so its
+    SOURCE must contain no eager materialization a recompute rep ought
+    to re-pay — no localCheckpoint, no .collect(), no createDataFrame
+    of computed rows, no sink writes.  (Plan-shaping stats via the
+    shared helpers _cand_count / table_row_count are the documented
+    exception — query-planner work, checked here by name so a new
+    eager helper can't slip in unnoticed.)  Heuristic source scan:
+    it inspects the builder body only, not callees — keep helpers
+    pure-lazy too (they are: _minhash_candidates,
+    _jaccard_on_candidates, simhash_signatures*)."""
+    import inspect
+
+    from iceberg_kafka_playgroud_spark import plan_cache
+    # import the modules that register durable builders
+    from iceberg_kafka_playgroud_spark.operators import dedup  # noqa: F401
+
+    assert plan_cache._DURABLE_BUILDERS, "expected registered builders"
+    forbidden = (
+        "localCheckpoint",
+        ".collect()",
+        "createDataFrame",
+        "foreachBatch",
+        "writeStream",
+        ".write.",
+        "toPandas",
+    )
+    import ast
+    import textwrap
+
+    for fn in plan_cache._DURABLE_BUILDERS:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+        # scan CODE only: docstrings legitimately discuss these
+        # constructs (e.g. "cache() beats localCheckpoint here")
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Constant) and isinstance(node.value, str):
+                node.value = ""
+        src = ast.unparse(tree)
+        hits = [t for t in forbidden if t in src]
+        assert not hits, (
+            f"durable builder {fn.__qualname__} contains eager "
+            f"construct(s) {hits} — it is not eligible for the "
+            "durable tier (see plan_cache._DURABLE_PLAN_CACHE)"
+        )
