@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plan_cache import evict_dead_sessions
+from ..plan_cache import cached, durable_plan_memo
 from ..schema import load_table
 
 # minimal English function-word list for the stopword heuristics
@@ -1251,9 +1251,7 @@ BOILER_MIN_DF = 5  # grams in >= this many docs are boilerplate
 # entry per session+sf (same policy as similarity._PQ_MODEL_MEMO),
 # reused by every repeat call instead of relying on cache-manager
 # plan-dedup to happen to match.
-_BOILER_DOCS_MEMO: dict[tuple[str, str], "DataFrame"] = {}
-
-
+@durable_plan_memo("BOILER_N", "BOILER_MIN_DF")
 def text_boilerplate_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Boilerplate-coverage audit: trigrams appearing in >=
     BOILER_MIN_DF distinct documents are "boilerplate" (the
@@ -1266,11 +1264,11 @@ def text_boilerplate_coverage(spark: SparkSession, sf: str) -> DataFrame:
 
     Plan at 100 TB: tokenize runs ONCE — a compact one-row-per-doc
     frame (doc_id, source, dl, grams-with-positions array) is
-    persisted (memory-and-disk, spill-safe) and MEMOIZED per
-    (session, sf) in ``_BOILER_DOCS_MEMO``, so repeat invocations
-    share ONE session-lifetime entry by construction — an intentional,
-    bounded cache with explicit ownership, not a per-call leak (the
-    r9-verdict follow-up; pinned by
+    cached (memory-and-disk, spill-safe) inside the DURABLE prepared
+    plan (r15; previously a bespoke per-(session, sf) memo), so repeat
+    invocations share ONE session-lifetime entry by construction — an
+    intentional, bounded cache with explicit ownership, not a per-call
+    leak (the r9-verdict follow-up; pinned by
     tests/test_plans.py::test_boilerplate_docs_single_cache_entry).
     Document
     frequency explodes the PER-DOC-DISTINCT grams, so the shuffle is a
@@ -1283,15 +1281,12 @@ def text_boilerplate_coverage(spark: SparkSession, sf: str) -> DataFrame:
     BOILER_N), and the exact covered-position union is an array
     expression over that bounded-by-dl set.
     """
-    evict_dead_sessions(_BOILER_DOCS_MEMO)
-    memo_key = (spark.sparkContext.applicationId, sf.rstrip("/"))
-    docs = _BOILER_DOCS_MEMO.get(memo_key)
-    if docs is None:
-        d = load_table(spark, sf, "documents").select(
-            "doc_id", "source", tokens(F.col("text")).alias("toks")
-        )
-        d = d.select("doc_id", "source", "toks", F.size("toks").alias("dl"))
-        docs = d.select(
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    )
+    d = d.select("doc_id", "source", "toks", F.size("toks").alias("dl"))
+    docs = cached(
+        d.select(
             "doc_id",
             "source",
             "dl",
@@ -1305,8 +1300,8 @@ def text_boilerplate_coverage(spark: SparkSession, sf: str) -> DataFrame:
             )
             .otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
             .alias("grams"),
-        ).persist()
-        _BOILER_DOCS_MEMO[memo_key] = docs
+        )
+    )
     boiler = (
         docs.select(
             F.explode(

@@ -171,7 +171,6 @@ def clear_materializations(
     from iceberg_kafka_playgroud_spark.operators import advanced as _adv
     from iceberg_kafka_playgroud_spark.operators import dedup as _dd
     from iceberg_kafka_playgroud_spark.operators import similarity as _sim
-    from iceberg_kafka_playgroud_spark.operators import text as _tx
 
     if spark is not None:
         spark.catalog.clearCache()
@@ -207,9 +206,9 @@ def clear_materializations(
         assigned.unpersist()
     _sim._KM_MODEL_MEMO.clear()
     _sim._IVF_INDEX_MEMO.clear()
-    # clearCache() already dropped the blocks; forget the handles so
-    # the next call re-persists (3 plan consumers read the gram frame)
-    _tx._BOILER_DOCS_MEMO.clear()
+    # (the boilerplate gram frame moved from a bespoke memo into the
+    # durable plan tier in r15 — clearCache() above dropped its blocks;
+    # the re-armed cache marker repopulates on the next action)
 
 
 def plan_memo(*gate_names: str) -> Callable:

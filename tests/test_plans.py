@@ -883,7 +883,9 @@ def test_memo_eviction_drops_dead_sessions(spark, sf_dir):
 
 def test_boilerplate_docs_single_cache_entry(spark, sf_dir):
     """The corpus-sized boilerplate gram frame must stay ONE bounded
-    resident entry across repeat calls (explicit memo, r9 follow-up)."""
+    resident entry across repeat calls (r9 follow-up; since r15 the
+    ownership is the durable prepared plan, not a bespoke memo)."""
+    from iceberg_kafka_playgroud_spark import plan_cache
     from iceberg_kafka_playgroud_spark.operators import text
 
     text.text_boilerplate_coverage(spark, sf_dir).collect()
@@ -891,10 +893,13 @@ def test_boilerplate_docs_single_cache_entry(spark, sf_dir):
     text.text_boilerplate_coverage(spark, sf_dir).collect()
     text.text_boilerplate_coverage(spark, sf_dir).collect()
     assert _n_persistent_rdds(spark) == base
-    assert (
-        len([k for k in text._BOILER_DOCS_MEMO if k[1] == sf_dir.rstrip("/")])
-        == 1
-    )
+    entries = [
+        k
+        for k in plan_cache._DURABLE_PLAN_CACHE
+        if "text_boilerplate_coverage" in k[2]
+        and k[1] == sf_dir.rstrip("/")
+    ]
+    assert len(entries) == 1
 
 
 def test_weighted_jaccard_prune_branch_matches(spark, sf_dir, monkeypatch):

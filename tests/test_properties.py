@@ -995,7 +995,6 @@ def test_every_engine_memo_is_classified():
         "operators.similarity._PAIRS_MEMO",
         "operators.similarity._KM_MODEL_MEMO",
         "operators.similarity._IVF_INDEX_MEMO",
-        "operators.text._BOILER_DOCS_MEMO",
     }
     RETAINED = {
         # lazy scan handles — pure plans, no materialization

@@ -51,6 +51,7 @@ DIRTY = [
     "dedup_weighted_jaccard",
     "dedup_simhash",
     "dedup_simhash_hamming",
+    "text_boilerplate_coverage",
     # r15: CC convergence metric read through the guarded
     # non-blocking Observation probe — connected_components_over
     "embedding_cluster_components",
