@@ -1130,7 +1130,9 @@ def test_durable_plan_memo_contract(spark, sf_dir):
     assert a.collect()[0]["s"] == 30  # populates the cache
     plan_cache.clear_materializations(spark)
     b = build(spark, sf_dir)
-    assert b is a and calls["n"] == 1  # analyzed tree retained
+    # analyzed tree retained (no rebuild), but handed out as a FRESH
+    # Dataset so no frozen execution plan can serve a stale answer
+    assert calls["n"] == 1 and b is not a and b.sameSemantics(a)
     # nothing materialized survived the reset: the hit recomputes
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     assert all(i.memSize() == 0 and i.diskSize() == 0 for i in infos)
@@ -1167,7 +1169,7 @@ def test_minhash_lsh_durable_plan_recomputes(spark, sf_dir):
     base = sorted(map(tuple, a.collect()))
     plan_cache.clear_materializations(spark)
     b = dedup.dedup_minhash_lsh(spark, sf_dir)
-    assert b is a
+    assert b is not a and b.sameSemantics(a)  # retained tree, fresh view
     key = next(
         k
         for k in plan_cache._DURABLE_PLAN_CACHE
@@ -1178,3 +1180,31 @@ def test_minhash_lsh_durable_plan_recomputes(spark, sf_dir):
     assert len(handles) == 5
     assert all(h.storageLevel.useMemory for h in handles)
     assert sorted(map(tuple, b.collect())) == base
+
+
+def test_durable_plan_not_frozen_across_reset(spark, tmp_path):
+    """Regression pin (r15 review finding): a Dataset freezes its
+    execution plan — file-listing snapshot included — on first action,
+    so the durable tier must hand out a FRESH view per call.  With the
+    retained object returned directly, this scenario served the OLD
+    data after the reset (measured): build over a parquet source,
+    act, overwrite the source, reset, call again — the result must
+    reflect the new data."""
+    from pyspark.sql import functions as F
+
+    from iceberg_kafka_playgroud_spark import plan_cache
+
+    src = str(tmp_path / "src")
+    spark.range(10).write.mode("overwrite").parquet(src)
+
+    @plan_cache.durable_plan_memo()
+    def build(sp, sf):
+        base = plan_cache.cached(
+            sp.read.parquet(src).select(F.col("id").alias("x"))
+        )
+        return base.select(F.sum("x").alias("s"))
+
+    assert build(spark, "sf-frozen-test").collect()[0]["s"] == 45
+    spark.range(100).write.mode("overwrite").parquet(src)
+    plan_cache.clear_materializations(spark)
+    assert build(spark, "sf-frozen-test").collect()[0]["s"] == 4950

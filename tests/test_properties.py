@@ -1032,21 +1032,26 @@ def test_every_engine_memo_is_classified():
 
 def test_durable_builders_are_eligible():
     """Eligibility tripwire for the durable prepared-plan tier (r15):
-    a durable builder's plan survives clear_materializations, so its
-    SOURCE must contain no eager materialization a recompute rep ought
-    to re-pay — no localCheckpoint, no .collect(), no createDataFrame
-    of computed rows, no sink writes.  (Plan-shaping stats via the
-    shared helpers _cand_count / table_row_count are the documented
-    exception — query-planner work, checked here by name so a new
-    eager helper can't slip in unnoticed.)  Heuristic source scan:
-    it inspects the builder body only, not callees — keep helpers
-    pure-lazy too (they are: _minhash_candidates,
-    _jaccard_on_candidates, simhash_signatures*)."""
+    a durable builder's plan survives clear_materializations, so
+    nothing it executes may eagerly materialize state a recompute rep
+    ought to re-pay — no localCheckpoint, no .collect(), no
+    createDataFrame of computed rows, no sink writes.  The scan is
+    TRANSITIVE (review finding, r15): starting from each registered
+    builder it follows every called function defined inside the
+    package, so an eager construct added to a shared helper
+    (_minhash_candidates, _jaccard_on_candidates, simhash_signatures*)
+    trips it too.  Documented plan-shaping exceptions — query-planner
+    statistics a production engine reads from table stats — are
+    skipped BY NAME: _cand_count (candidate count gating broadcast
+    hints) and table_row_count (footer metadata)."""
+    import ast
     import inspect
+    import textwrap
 
     from iceberg_kafka_playgroud_spark import plan_cache
     # import the modules that register durable builders
     from iceberg_kafka_playgroud_spark.operators import dedup  # noqa: F401
+    from iceberg_kafka_playgroud_spark.operators import text  # noqa: F401
 
     assert plan_cache._DURABLE_BUILDERS, "expected registered builders"
     forbidden = (
@@ -1058,20 +1063,48 @@ def test_durable_builders_are_eligible():
         ".write.",
         "toPandas",
     )
-    import ast
-    import textwrap
+    ALLOWED_STATS = {"_cand_count", "table_row_count"}
+    PKG = "iceberg_kafka_playgroud_spark"
 
-    for fn in plan_cache._DURABLE_BUILDERS:
+    def code_only_src(fn):
         tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
         # scan CODE only: docstrings legitimately discuss these
         # constructs (e.g. "cache() beats localCheckpoint here")
         for node in ast.walk(tree):
             if isinstance(node, ast.Constant) and isinstance(node.value, str):
                 node.value = ""
-        src = ast.unparse(tree)
-        hits = [t for t in forbidden if t in src]
-        assert not hits, (
-            f"durable builder {fn.__qualname__} contains eager "
-            f"construct(s) {hits} — it is not eligible for the "
-            "durable tier (see plan_cache._DURABLE_PLAN_CACHE)"
-        )
+        return ast.unparse(tree), tree
+
+    def package_callees(fn, tree):
+        out = []
+        for node in ast.walk(tree):
+            if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)):
+                continue
+            target = fn.__globals__.get(node.func.id)
+            target = inspect.unwrap(target) if callable(target) else None
+            if (
+                target is not None
+                and inspect.isfunction(target)
+                and (target.__module__ or "").startswith(PKG)
+                and target.__name__ not in ALLOWED_STATS
+            ):
+                out.append(target)
+        return out
+
+    for builder in plan_cache._DURABLE_BUILDERS:
+        seen = set()
+        stack = [builder]
+        while stack:
+            fn = stack.pop()
+            if fn in seen:
+                continue
+            seen.add(fn)
+            src, tree = code_only_src(fn)
+            hits = [t for t in forbidden if t in src]
+            assert not hits, (
+                f"durable builder {builder.__qualname__} reaches "
+                f"{fn.__qualname__}, which contains eager "
+                f"construct(s) {hits} — not eligible for the durable "
+                "tier (see plan_cache._DURABLE_PLAN_CACHE)"
+            )
+            stack.extend(package_callees(fn, tree))

@@ -102,7 +102,12 @@ def main() -> None:
         key=lambda n: (last.get(n, 0), prev_pos.get(n, len(prev))),
     )
     out = DIRTY + rest_sorted
-    assert len(out) == len(set(out)) == len(registry)
+    if not (len(out) == len(set(out)) == len(registry)):
+        raise SystemExit(
+            f"rotation invariant broken: {len(out)} rotated / "
+            f"{len(set(out))} unique / {len(registry)} registry — "
+            "check DIRTY for duplicates"
+        )
 
     lines = []
     for i in range(0, len(out), 3):
