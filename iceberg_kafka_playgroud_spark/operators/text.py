@@ -1246,11 +1246,11 @@ FROM agg ORDER BY lang
 BOILER_N = 3  # n-gram width of the boilerplate unit
 BOILER_MIN_DF = 5  # grams in >= this many docs are boilerplate
 
-# (applicationId, sf) → the persisted per-doc gram frame.  The frame
-# is corpus-sized, so ownership must be explicit: ONE bounded resident
-# entry per session+sf (same policy as similarity._PQ_MODEL_MEMO),
-# reused by every repeat call instead of relying on cache-manager
-# plan-dedup to happen to match.
+# The per-doc gram frame is corpus-sized, so ownership is explicit:
+# the durable plan tier (plan_cache.durable_plan_memo) holds ONE
+# prepared plan per (session, sf, gates) whose cached() marker on the
+# gram frame is re-armed on warm hits — see the docstring's "Plan at
+# 100 TB" paragraph for the full policy.
 @durable_plan_memo("BOILER_N", "BOILER_MIN_DF")
 def text_boilerplate_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Boilerplate-coverage audit: trigrams appearing in >=

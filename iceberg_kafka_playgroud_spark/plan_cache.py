@@ -155,11 +155,28 @@ def evict_dead_sessions(memo: dict | None = None) -> int:
     return len(dead)
 
 
+def _drop_durable_tier() -> None:
+    """Clear ``_DURABLE_PLAN_CACHE``, unpersisting every registered
+    cache handle first (blocking=False).  Dropping an entry without
+    this would orphan its cache-manager registrations: the handles'
+    plans stay registered JVM-side until something else calls
+    ``spark.catalog.clearCache()`` (bench does; a bare ``clear()``
+    caller does not)."""
+    for _, handles in _DURABLE_PLAN_CACHE.values():
+        for h in handles:
+            try:
+                h.unpersist(blocking=False)
+            except Exception:
+                # handle owned by a stopped session — nothing to free
+                pass
+    _DURABLE_PLAN_CACHE.clear()
+
+
 def clear() -> None:
     """Drop every prepared plan, BOTH tiers (cold-path measurements
     use this so they cannot hit a warm plan)."""
     _PLAN_CACHE.clear()
-    _DURABLE_PLAN_CACHE.clear()
+    _drop_durable_tier()
 
 
 def clear_materializations(
@@ -218,7 +235,7 @@ def clear_materializations(
     # cold-path measurements that must pay plan construction.
     _PLAN_CACHE.clear()
     if drop_prepared_plans:
-        _DURABLE_PLAN_CACHE.clear()
+        _drop_durable_tier()
     _sim._PQ_MODEL_MEMO.clear()
     _sim._PAIRS_MEMO.clear()
     # trained k-means models and the persisted IVF index are derived
@@ -317,6 +334,17 @@ def durable_plan_memo(*gate_names: str) -> Callable:
             try:
                 df = fn(spark, sf)
                 handles = tuple(_TLS.collect)
+            except BaseException:
+                # a builder raising mid-build would otherwise orphan
+                # the cache registrations it made before failing (the
+                # entry is never stored, so nothing would ever re-arm
+                # or drop them)
+                for h in _TLS.collect:
+                    try:
+                        h.unpersist(blocking=False)
+                    except Exception:
+                        pass
+                raise
             finally:
                 _TLS.collect = prev
             _DURABLE_PLAN_CACHE[key] = (df, handles)

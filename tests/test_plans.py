@@ -1208,3 +1208,73 @@ def test_durable_plan_not_frozen_across_reset(spark, tmp_path):
     spark.range(100).write.mode("overwrite").parquet(src)
     plan_cache.clear_materializations(spark)
     assert build(spark, "sf-frozen-test").collect()[0]["s"] == 4950
+
+
+def test_durable_drop_unpersists_handles(spark, sf_dir):
+    """Regression pin (r15 ADVICE): dropping a durable entry — via
+    clear() or clear_materializations(drop_prepared_plans=True) —
+    must unpersist its registered cache handles, not just forget the
+    Python references; otherwise the cache-manager registrations (and
+    any populated blocks) are orphaned until someone happens to call
+    spark.catalog.clearCache()."""
+    from pyspark.sql import functions as F
+
+    from iceberg_kafka_playgroud_spark import plan_cache
+
+    @plan_cache.durable_plan_memo()
+    def build(sp, sf):
+        base = plan_cache.cached(
+            sp.range(7).select((F.col("id") + 1).alias("x"))
+        )
+        return base.select(F.sum("x").alias("s"))
+
+    for drop in ("clear", "drop_prepared_plans"):
+        assert build(spark, f"sf-unpersist-{drop}").collect()[0]["s"] == 28
+        key = next(
+            k
+            for k in plan_cache._DURABLE_PLAN_CACHE
+            if k[1] == f"sf-unpersist-{drop}"
+        )
+        _, handles = plan_cache._DURABLE_PLAN_CACHE[key]
+        assert handles and all(h.storageLevel.useMemory for h in handles)
+        if drop == "clear":
+            plan_cache.clear()
+        else:
+            # NO spark arg: clearCache() must not be what frees them
+            plan_cache.clear_materializations(drop_prepared_plans=True)
+        assert key not in plan_cache._DURABLE_PLAN_CACHE
+        for h in handles:
+            lvl = h.storageLevel
+            assert not (lvl.useMemory or lvl.useDisk)
+
+
+def test_durable_build_failure_unpersists_partial_handles(spark):
+    """Regression pin (r15 ADVICE): a durable builder raising
+    mid-build must unpersist the cache handles it registered before
+    failing — the entry is never stored, so nothing would ever re-arm
+    or drop them."""
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from iceberg_kafka_playgroud_spark import plan_cache
+
+    stash = []
+
+    @plan_cache.durable_plan_memo()
+    def build(sp, sf):
+        stash.append(
+            plan_cache.cached(sp.range(3).select(F.col("id").alias("x")))
+        )
+        raise RuntimeError("mid-build failure")
+
+    with pytest.raises(RuntimeError, match="mid-build failure"):
+        build(spark, "sf-failed-build")
+    assert not any(
+        k[1] == "sf-failed-build" for k in plan_cache._DURABLE_PLAN_CACHE
+    )
+    (handle,) = stash
+    lvl = handle.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+    # the collector was restored: a later successful build still works
+    stash.clear()

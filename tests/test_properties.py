@@ -1062,6 +1062,14 @@ def test_durable_builders_are_eligible():
         "writeStream",
         ".write.",
         "toPandas",
+        # direct eager actions (r15 ADVICE): an eager materialization
+        # via these would be just as ineligible as .collect() —
+        # ALLOWED_STATS (_cand_count / table_row_count) carry the only
+        # sanctioned plan-shaping counts, and they are skipped by name
+        ".count()",
+        ".first()",
+        ".take(",
+        ".head(",
     )
     ALLOWED_STATS = {"_cand_count", "table_row_count"}
     PKG = "iceberg_kafka_playgroud_spark"
@@ -1078,9 +1086,21 @@ def test_durable_builders_are_eligible():
     def package_callees(fn, tree):
         out = []
         for node in ast.walk(tree):
-            if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)):
+            if not isinstance(node, ast.Call):
                 continue
-            target = fn.__globals__.get(node.func.id)
+            # bare-name call: helper(...)
+            if isinstance(node.func, ast.Name):
+                target = fn.__globals__.get(node.func.id)
+            # module-attribute call (r15 ADVICE): module.helper(...) —
+            # resolvable when the base name is a module (or any
+            # object) in the builder's globals
+            elif isinstance(node.func, ast.Attribute) and isinstance(
+                node.func.value, ast.Name
+            ):
+                base = fn.__globals__.get(node.func.value.id)
+                target = getattr(base, node.func.attr, None)
+            else:
+                continue
             target = inspect.unwrap(target) if callable(target) else None
             if (
                 target is not None
