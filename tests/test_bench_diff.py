@@ -1,0 +1,127 @@
+"""Pins for tools/bench_diff.py (r15 verdict task 3): the
+round-over-round adjudication protocol — structure first, probes
+second, wall last — applied mechanically.  Pure-Python, no Spark."""
+
+import importlib.util
+import pathlib
+
+_spec = importlib.util.spec_from_file_location(
+    "bench_diff",
+    pathlib.Path(__file__).resolve().parent.parent
+    / "tools"
+    / "bench_diff.py",
+)
+bench_diff = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench_diff)
+
+
+def _detail(queries, jobs, probe_start, probe_mid, **extra):
+    return {
+        "metric": "headline_queries_detail",
+        "queries_recompute": queries,
+        "queries_jobs_recompute": jobs,
+        "calibration_probe": {
+            "rows": 10_000_000,
+            "start": probe_start,
+            "mid": probe_mid,
+            "end": [0.05],
+        },
+        "duckdb_queries": {k: 0.1 for k in queries},
+        **extra,
+    }
+
+
+OLD = _detail(
+    {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0},
+    {"a": [4, 4], "b": [4, 4], "c": [4, 4], "d": [4, 4]},
+    [0.05, 0.06],
+    [0.05, 0.07],
+)
+
+
+def _verdicts(old, new):
+    rows, summary = bench_diff.adjudicate(old, new)
+    return {r["query"]: r["verdict"] for r in rows}, summary
+
+
+def test_flat_within_band():
+    new = _detail(
+        {"a": 1.1, "b": 0.9, "c": 1.0, "d": 1.0},
+        OLD["queries_jobs_recompute"],
+        [0.05],
+        [0.05],
+    )
+    v, _ = _verdicts(OLD, new)
+    assert set(v.values()) == {"flat"}
+
+
+def test_structure_first_plan_change_beats_probes():
+    # grown job count => plan change even on a degraded box
+    new = _detail(
+        {"a": 2.0, "b": 1.0, "c": 1.0, "d": 1.0},
+        {**OLD["queries_jobs_recompute"], "a": [7, 7]},
+        [0.9],
+        [0.8],
+    )
+    v, _ = _verdicts(OLD, new)
+    assert v["a"] == "plan-change-regressed"
+
+
+def test_probes_second_host_noise():
+    # jobs flat, wall regressed, slower file's probe spiked => noise
+    new = _detail(
+        {"a": 2.0, "b": 1.0, "c": 1.0, "d": 1.0},
+        OLD["queries_jobs_recompute"],
+        [0.5, 0.6],
+        [0.7],
+    )
+    v, _ = _verdicts(OLD, new)
+    assert v["a"] == "host-noise"
+
+
+def test_wall_last_genuine_regression_and_improvement():
+    new = _detail(
+        {"a": 2.0, "b": 0.4, "c": 1.0, "d": 1.0},
+        OLD["queries_jobs_recompute"],
+        [0.05],
+        [0.06],
+    )
+    v, summary = _verdicts(OLD, new)
+    assert v["a"] == "REGRESSION" and v["b"] == "improved"
+    assert summary["verdict_counts"]["REGRESSION"] == 1
+
+
+def test_pre_r15_files_lack_jobs():
+    old = dict(OLD)
+    old.pop("queries_jobs_recompute")
+    new = _detail(
+        {"a": 2.0, "b": 1.0, "c": 1.0, "d": 1.0},
+        {},
+        [0.05],
+        [0.05],
+    )
+    v, _ = _verdicts(old, new)
+    assert v["a"] == "no-jobs-data" and v["b"] == "flat"
+
+
+def test_added_and_removed_queries():
+    new = _detail(
+        {"a": 1.0, "b": 1.0, "c": 1.0, "e": 1.0},
+        {k: [4, 4] for k in ("a", "b", "c", "e")},
+        [0.05],
+        [0.05],
+    )
+    v, _ = _verdicts(OLD, new)
+    assert v["e"] == "new-query" and v["d"] == "removed-query"
+
+
+def test_rep_count_change_same_plan_is_not_plan_change():
+    # 2 reps -> 3 reps with the same per-rep count: same fingerprint
+    new = _detail(
+        {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0},
+        {k: [4, 4, 4] for k in ("a", "b", "c", "d")},
+        [0.05],
+        [0.05],
+    )
+    v, _ = _verdicts(OLD, new)
+    assert set(v.values()) == {"flat"}

@@ -1,0 +1,203 @@
+"""Round-over-round bench adjudication (r15 verdict task 3).
+
+Compares two BENCH_DETAIL.json files (an OLD round and a NEW round)
+and emits, per headline query: the recompute-warm wall delta, the
+structural job-count delta, and a verdict that applies the standing
+adjudication protocol mechanically instead of by hand:
+
+  1. STRUCTURE FIRST.  The per-rep Spark job count is the plan-shape
+     fingerprint (bench.py records the max-job-id delta per recompute
+     rep).  If it changed between rounds, the wall delta is a real
+     plan change — ``plan-change`` (improved or regressed).
+  2. PROBES SECOND.  Each detail file carries a fixed 10M-row-sum
+     calibration probe at bench start/mid/end.  The Spark section's
+     health reading is min(start+mid); when the slower file's reading
+     exceeds both the healthy floor (0.12 s — the observed quiet-host
+     band is 0.04-0.11 s) and 1.5x the other file's, the box was
+     measurably degraded and an unexplained wall delta on unchanged
+     plans is adjudicated ``host-noise``.
+  3. WALL LAST.  With identical job counts and healthy probes, a wall
+     delta beyond the noise band (25% AND 0.15 s — run-to-run spread
+     on this shared host routinely reaches 25%) is a genuine
+     ``REGRESSION`` / ``improved``; inside the band it is ``flat``.
+
+Detail files older than r15 lack the jobs/probe instrumentation;
+their rows are marked ``no-jobs-data`` and only the wall delta is
+reported.
+
+Usage (one command, judge-runnable):
+
+    python tools/bench_diff.py OLD_DETAIL.json NEW_DETAIL.json
+
+Exit code is 0 unless a row earns ``REGRESSION`` (structure flat,
+probes healthy, wall regressed) or ``plan-change-regressed`` — the
+two verdicts that demand investigation.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+# healthy-host calibration ceiling: quiet readings on this box are
+# 0.04-0.11 s; r14's degraded box spiked the same probe to 0.4-3.7 s
+PROBE_HEALTHY_S = 0.12
+# noise band for wall deltas on unchanged plans with healthy probes
+NOISE_REL = 0.25
+NOISE_ABS_S = 0.15
+
+
+def _load(path: str) -> dict:
+    with open(path) as fh:
+        d = json.load(fh)
+    if d.get("metric") != "headline_queries_detail":
+        raise SystemExit(
+            f"{path}: not a BENCH_DETAIL file (metric="
+            f"{d.get('metric')!r}); pass the detail JSON, not the "
+            "summary line"
+        )
+    return d
+
+
+def _probe_spark_section(d: dict) -> float | None:
+    """Host-health reading for the SPARK timing section: the best of
+    the start+mid probes (mid runs right after the Spark loop; end
+    runs after DuckDB and does not cover the Spark section)."""
+    cal = d.get("calibration_probe")
+    if not cal:
+        return None
+    reps = list(cal.get("start") or []) + list(cal.get("mid") or [])
+    return min(reps) if reps else None
+
+
+def _jobs_sig(d: dict, name: str) -> tuple[int, ...] | None:
+    reps = (d.get("queries_jobs_recompute") or {}).get(name)
+    return tuple(reps) if reps else None
+
+
+def adjudicate(old: dict, new: dict) -> tuple[list[dict], dict]:
+    qs_old = old.get("queries_recompute") or old.get("queries") or {}
+    qs_new = new.get("queries_recompute") or new.get("queries") or {}
+    probe_old = _probe_spark_section(old)
+    probe_new = _probe_spark_section(new)
+    rows: list[dict] = []
+    for name in qs_new:
+        if name not in qs_old:
+            rows.append({"query": name, "verdict": "new-query"})
+            continue
+        w_old, w_new = qs_old[name], qs_new[name]
+        delta = round(w_new - w_old, 3)
+        j_old, j_new = _jobs_sig(old, name), _jobs_sig(new, name)
+        row = {
+            "query": name,
+            "wall_old": w_old,
+            "wall_new": w_new,
+            "wall_delta": delta,
+            "jobs_old": list(j_old) if j_old else None,
+            "jobs_new": list(j_new) if j_new else None,
+        }
+        within_band = abs(delta) <= max(NOISE_REL * w_old, NOISE_ABS_S)
+        if j_old is None or j_new is None:
+            row["verdict"] = (
+                "flat" if within_band else "no-jobs-data"
+            )
+        # per-rep counts can differ in LENGTH if the rep count
+        # changed; compare the structural fingerprint = the set of
+        # per-rep counts (reps of one plan repeat the same count)
+        elif set(j_old) != set(j_new):
+            row["verdict"] = (
+                "plan-change-regressed"
+                if delta > 0 and not within_band
+                else "plan-change-improved"
+                if delta < 0 and not within_band
+                else "plan-change-flat"
+            )
+        elif within_band:
+            row["verdict"] = "flat"
+        else:
+            # unchanged plan, wall moved beyond the band: probes decide
+            slower = probe_new if delta > 0 else probe_old
+            other = probe_old if delta > 0 else probe_new
+            degraded = (
+                slower is not None
+                and slower > PROBE_HEALTHY_S
+                and (other is None or slower > 1.5 * other)
+            )
+            if degraded:
+                row["verdict"] = "host-noise"
+            else:
+                row["verdict"] = "REGRESSION" if delta > 0 else "improved"
+        rows.append(row)
+    for name in qs_old:
+        if name not in qs_new:
+            rows.append({"query": name, "verdict": "removed-query"})
+
+    dd_old = sum((old.get("duckdb_queries") or {}).values())
+    dd_new = sum((new.get("duckdb_queries") or {}).values())
+    summary = {
+        "spark_total_old": round(sum(qs_old.values()), 3),
+        "spark_total_new": round(sum(qs_new.values()), 3),
+        "duckdb_total_old": round(dd_old, 3),
+        "duckdb_total_new": round(dd_new, 3),
+        "probe_spark_section_old": probe_old,
+        "probe_spark_section_new": probe_new,
+        "durable_plans_old": old.get("durable_plans"),
+        "durable_plans_new": new.get("durable_plans"),
+        "verdict_counts": {},
+    }
+    for r in rows:
+        v = r["verdict"]
+        summary["verdict_counts"][v] = summary["verdict_counts"].get(v, 0) + 1
+    return rows, summary
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) != 3:
+        raise SystemExit(
+            "usage: python tools/bench_diff.py OLD_DETAIL.json "
+            "NEW_DETAIL.json"
+        )
+    old, new = _load(argv[1]), _load(argv[2])
+    rows, summary = adjudicate(old, new)
+    order = {
+        "REGRESSION": 0,
+        "plan-change-regressed": 1,
+        "plan-change-improved": 2,
+        "plan-change-flat": 3,
+        "host-noise": 4,
+        "no-jobs-data": 5,
+        "improved": 6,
+        "new-query": 7,
+        "removed-query": 8,
+        "flat": 9,
+    }
+    rows.sort(
+        key=lambda r: (order.get(r["verdict"], 9), -abs(r.get("wall_delta", 0)))
+    )
+    wq = max((len(r["query"]) for r in rows), default=5)
+    print(
+        f"{'query':<{wq}}  {'old':>7} {'new':>7} {'delta':>7}  "
+        f"{'jobs old->new':<16} verdict"
+    )
+    for r in rows:
+        if "wall_old" not in r:
+            print(f"{r['query']:<{wq}}  {'':>7} {'':>7} {'':>7}  "
+                  f"{'':<16} {r['verdict']}")
+            continue
+        jo = ",".join(map(str, r["jobs_old"])) if r["jobs_old"] else "-"
+        jn = ",".join(map(str, r["jobs_new"])) if r["jobs_new"] else "-"
+        print(
+            f"{r['query']:<{wq}}  {r['wall_old']:>7.3f} "
+            f"{r['wall_new']:>7.3f} {r['wall_delta']:>+7.3f}  "
+            f"{jo + '->' + jn:<16} {r['verdict']}"
+        )
+    print()
+    print(json.dumps({"metric": "bench_diff_summary", **summary}))
+    bad = summary["verdict_counts"].get("REGRESSION", 0) + summary[
+        "verdict_counts"
+    ].get("plan-change-regressed", 0)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))
