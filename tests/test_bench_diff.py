@@ -91,6 +91,38 @@ def test_wall_last_genuine_regression_and_improvement():
     assert summary["verdict_counts"]["REGRESSION"] == 1
 
 
+def test_burst_signature_cold_inversion():
+    # slower file's cold beats its own best recompute rep => a burst
+    # hit the rep section (the r15c ann_pq_adc_topk shape)
+    new = _detail(
+        {"a": 5.0, "b": 1.0, "c": 1.0, "d": 1.0},
+        OLD["queries_jobs_recompute"],
+        [0.05],
+        [0.05],
+        queries_runs_recompute={"a": [5.0, 7.9]},
+        queries_cold={"a": 3.5},
+    )
+    v, _ = _verdicts(OLD, new)
+    assert v["a"] == "host-noise"
+
+
+def test_burst_signature_rep_overlap():
+    # rep ranges overlap: the best-of delta is inside observed spread
+    old = dict(OLD)
+    old["queries_runs_recompute"] = {"a": [1.0, 1.7]}
+    old["queries_cold"] = {"a": 2.0}
+    new = _detail(
+        {"a": 1.6, "b": 1.0, "c": 1.0, "d": 1.0},
+        OLD["queries_jobs_recompute"],
+        [0.05],
+        [0.05],
+        queries_runs_recompute={"a": [1.6, 2.4]},
+        queries_cold={"a": 3.0},
+    )
+    v, _ = _verdicts(old, new)
+    assert v["a"] == "flat"
+
+
 def test_pre_r15_files_lack_jobs():
     old = dict(OLD)
     old.pop("queries_jobs_recompute")

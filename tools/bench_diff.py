@@ -16,10 +16,22 @@ adjudication protocol mechanically instead of by hand:
      band is 0.04-0.11 s) and 1.5x the other file's, the box was
      measurably degraded and an unexplained wall delta on unchanged
      plans is adjudicated ``host-noise``.
-  3. WALL LAST.  With identical job counts and healthy probes, a wall
-     delta beyond the noise band (25% AND 0.15 s — run-to-run spread
-     on this shared host routinely reaches 25%) is a genuine
-     ``REGRESSION`` / ``improved``; inside the band it is ``flat``.
+  3. BURST SIGNATURES.  Two per-query shapes mark a mid-query host
+     burst even when the probes read healthy (both observed in the
+     r15c run and hand-adjudicated there): a COLD-INVERSION — the
+     slower file's cold run (which pays strictly more work: plan
+     construction + one-time materializations) beating its own best
+     recompute rep — and REP-INTERVAL OVERLAP — the two files' rep
+     ranges overlap, i.e. the delta is inside the observed run-to-run
+     spread.  The first is ``host-noise``, the second ``flat``.
+  4. WALL LAST.  With identical job counts, healthy probes, and no
+     burst signature, a wall delta beyond the noise band (25% AND
+     0.15 s — run-to-run spread on this shared host routinely reaches
+     25%) is ``REGRESSION`` / ``improved``; inside the band, ``flat``.
+     A REGRESSION verdict from best-of-2 reps on a shared box is a
+     re-measure order, not a conviction — confirm isolated before
+     acting (the r15 a-vs-c comparison shows identical code earning
+     this verdict from box drift alone).
 
 Detail files older than r15 lack the jobs/probe instrumentation;
 their rows are marked ``no-jobs-data`` and only the wall delta is
@@ -115,16 +127,41 @@ def adjudicate(old: dict, new: dict) -> tuple[list[dict], dict]:
         elif within_band:
             row["verdict"] = "flat"
         else:
-            # unchanged plan, wall moved beyond the band: probes decide
-            slower = probe_new if delta > 0 else probe_old
-            other = probe_old if delta > 0 else probe_new
+            # unchanged plan, wall moved beyond the band: probes and
+            # burst signatures decide
+            slower_d, faster_d = (
+                (new, old) if delta > 0 else (old, new)
+            )
+            slower = _probe_spark_section(slower_d)
+            other = _probe_spark_section(faster_d)
             degraded = (
                 slower is not None
                 and slower > PROBE_HEALTHY_S
                 and (other is None or slower > 1.5 * other)
             )
-            if degraded:
+            reps_slow = (slower_d.get("queries_runs_recompute") or {}).get(
+                name
+            )
+            cold_slow = (slower_d.get("queries_cold") or {}).get(name)
+            # cold pays strictly more work than a recompute rep; cold
+            # beating every rep means a burst hit the rep section
+            cold_inverted = (
+                reps_slow
+                and cold_slow is not None
+                and cold_slow < min(reps_slow)
+            )
+            reps_old = (old.get("queries_runs_recompute") or {}).get(name)
+            reps_new = (new.get("queries_runs_recompute") or {}).get(name)
+            overlap = (
+                reps_old
+                and reps_new
+                and max(min(reps_old), min(reps_new))
+                <= min(max(reps_old), max(reps_new))
+            )
+            if degraded or cold_inverted:
                 row["verdict"] = "host-noise"
+            elif overlap:
+                row["verdict"] = "flat"
             else:
                 row["verdict"] = "REGRESSION" if delta > 0 else "improved"
         rows.append(row)
