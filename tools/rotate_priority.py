@@ -31,32 +31,14 @@ sys.path.insert(0, str(ROOT))
 # EDIT EACH ROUND: the round being prepared (enforces the
 # run-at-round-start invariant: this round's CORRECTNESS file must
 # not exist yet, or the staleness ordering would double-credit it).
-ROUND = 15
+ROUND = 16
 
 # EDIT EACH ROUND: this round's dirty set, most-critical first.
 DIRTY = [
-    # r15: durable prepared plan + cached() handle registration on the
-    # shared MinHash pipeline — every dedup_minhash_lsh /
-    # _minhash_candidates consumer
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    "dedup_cluster_canonical",
-    "dedup_cluster_stats",
-    "dedup_cluster_cohesion",
-    "dedup_loss_by_source",
-    "dedup_incremental_cc",
-    "dedup_lexical_semantic_eval",
-    "dedup_similarity_histogram",
-    "dedup_minhash_calibration",
-    "dedup_weighted_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_hamming",
-    "text_boilerplate_coverage",
-    # r15: CC convergence metric read through the guarded
-    # non-blocking Observation probe — connected_components_over
-    "embedding_cluster_components",
-    # r15: footer-count except clause widened to ArrowException
-    "ann_ivf_rebalance",
+    # r16: no operator's EXECUTED plan changed (the round's code
+    # changes are reset-path unpersists in plan_cache, bench
+    # instrumentation, and tools/) — the whole window goes to the
+    # staleness drain, per the r15 verdict's task 1.
 ]
 
 
