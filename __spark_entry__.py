@@ -175,12 +175,12 @@ _PRIORITY = [
     "purchase_event_fabric", "q12_ship_priority_class", "quality_filter_funnel",
     "sequence_pack_contiguous", "session_funnel", "split_train_val_test",
     "stream_anomaly_zscore", "stream_dim_enrichment", "stream_dual_sink",
-    "stream_exact_dedup", "dedup_minhash_lsh", "dedup_connected_components",
-    "dedup_cluster_canonical", "dedup_cluster_stats", "dedup_cluster_cohesion",
-    "dedup_loss_by_source", "dedup_incremental_cc", "dedup_lexical_semantic_eval",
-    "dedup_similarity_histogram", "dedup_minhash_calibration", "dedup_weighted_jaccard",
-    "dedup_simhash", "dedup_simhash_hamming", "text_boilerplate_coverage",
-    "embedding_cluster_components", "ann_ivf_rebalance", "stream_sessionize",
+    "stream_exact_dedup", "dedup_connected_components", "dedup_cluster_canonical",
+    "dedup_cluster_stats", "dedup_cluster_cohesion", "dedup_loss_by_source",
+    "dedup_lexical_semantic_eval", "dedup_incremental_cc", "embedding_cluster_components",
+    "dedup_minhash_lsh", "dedup_similarity_histogram", "dedup_minhash_calibration",
+    "dedup_weighted_jaccard", "dedup_simhash", "dedup_simhash_hamming",
+    "text_boilerplate_coverage", "ann_ivf_rebalance", "stream_sessionize",
     "stream_sliding_counts", "stream_stateful_user_totals", "stream_stream_join",
     "stream_tumbling_counts", "stream_upsert_latest", "stream_windowed_topk",
     "table_stats", "text_char_entropy_proxy", "text_langid_confusion",

@@ -732,6 +732,10 @@ def _observed_n_changed(obs, updated: DataFrame) -> int:
     the private handle moves — fall back to an explicit filter+count
     over the materialized checkpoint (one extra tiny job per round,
     the pre-r14 cost) instead of hanging the CC loop in ``obs.get``.
+    (r16 instrumented check: across loaded-host reps the probe was
+    fulfilled on EVERY call — the fulfillment is synchronous with the
+    checkpoint's action as pinned above, not listener-bus-delayed —
+    so no wait loop is needed in front of the fallback.)
     """
     try:
         fulfilled = obs._jo is not None and obs._jo.getRowOrEmpty().isDefined()

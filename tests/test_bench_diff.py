@@ -147,6 +147,30 @@ def test_added_and_removed_queries():
     assert v["e"] == "new-query" and v["d"] == "removed-query"
 
 
+def test_fallback_job_jitter_is_not_plan_change():
+    # equal minima with a small positive tail = the CC Observation
+    # fallback job firing on a lagging listener bus, not a new plan
+    old = dict(OLD)
+    old["queries_jobs_recompute"] = {**OLD["queries_jobs_recompute"], "a": [69, 69]}
+    new = _detail(
+        {"a": 1.05, "b": 1.0, "c": 1.0, "d": 1.0},
+        {**OLD["queries_jobs_recompute"], "a": [69, 70]},
+        [0.05],
+        [0.05],
+    )
+    v, _ = _verdicts(old, new)
+    assert v["a"] == "flat"
+    # different minima IS a plan change even with overlap in the sets
+    new2 = _detail(
+        {"a": 3.0, "b": 1.0, "c": 1.0, "d": 1.0},
+        {**OLD["queries_jobs_recompute"], "a": [70, 70]},
+        [0.05],
+        [0.05],
+    )
+    v2, _ = _verdicts(old, new2)
+    assert v2["a"] == "plan-change-regressed"
+
+
 def test_rep_count_change_same_plan_is_not_plan_change():
     # 2 reps -> 3 reps with the same per-rep count: same fingerprint
     new = _detail(

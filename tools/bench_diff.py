@@ -49,7 +49,15 @@ two verdicts that demand investigation.
 from __future__ import annotations
 
 import json
+import signal
 import sys
+
+# piping through `head` must not stack-trace (default SIGPIPE action,
+# not Python's BrokenPipeError); guarded for non-POSIX just in case
+try:
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+except (AttributeError, ValueError):
+    pass
 
 # healthy-host calibration ceiling: quiet readings on this box are
 # 0.04-0.11 s; r14's degraded box spiked the same probe to 0.4-3.7 s
@@ -115,8 +123,16 @@ def adjudicate(old: dict, new: dict) -> tuple[list[dict], dict]:
             )
         # per-rep counts can differ in LENGTH if the rep count
         # changed; compare the structural fingerprint = the set of
-        # per-rep counts (reps of one plan repeat the same count)
-        elif set(j_old) != set(j_new):
+        # per-rep counts (reps of one plan repeat the same count).
+        # Exception: a ±1-2 job tail above an EQUAL minimum is runtime
+        # jitter (AQE re-optimization / broadcast-job scheduling can
+        # add a small job on one rep — observed once in 69-job
+        # dedup_incremental_cc), not a new plan; a genuinely changed
+        # plan shifts the minimum.
+        elif set(j_old) != set(j_new) and (
+            min(j_old) != min(j_new)
+            or max(max(j_old), max(j_new)) - min(min(j_old), min(j_new)) > 3
+        ):
             row["verdict"] = (
                 "plan-change-regressed"
                 if delta > 0 and not within_band

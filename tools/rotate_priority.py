@@ -37,7 +37,8 @@ ROUND = 16
 DIRTY = [
     # r16: no operator's EXECUTED plan changed (the round's code
     # changes are reset-path unpersists in plan_cache, bench
-    # instrumentation, and tools/) — the whole window goes to the
+    # instrumentation, tools/, and a docstring update recording the
+    # refuted listener-lag theory) — the whole window goes to the
     # staleness drain, per the r15 verdict's task 1.
 ]
 
