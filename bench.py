@@ -141,7 +141,7 @@ def main() -> None:
     #                   the HEADLINE ratio.  DATA work is
     #                   apples-to-apples against DuckDB (which
     #                   recomputes every run); PLAN work is not quite —
-    #                   DuckDB re-plans each rep, while the 7
+    #                   DuckDB re-plans each rep, while the
     #                   durable-tier queries serve a prepared plan
     #                   (the prepared-statement role; DuckDB's own
     #                   planner cost on these is ~ms, so the asymmetry

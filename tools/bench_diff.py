@@ -80,14 +80,17 @@ def _load(path: str) -> dict:
 
 
 def _probe_spark_section(d: dict) -> float | None:
-    """Host-health reading for the SPARK timing section: the best of
-    the start+mid probes (mid runs right after the Spark loop; end
-    runs after DuckDB and does not cover the Spark section)."""
+    """Host-health reading for the SPARK timing section: the WORSE of
+    the two probes bracketing it — min(start reps) vs min(mid reps)
+    (mid runs right after the Spark loop; end runs after DuckDB and
+    does not cover the Spark section).  Taking the min across both
+    would hide a burst confined to one end: the r16c run read start
+    0.294 / mid 0.090 and its early queries carried the burst."""
     cal = d.get("calibration_probe")
     if not cal:
         return None
-    reps = list(cal.get("start") or []) + list(cal.get("mid") or [])
-    return min(reps) if reps else None
+    ends = [min(cal[k]) for k in ("start", "mid") if cal.get(k)]
+    return max(ends) if ends else None
 
 
 def _jobs_sig(d: dict, name: str) -> tuple[int, ...] | None:
