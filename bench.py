@@ -151,6 +151,7 @@ def main() -> None:
     #   cache-warm      best of N runs with memos/caches left warm —
     #                   the prepared-plan + cached-intermediate
     #                   steady state a resident engine serves.
+    from iceberg_kafka_playgroud_spark import plan_cache as _pc
     from iceberg_kafka_playgroud_spark.plan_cache import (
         clear_materializations,
     )
@@ -200,8 +201,6 @@ def main() -> None:
     # cold reset drops the whole tier (drop_prepared_plans=True), so a
     # single end-of-section len() would only see the last query's
     # plans.
-    from iceberg_kafka_playgroud_spark import plan_cache as _pc
-
     durable_seen: set[str] = set()
     probe_start = _calibration_probe()
     for name in names:

@@ -136,6 +136,29 @@ def test_pre_r15_files_lack_jobs():
     assert v["a"] == "no-jobs-data" and v["b"] == "flat"
 
 
+def test_regime_mismatch_refuses_to_adjudicate():
+    # a pre-r12 cache-warm detail file must not be silently compared
+    # against a recompute-warm one — the columns measure different work
+    import pytest
+
+    old = dict(OLD)  # no markers => cache_warm
+    new = _detail(
+        {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0},
+        OLD["queries_jobs_recompute"],
+        [0.05],
+        [0.05],
+        ratio_semantics="recompute_warm",
+    )
+    with pytest.raises(SystemExit, match="regime mismatch"):
+        bench_diff.adjudicate(old, new)
+    # both marker spellings normalize to the same token
+    newer = dict(new)
+    newer.pop("ratio_semantics")
+    newer["queries_regime"] = "recompute_warm_since_r12"
+    v, _ = _verdicts(new, newer)
+    assert set(v.values()) == {"flat"}
+
+
 def test_added_and_removed_queries():
     new = _detail(
         {"a": 1.0, "b": 1.0, "c": 1.0, "e": 1.0},
@@ -148,8 +171,11 @@ def test_added_and_removed_queries():
 
 
 def test_fallback_job_jitter_is_not_plan_change():
-    # equal minima with a small positive tail = the CC Observation
-    # fallback job firing on a lagging listener bus, not a new plan
+    # equal minima with a small positive tail = runtime jitter
+    # (AQE re-optimization / broadcast-job scheduling adding a small
+    # job on one rep — observed once on dedup_incremental_cc; the
+    # listener-lag/fallback theory was instrumented and refuted in
+    # r16), not a new plan
     old = dict(OLD)
     old["queries_jobs_recompute"] = {**OLD["queries_jobs_recompute"], "a": [69, 69]}
     new = _detail(

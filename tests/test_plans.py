@@ -1276,5 +1276,18 @@ def test_durable_build_failure_unpersists_partial_handles(spark):
     (handle,) = stash
     lvl = handle.storageLevel
     assert not (lvl.useMemory or lvl.useDisk)
-    # the collector was restored: a later successful build still works
-    stash.clear()
+    # the collector was restored (finally, not just the except path):
+    # a later successful durable build registers its own handles
+    @plan_cache.durable_plan_memo()
+    def build_ok(sp, sf):
+        base = plan_cache.cached(
+            sp.range(4).select(F.col("id").alias("x"))
+        )
+        return base.select(F.sum("x").alias("s"))
+
+    assert build_ok(spark, "sf-after-failure").collect()[0]["s"] == 6
+    key = next(
+        k for k in plan_cache._DURABLE_PLAN_CACHE if k[1] == "sf-after-failure"
+    )
+    _, handles = plan_cache._DURABLE_PLAN_CACHE[key]
+    assert len(handles) == 1 and handles[0].storageLevel.useMemory

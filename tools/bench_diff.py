@@ -98,7 +98,28 @@ def _jobs_sig(d: dict, name: str) -> tuple[int, ...] | None:
     return tuple(reps) if reps else None
 
 
+def _regime(d: dict) -> str:
+    # pre-r12 detail files carry neither marker and their bare
+    # "queries" column is CACHE-warm best-of — not comparable to the
+    # recompute-warm column this tool adjudicates.  Normalized to one
+    # token because the two markers spell it differently
+    # ("recompute_warm" vs "recompute_warm_since_r12").
+    raw = (
+        d.get("queries_regime")
+        or d.get("ratio_semantics")
+        or "cache_warm_pre_r12"
+    )
+    return "recompute_warm" if "recompute" in raw else "cache_warm"
+
+
 def adjudicate(old: dict, new: dict) -> tuple[list[dict], dict]:
+    if _regime(old) != _regime(new):
+        raise SystemExit(
+            f"regime mismatch: old={_regime(old)!r} vs "
+            f"new={_regime(new)!r} — the files' timing columns measure "
+            "different things (bench.py's queries_regime note); "
+            "cross-regime wall deltas are not adjudicable"
+        )
     qs_old = old.get("queries_recompute") or old.get("queries") or {}
     qs_new = new.get("queries_recompute") or new.get("queries") or {}
     probe_old = _probe_spark_section(old)
@@ -134,7 +155,7 @@ def adjudicate(old: dict, new: dict) -> tuple[list[dict], dict]:
         # plan shifts the minimum.
         elif set(j_old) != set(j_new) and (
             min(j_old) != min(j_new)
-            or max(max(j_old), max(j_new)) - min(min(j_old), min(j_new)) > 3
+            or max(max(j_old), max(j_new)) - min(min(j_old), min(j_new)) > 2
         ):
             row["verdict"] = (
                 "plan-change-regressed"
@@ -148,11 +169,11 @@ def adjudicate(old: dict, new: dict) -> tuple[list[dict], dict]:
         else:
             # unchanged plan, wall moved beyond the band: probes and
             # burst signatures decide
-            slower_d, faster_d = (
-                (new, old) if delta > 0 else (old, new)
+            slower_d, slower, other = (
+                (new, probe_new, probe_old)
+                if delta > 0
+                else (old, probe_old, probe_new)
             )
-            slower = _probe_spark_section(slower_d)
-            other = _probe_spark_section(faster_d)
             degraded = (
                 slower is not None
                 and slower > PROBE_HEALTHY_S
