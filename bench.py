@@ -381,9 +381,19 @@ def main() -> None:
         "queries": recompute,
         "value_cache_warm": round(sum(timings.values()), 3),
         "value_cold": round(sum(cold.values()), 3),
-        # min of each calibration checkpoint (start/mid/end): a spiked
-        # probe marks the round's numbers as host-degraded at a glance;
-        # full rep lists are in the detail line / BENCH_DETAIL.json
+        # host-health PER TIMED SECTION: the WORSE of the section's
+        # two bracketing checkpoint minima — bench_diff's convention
+        # (r16 verdict task 8: the r16 record run's summary triple
+        # read healthy via per-checkpoint mins while the start/mid
+        # probes 0.352/0.279 had caught the burst that stretched its
+        # early Spark rows).  >0.12 s = adjudicate that section's
+        # walls as host-degraded.  Raw rep lists: BENCH_DETAIL.json.
+        "probe_sections": {
+            "spark": round(max(min(probe_start), min(probe_mid)), 3),
+            "duckdb": round(max(min(probe_mid), min(probe_end)), 3),
+        },
+        # raw per-checkpoint minima (start/mid/end), kept for
+        # continuity with pre-r17 summary lines
         "probe": [min(probe_start), min(probe_mid), min(probe_end)],
         # durable-tier prepared plans retained during recompute reps:
         # "recompute_warm" = full data re-execution per rep, but these

@@ -133,7 +133,11 @@ def test_pre_r15_files_lack_jobs():
         [0.05],
     )
     v, _ = _verdicts(old, new)
-    assert v["a"] == "no-jobs-data" and v["b"] == "flat"
+    # within-band rows without a fingerprint are flat-no-jobs, never
+    # a bare "flat" (r16 ADVICE: "flat" would imply a structural
+    # adjudication that never happened)
+    assert v["a"] == "no-jobs-data" and v["b"] == "flat-no-jobs"
+    assert "flat" not in v.values()
 
 
 def test_regime_mismatch_refuses_to_adjudicate():
@@ -184,8 +188,14 @@ def test_fallback_job_jitter_is_not_plan_change():
         [0.05],
         [0.05],
     )
-    v, _ = _verdicts(old, new)
-    assert v["a"] == "flat"
+    rows, summary = bench_diff.adjudicate(old, new)
+    byq = {r["query"]: r for r in rows}
+    assert byq["a"]["verdict"] == "flat"
+    # the tolerated tail is ANNOTATED, not silently absorbed (r16
+    # ADVICE): row carries jobs_jitter and the summary lists it
+    assert byq["a"].get("jobs_jitter") is True
+    assert summary["jobs_jitter_rows"] == ["a"]
+    assert not byq["b"].get("jobs_jitter")
     # different minima IS a plan change even with overlap in the sets
     new2 = _detail(
         {"a": 3.0, "b": 1.0, "c": 1.0, "d": 1.0},

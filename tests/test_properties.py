@@ -1065,8 +1065,11 @@ def test_durable_builders_are_eligible():
         # direct eager actions (r15 ADVICE): an eager materialization
         # via these would be just as ineligible as .collect() —
         # ALLOWED_STATS (_cand_count / table_row_count) carry the only
-        # sanctioned plan-shaping counts, and they are skipped by name
-        ".count()",
+        # sanctioned plan-shaping counts, and they are skipped by name.
+        # '.count()' is NOT in this substring list: DataFrame.count()
+        # is eager but GroupedData.count() — df.groupBy(...).count()
+        # — is a lazy transformation (r16 ADVICE false positive), so
+        # count is checked via AST on the receiver below instead.
         ".first()",
         ".take(",
         ".head(",
@@ -1082,6 +1085,39 @@ def test_durable_builders_are_eligible():
             if isinstance(node, ast.Constant) and isinstance(node.value, str):
                 node.value = ""
         return ast.unparse(tree), tree
+
+    GROUPED = {"groupBy", "groupby", "rollup", "cube", "pivot"}
+
+    def eager_count_calls(tree):
+        # zero-arg .count() is the eager DataFrame action UNLESS its
+        # receiver is a direct grouping call (groupBy/rollup/cube/
+        # pivot chain), where count() is a lazy GroupedData
+        # transformation.  A count() on a bare NAME bound earlier to
+        # a grouped frame is statically indistinguishable from the
+        # eager action and stays forbidden (conservative — no durable
+        # builder writes that shape today; chain the count instead).
+        out = []
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "count"
+                and not node.args
+                and not node.keywords
+            ):
+                recv = node.func.value
+                if (
+                    isinstance(recv, ast.Call)
+                    and isinstance(recv.func, ast.Attribute)
+                    and recv.func.attr in GROUPED
+                ):
+                    continue
+                out.append(ast.unparse(node))
+        return out
+
+    # self-check the discriminator on the two shapes it must split
+    assert not eager_count_calls(ast.parse("df.groupBy('k').count()"))
+    assert eager_count_calls(ast.parse("df.count()")) == ["df.count()"]
 
     def package_callees(fn, tree):
         out = []
@@ -1121,6 +1157,7 @@ def test_durable_builders_are_eligible():
             seen.add(fn)
             src, tree = code_only_src(fn)
             hits = [t for t in forbidden if t in src]
+            hits += [f"eager {c}" for c in eager_count_calls(tree)]
             assert not hits, (
                 f"durable builder {builder.__qualname__} reaches "
                 f"{fn.__qualname__}, which contains eager "

@@ -11,7 +11,9 @@ adjudication protocol mechanically instead of by hand:
      plan change — ``plan-change`` (improved or regressed).
   2. PROBES SECOND.  Each detail file carries a fixed 10M-row-sum
      calibration probe at bench start/mid/end.  The Spark section's
-     health reading is min(start+mid); when the slower file's reading
+     health reading is the WORSE of min(start reps) and min(mid reps)
+     — a burst confined to one bracket must not be hidden by a
+     healthy reading at the other; when the slower file's reading
      exceeds both the healthy floor (0.12 s — the observed quiet-host
      band is 0.04-0.11 s) and 1.5x the other file's, the box was
      measurably degraded and an unexplained wall delta on unchanged
@@ -34,8 +36,12 @@ adjudication protocol mechanically instead of by hand:
      this verdict from box drift alone).
 
 Detail files older than r15 lack the jobs/probe instrumentation;
-their rows are marked ``no-jobs-data`` and only the wall delta is
-reported.
+their rows report only the wall delta — ``no-jobs-data`` outside the
+noise band, ``flat-no-jobs`` inside it (never a bare ``flat``, which
+is reserved for rows whose job-count fingerprint was checked).
+Rows whose job-count sets differ only by a tolerated equal-minimum
++1-2 tail carry a ``jobs_jitter`` annotation (``[jobs-jitter]`` in
+the table) so a recurring tail across rounds stays visible.
 
 Usage (one command, judge-runnable):
 
@@ -141,10 +147,6 @@ def adjudicate(old: dict, new: dict) -> tuple[list[dict], dict]:
             "jobs_new": list(j_new) if j_new else None,
         }
         within_band = abs(delta) <= max(NOISE_REL * w_old, NOISE_ABS_S)
-        if j_old is None or j_new is None:
-            row["verdict"] = (
-                "flat" if within_band else "no-jobs-data"
-            )
         # per-rep counts can differ in LENGTH if the rep count
         # changed; compare the structural fingerprint = the set of
         # per-rep counts (reps of one plan repeat the same count).
@@ -153,10 +155,30 @@ def adjudicate(old: dict, new: dict) -> tuple[list[dict], dict]:
         # add a small job on one rep — observed once in 69-job
         # dedup_incremental_cc), not a new plan; a genuinely changed
         # plan shifts the minimum.
-        elif set(j_old) != set(j_new) and (
+        sets_differ = (
+            j_old is not None
+            and j_new is not None
+            and set(j_old) != set(j_new)
+        )
+        plan_change = sets_differ and (
             min(j_old) != min(j_new)
             or max(max(j_old), max(j_new)) - min(min(j_old), min(j_new)) > 2
-        ):
+        )
+        if sets_differ and not plan_change:
+            # tolerated jitter tail — logged (r16 ADVICE) so a
+            # RECURRING +1/+2 tail across rounds is visible in the
+            # row/table instead of silently absorbed into "flat"
+            row["jobs_jitter"] = True
+        if j_old is None or j_new is None:
+            # pre-r15 file: no structural fingerprint exists, so a
+            # within-band row is "flat-no-jobs", not "flat" — the
+            # wall delta is small but NO job-count check confirmed
+            # the plan (r16 ADVICE: a bare "flat" here implied a
+            # structural adjudication that never happened)
+            row["verdict"] = (
+                "flat-no-jobs" if within_band else "no-jobs-data"
+            )
+        elif plan_change:
             row["verdict"] = (
                 "plan-change-regressed"
                 if delta > 0 and not within_band
@@ -221,6 +243,12 @@ def adjudicate(old: dict, new: dict) -> tuple[list[dict], dict]:
         "durable_plans_old": old.get("durable_plans"),
         "durable_plans_new": new.get("durable_plans"),
         "verdict_counts": {},
+        # rows whose job-count sets differed only by the tolerated
+        # equal-minimum +1-2 tail — visible here so a recurring
+        # jitter tail across rounds can be spotted from summaries
+        "jobs_jitter_rows": sorted(
+            r["query"] for r in rows if r.get("jobs_jitter")
+        ),
     }
     for r in rows:
         v = r["verdict"]
@@ -243,13 +271,14 @@ def main(argv: list[str]) -> int:
         "plan-change-flat": 3,
         "host-noise": 4,
         "no-jobs-data": 5,
-        "improved": 6,
-        "new-query": 7,
-        "removed-query": 8,
-        "flat": 9,
+        "flat-no-jobs": 6,
+        "improved": 7,
+        "new-query": 8,
+        "removed-query": 9,
+        "flat": 10,
     }
     rows.sort(
-        key=lambda r: (order.get(r["verdict"], 9), -abs(r.get("wall_delta", 0)))
+        key=lambda r: (order.get(r["verdict"], 10), -abs(r.get("wall_delta", 0)))
     )
     wq = max((len(r["query"]) for r in rows), default=5)
     print(
@@ -263,10 +292,11 @@ def main(argv: list[str]) -> int:
             continue
         jo = ",".join(map(str, r["jobs_old"])) if r["jobs_old"] else "-"
         jn = ",".join(map(str, r["jobs_new"])) if r["jobs_new"] else "-"
+        mark = " [jobs-jitter]" if r.get("jobs_jitter") else ""
         print(
             f"{r['query']:<{wq}}  {r['wall_old']:>7.3f} "
             f"{r['wall_new']:>7.3f} {r['wall_delta']:>+7.3f}  "
-            f"{jo + '->' + jn:<16} {r['verdict']}"
+            f"{jo + '->' + jn:<16} {r['verdict']}{mark}"
         )
     print()
     print(json.dumps({"metric": "bench_diff_summary", **summary}))

@@ -31,15 +31,15 @@ sys.path.insert(0, str(ROOT))
 # EDIT EACH ROUND: the round being prepared (enforces the
 # run-at-round-start invariant: this round's CORRECTNESS file must
 # not exist yet, or the staleness ordering would double-credit it).
-ROUND = 16
+ROUND = 17
 
 # EDIT EACH ROUND: this round's dirty set, most-critical first.
 DIRTY = [
-    # r16: no operator's EXECUTED plan changed (the round's code
-    # changes are reset-path unpersists in plan_cache, bench
-    # instrumentation, tools/, and a docstring update recording the
-    # refuted listener-lag theory) — the whole window goes to the
-    # staleness drain, per the r15 verdict's task 1.
+    # r17: no operator's EXECUTED plan changed (the round's code
+    # changes are bench.py summary-line probe semantics, bench_diff
+    # verdict tokens/annotations, and test tripwire AST work) — the
+    # whole window goes to the staleness drain, finishing the last
+    # 11 pre-r8 rows per the r16 verdict's task 1.
 ]
 
 
