@@ -184,13 +184,21 @@ def main() -> None:
         return max(ids) if ids else -1
 
     def _calibration_probe(reps: int = 3) -> list[float]:
+        # the FIRST execution after a different workload systematically
+        # pays ~0.2-0.4 s of plan construction / noop-writer setup —
+        # all six committed r15-r17 detail snapshots show an inflated
+        # rep 0 in their start AND mid checkpoints (even the calmest,
+        # r16d: 0.274/0.354) — so one unrecorded warmup rep runs first
+        # and the recorded reps all measure steady state.  Readers
+        # detect this regime via "warmup_discarded" in the JSON.
         out = []
-        for _ in range(reps):
+        for i in range(reps + 1):
             t0 = time.perf_counter()
             spark.range(10_000_000).selectExpr("sum(id)").write.format(
                 "noop"
             ).mode("overwrite").save()
-            out.append(round(time.perf_counter() - t0, 3))
+            if i > 0:
+                out.append(round(time.perf_counter() - t0, 3))
         return out
 
     jobs_recompute_all: dict[str, list[int]] = {}
@@ -351,6 +359,10 @@ def main() -> None:
         # healthy box; r14's degraded box spiked this shape to 3.7 s)
         "calibration_probe": {
             "rows": 10_000_000,
+            # r17: rep lists exclude the discarded warmup execution;
+            # pre-r17 files recorded it as rep 0 (systematically
+            # ~0.2-0.4 s, no host signal)
+            "warmup_discarded": True,
             "start": probe_start,
             "mid": probe_mid,
             "end": probe_end,
@@ -381,16 +393,33 @@ def main() -> None:
         "queries": recompute,
         "value_cache_warm": round(sum(timings.values()), 3),
         "value_cold": round(sum(cold.values()), 3),
-        # host-health PER TIMED SECTION: the WORSE of the section's
-        # two bracketing checkpoint minima — bench_diff's convention
-        # (r16 verdict task 8: the r16 record run's summary triple
-        # read healthy via per-checkpoint mins while the start/mid
-        # probes 0.352/0.279 had caught the burst that stretched its
-        # early Spark rows).  >0.12 s = adjudicate that section's
-        # walls as host-degraded.  Raw rep lists: BENCH_DETAIL.json.
+        # host-health PER TIMED SECTION, two complementary readings
+        # (r16 verdict task 8 + r17 review):
+        # - probe_sections: the WORSE of the section's two bracketing
+        #   checkpoint MINIMA (bench_diff's convention).  >0.12 s =
+        #   SUSTAINED degradation — every rep of a checkpoint slow.
+        # - probe_burst_reps: count of steady-state probe reps above
+        #   the 0.12 s ceiling — evidence of a burst OVERLAPPING a
+        #   checkpoint (valid now that the warmup rep is discarded;
+        #   pre-r17 rep 0 was systematic warmup, not burst).  Scope
+        #   limit, learned from the r16 record run: a burst confined
+        #   to the Spark section BETWEEN checkpoints is invisible to
+        #   every probe statistic by construction — per-query
+        #   adjudication of those stays with bench_diff's rule-3
+        #   burst signatures (cold-inversion / rep-overlap), which is
+        #   what actually flagged that run's q14.
+        # Raw rep lists: BENCH_DETAIL.json.
         "probe_sections": {
             "spark": round(max(min(probe_start), min(probe_mid)), 3),
             "duckdb": round(max(min(probe_mid), min(probe_end)), 3),
+        },
+        "probe_burst_reps": {
+            "spark": sum(
+                1 for r in probe_start + probe_mid if r > 0.12
+            ),
+            "duckdb": sum(
+                1 for r in probe_mid + probe_end if r > 0.12
+            ),
         },
         # raw per-checkpoint minima (start/mid/end), kept for
         # continuity with pre-r17 summary lines

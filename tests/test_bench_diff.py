@@ -217,3 +217,49 @@ def test_rep_count_change_same_plan_is_not_plan_change():
     )
     v, _ = _verdicts(OLD, new)
     assert set(v.values()) == {"flat"}
+
+
+def test_probe_burst_reps_checkpoint_overlap_and_warmup_regimes():
+    # r15c's real shape: checkpoint minima read healthy (min-based
+    # reading discards the elevated tail reps) while a burst
+    # OVERLAPPING both checkpoints leaves reps above the ceiling —
+    # the burst-rep count surfaces exactly that.  Rep 0 is skipped on
+    # pre-r17 files (systematic warmup, ~0.2-0.4 s in all six
+    # committed snapshots, calm and degraded alike — no host signal).
+    burst = _detail(
+        {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0},
+        OLD["queries_jobs_recompute"],
+        [0.358, 0.126, 0.117],
+        [0.350, 0.111, 0.124],
+    )
+    _, summary = bench_diff.adjudicate(burst, OLD)
+    assert summary["probe_spark_section_old"] == 0.117  # min-healthy
+    assert summary["probe_burst_reps_old"] == 2  # 0.126 + 0.124
+    assert summary["probe_burst_reps_new"] == 0
+    # the r16 record shape — warmup rep 0 inflated, tails clean — is
+    # NOT a checkpoint-overlap burst (its q14 burst fell between
+    # checkpoints; rule-3 signatures adjudicated it)
+    record = _detail(
+        {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0},
+        OLD["queries_jobs_recompute"],
+        [0.352, 0.083, 0.079],
+        [0.279, 0.089, 0.101],
+    )
+    _, s_rec = bench_diff.adjudicate(record, OLD)
+    assert s_rec["probe_burst_reps_old"] == 0
+    # r17+ files mark warmup_discarded: every recorded rep is steady
+    # state and rep 0 counts
+    wd = _detail(
+        {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0},
+        OLD["queries_jobs_recompute"],
+        [0.30, 0.05, 0.05],
+        [0.05, 0.05],
+    )
+    wd["calibration_probe"]["warmup_discarded"] = True
+    _, s_wd = bench_diff.adjudicate(wd, OLD)
+    assert s_wd["probe_burst_reps_old"] == 1
+    # files without calibration data report None, not 0
+    old = dict(OLD)
+    old.pop("calibration_probe")
+    _, s2 = bench_diff.adjudicate(old, OLD)
+    assert s2["probe_burst_reps_old"] is None

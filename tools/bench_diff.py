@@ -99,6 +99,31 @@ def _probe_spark_section(d: dict) -> float | None:
     return max(ends) if ends else None
 
 
+def _probe_burst_reps(d: dict) -> int | None:
+    """Count of steady-state Spark-section bracketing probe reps above
+    the healthy ceiling — evidence of a burst OVERLAPPING a checkpoint,
+    which the min-based _probe_spark_section discards (e.g. r15c's
+    mid [0.35, 0.111, 0.124]: min healthy, burst visible here).
+
+    Pre-r17 files recorded the probe's systematic warmup execution as
+    rep 0 (~0.2-0.4 s in ALL six committed snapshots, calm or not —
+    plan construction, not host signal), so rep 0 is skipped unless
+    the file marks "warmup_discarded".  Scope limit: a burst between
+    checkpoints (the r16 record run's q14) is invisible to every
+    probe statistic — rule-3 burst signatures adjudicate those.
+    Informational in the summary; never a verdict input."""
+    cal = d.get("calibration_probe")
+    if not cal:
+        return None
+    skip = 0 if cal.get("warmup_discarded") else 1
+    reps = [
+        r
+        for k in ("start", "mid")
+        for r in (cal.get(k) or [])[skip:]
+    ]
+    return sum(1 for r in reps if r > PROBE_HEALTHY_S) if reps else None
+
+
 def _jobs_sig(d: dict, name: str) -> tuple[int, ...] | None:
     reps = (d.get("queries_jobs_recompute") or {}).get(name)
     return tuple(reps) if reps else None
@@ -240,6 +265,8 @@ def adjudicate(old: dict, new: dict) -> tuple[list[dict], dict]:
         "duckdb_total_new": round(dd_new, 3),
         "probe_spark_section_old": probe_old,
         "probe_spark_section_new": probe_new,
+        "probe_burst_reps_old": _probe_burst_reps(old),
+        "probe_burst_reps_new": _probe_burst_reps(new),
         "durable_plans_old": old.get("durable_plans"),
         "durable_plans_new": new.get("durable_plans"),
         "verdict_counts": {},
