@@ -749,13 +749,15 @@ def _observed_n_changed(obs, updated: DataFrame) -> int:
 def connected_components_over(pairs: DataFrame) -> DataFrame:
     """Connected components over an arbitrary (d1, d2) pair graph.
 
-    Hash-to-min label propagation: every node starts labeled with its
-    own id; each round, a node adopts the minimum label among itself
-    and its neighbors; fixpoint = components labeled by their minimum
-    doc_id. Each round is one shuffle keyed by node; the driver loop
-    only checks a converged-count — no edge data ever collects. The
-    fixture graph converges in ≤3 rounds; at 100 TB the same loop runs
-    O(log n) rounds (or the published big-star/small-star variant for
+    Hash-to-min label propagation: labels are SEEDED with the identity
+    round already applied (label₁(v) = min(v, neighbors(v)), one
+    aggregation over the edge table); each following round a node
+    adopts the minimum label among itself and its neighbors; fixpoint
+    = components labeled by their minimum doc_id. Each round is one
+    join + one shuffle keyed by node; the driver loop only checks a
+    converged-count — no edge data ever collects. The fixture graph
+    converges in ≤3 rounds; at 100 TB the same loop runs O(log n)
+    rounds (or the published big-star/small-star variant for
     pathological chains) with per-round checkpointing to cut lineage.
     """
     # memoized per (session, pairs-plan): the converged label table is
@@ -778,44 +780,65 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
             # of overwriting (an overwrite would orphan the resident
             # checkpoint's blocks — the leak class this file fixes)
             return _cc_output(ck.select("node", "label"))
-    # undirected adjacency (both directions), plus self-loops so
-    # isolated-after-filter nodes keep their own label.  Materialized
+    # undirected adjacency (both directions), so every node appears as
+    # d1 and isolated-after-filter nodes keep their own label via the
+    # self row unioned into each round's aggregation.  Materialized
     # once: every propagation round joins against edges, and without
     # the checkpoint each round would re-run the whole MinHash
     # candidate+verify pipeline (measured 2.5× the total runtime).
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).localCheckpoint(eager=True)
-    labels0 = (
-        edges.select(F.col("d1").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+    # SEED = the identity round, fused into one aggregation (r17): with
+    # identity labels, round 1's neighbor-min is just min(d2) per d1,
+    # so label₁(v) = least(v, min neighbor) costs ONE map-side-combined
+    # shuffle over the checkpointed edges — the old identity-labels
+    # checkpoint (a distinct over edges, same price as this agg) AND
+    # the first full propagation round (edges⋈labels join + agg + a
+    # second join, 3-4 AQE jobs) collapse into it.  Per-phase profile
+    # at sf0.1 before the change: dedup_connected_components spent
+    # 2.3 s / 35 driver-synchronized jobs in this eager build.
+    labels = (
+        edges.groupBy("d1")
+        .agg(F.min("d2").alias("mn"))
+        .select(
+            F.col("d1").alias("node"),
+            F.least(F.col("d1"), F.col("mn")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
     from pyspark.sql import Observation
 
-    labels = labels0
-    prev_ckpt: DataFrame | None = None
+    prev_ckpt: DataFrame = labels
     for _ in range(MAX_CC_ITERS):
-        neighbor_min = (
-            edges.join(labels, edges.d2 == labels.node)
-            .groupBy(edges.d1)
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # the convergence check rides the checkpoint's materializing
-        # job as an OBSERVED metric — zero extra jobs per round (the
-        # old filter+count over the just-written checkpoint paid one
+        # one round = ONE edges⋈labels equi-join + ONE map-side-
+        # combined min aggregation.  The self row (own=true) rides the
+        # union so the aggregation itself yields BOTH the new label
+        # (min over self ∪ neighbors) and the old label (max of the
+        # tagged self row — exactly one per node), which the old shape
+        # paid a second labels⋈neighbor_min join per round to carry.
+        # The convergence check rides the checkpoint's materializing
+        # job as an OBSERVED metric — zero extra jobs per round (a
+        # filter+count over the just-written checkpoint would pay one
         # full job-boundary round trip per round, ~0.1 s each in
-        # local mode and a driver sync at any scale)
+        # local mode and a driver sync at any scale).
+        nbr = edges.join(labels, edges.d2 == labels.node).select(
+            edges.d1.alias("node"),
+            F.col("label"),
+            F.lit(False).alias("own"),
+        )
+        self_rows = labels.select(
+            "node", "label", F.lit(True).alias("own")
+        )
         obs = Observation()
         updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.d1, "left")
-            .select(
-                "node",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+            nbr.unionAll(self_rows)
+            .groupBy("node")
+            .agg(
+                F.max(F.when(F.col("own"), F.col("label"))).alias(
+                    "old_label"
+                ),
+                F.min("label").alias("label"),
             )
             .observe(
                 obs,
@@ -826,11 +849,11 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True)  # cut lineage each round
         )
         changed = _observed_n_changed(obs, updated)
-        # this round is materialized (the count above) — the previous
-        # round's checkpoint blocks are dead: release them NOW so the
-        # loop holds at most 2 rounds of state, not O(rounds)
-        if prev_ckpt is not None:
-            release_local_checkpoint(prev_ckpt)
+        # this round is materialized (the observed checkpoint above) —
+        # the previous round's blocks (the seed's, on round 1) are
+        # dead: release them NOW so the loop holds at most 2 rounds of
+        # state, not O(rounds)
+        release_local_checkpoint(prev_ckpt)
         prev_ckpt = updated
         labels = updated.select("node", "label")
         if changed == 0:
@@ -845,11 +868,10 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
             f"{MAX_CC_ITERS} rounds ({changed} labels still changing); "
             f"raise MAX_CC_ITERS for this corpus"
         )
-    # the edge table and the seed labels are dead once converged; only
-    # the final round's checkpoint (referenced by the returned plan)
-    # stays resident, owned by the memo
+    # the edge table is dead once converged; only the final round's
+    # checkpoint (referenced by the returned plan) stays resident,
+    # owned by the memo
     release_local_checkpoint(edges)
-    release_local_checkpoint(labels0)
     # memoize the CHECKPOINT itself, not the (node, label)
     # projection: release_local_checkpoint can only free blocks when
     # handed the frame whose analyzed plan IS the LogicalRDD

@@ -2102,6 +2102,14 @@ def _pq_train_on(base: DataFrame, key):
     if memo is not None:
         return memo
     seed_rows = base.orderBy("vec_id").limit(PQ_CODES).collect()
+    # the ADC query vector usually sits in the seed head (vec ids are
+    # dense from 0) — stash its full qx so ``ann_pq_adc_topk`` skips a
+    # dedicated filter+collect job per recompute (r17; the guard keeps
+    # a corpus without PQ_QUERY_VEC in the seed on the old path)
+    for r in seed_rows:
+        if int(r["vec_id"]) == PQ_QUERY_VEC:
+            _PQ_MODEL_MEMO[(*key, "seed_qrow")] = [int(v) for v in r["qx"]]
+            break
     books: list[dict[int, list[int]]] = [
         {
             j: [int(q) for q in r["qx"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]]
@@ -2143,7 +2151,11 @@ def _pq_train_on(base: DataFrame, key):
             for m in range(PQ_M)
         ],
     ).cache()
-    codes.count()
+    # no eager count: the first consumer's action fills the cache (its
+    # parent ``base`` cache stays registered, so the fill reads the
+    # in-memory quantized frame, not parquet) — an eager count here
+    # paid one extra driver-synchronized job per recompute rep for
+    # work the consumer's job performs anyway (r17 job-floor pass)
     _PQ_MODEL_MEMO[key] = (codes, books)
     return _PQ_MODEL_MEMO[key]
 
@@ -2175,8 +2187,17 @@ def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     codes, books = _pq_train_encode(spark, sf)
     qkey = (spark.sparkContext.applicationId, sf.rstrip("/"), "pq_qrow")
     if qkey not in _PQ_MODEL_MEMO:
+        # the training seed usually contains the query vector (ids are
+        # dense from 0) — reuse its collected row instead of paying a
+        # filter+collect job; the fallback keeps sparse-id corpora
+        # correct
+        seed_hit = _PQ_MODEL_MEMO.get(
+            (spark.sparkContext.applicationId, sf.rstrip("/"), "seed_qrow")
+        )
         _PQ_MODEL_MEMO[qkey] = (
-            codes.filter(F.col("vec_id") == PQ_QUERY_VEC)
+            seed_hit
+            if seed_hit is not None
+            else codes.filter(F.col("vec_id") == PQ_QUERY_VEC)
             .select("qx")
             .collect()[0]["qx"]
         )
@@ -3315,9 +3336,22 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
             res.select("vec_id", "qx"), key + ("pq",)
         )
         codes = codes.join(res.select("vec_id", "cell"), "vec_id").cache()
-        qrow = [int(v) for v in base.filter(
-            F.col("vec_id") == PQ_QUERY_VEC
-        ).collect()[0]["qx"]]
+        # the coarse-centroid seed rows usually contain the query
+        # vector (ids dense from 0) — reuse the collected row instead
+        # of a dedicated filter+collect job (r17 job-floor pass)
+        qhit = next(
+            (r for r in cent_rows if int(r["vec_id"]) == PQ_QUERY_VEC),
+            None,
+        )
+        qrow = [
+            int(v)
+            for v in (
+                qhit["qx"]
+                if qhit is not None
+                else base.filter(F.col("vec_id") == PQ_QUERY_VEC)
+                .collect()[0]["qx"]
+            )
+        ]
         _PQ_MODEL_MEMO[key] = (base, cents, codes, books, qrow)
     base, cents, codes, books, qrow = _PQ_MODEL_MEMO[key]
 
