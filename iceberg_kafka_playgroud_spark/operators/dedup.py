@@ -229,57 +229,57 @@ def _jaccard_on_candidates(
     right: str,
     threshold: float | None = JACCARD_THRESHOLD,
     n_cand: int | None = None,
-    cache_pruned: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification over candidate pairs ONLY — shared by
     the corpus-wide and incremental MinHash variants so the scoring
     dataflow (and its rounding) has exactly one definition.
 
-    Prunes the shingle table to docs appearing in some candidate pair
-    (broadcast semi-join, narrow) before any shuffle: at scale the
-    candidate set is orders of magnitude smaller than the corpus, so
-    the intersection and size aggregations run on a sliver of the data.
-    Candidate-derived broadcasts are gated on the candidate pair
-    count (``_bcast_if_small``) when the caller passes ``n_cand``.
+    Shape (r18, guide §2.3/§2.4): ONE membership broadcast — each
+    candidate pair exploded into two ``(left, right, doc_id)`` rows —
+    joined once against the corpus shingle table prunes non-candidate
+    docs AND fans each surviving shingle row out to its pairs in the
+    same pass; then a single two-level aggregation per pair yields
+    both set sizes at once: ``tot`` (Σ rows = n₁+n₂) and ``u``
+    (distinct shingles = |A∪B|), so ``i = tot − u`` and
+    ``jaccard = i / u`` — the identical integers, hence the identical
+    IEEE division, as the old ``i / (n₁+n₂−i)``.  This replaces the
+    r13 shape's 3-join cascade (pair⋈s1⋈s2 + two per-doc size
+    broadcasts, each build re-running the sizes aggregate): 5
+    candidate-derived broadcast builds + 4 exchanges collapse to 1
+    broadcast + 2 exchanges (r18 event-log profile: the n1/n2 builds
+    alone cost ~0.6-0.9 s per recompute of the CC family).  At scale
+    both exchanges are keyed by candidate pair — uniform, and
+    candidate-volume-sized, never corpus-sized.
+
+    The membership broadcast is gated on the candidate pair count
+    (``_bcast_if_small``) when the caller passes ``n_cand``; past the
+    budget it degrades to a shuffled equi-join on doc_id, which AQE
+    re-balances (hot docs appearing in many pairs split fine — the
+    join key is doc_id, the fan-out is join output, not input skew).
     """
-    cand_docs = (
-        cand.select(F.explode(F.array(left, right)).alias("doc_id"))
-        .distinct()
+    mem = cand.select(
+        F.col(left),
+        F.col(right),
+        F.explode(F.array(left, right)).alias("doc_id"),
     )
-    shc = sh.join(_bcast_if_small(cand_docs, n_cand), "doc_id")
-    if cache_pruned:
-        # batch callers: the pruned table is candidate-doc-sized and
-        # feeds THREE consumers below (sizes + both intersection
-        # sides); uncached, each consumer re-scanned the full cached
-        # corpus shingle table (r13 event-log profile: three ~0.25 s
-        # 5 MB cache scans per recompute).  Streaming callers keep the
-        # default: their per-micro-batch plans differ every batch, so
-        # a cache entry per call would accumulate for the query's
-        # lifetime.  ``cached`` (not bare .cache()) so a durable-plan
-        # caller can re-arm this handle across recompute resets.
-        shc = cached(shc)
-    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
-    s1 = shc.alias("s1")
-    s2 = shc.alias("s2")
-    inter = (
-        _bcast_if_small(cand, n_cand)
-        .join(s1, F.col("s1.doc_id") == F.col(left))
-        .join(
-            s2,
-            (F.col("s2.doc_id") == F.col(right))
-            & (F.col("s2.shingle") == F.col("s1.shingle")),
-        )
-        .groupBy(left, right)
-        .agg(F.count("*").alias("i"))
+    rows = sh.join(_bcast_if_small(mem, n_cand), "doc_id")
+    # two-level aggregation: (pair, shingle) multiplicity (1 = one
+    # side, 2 = shared) → per-pair totals.  Level 2 rides level 1's
+    # partitioning only if keys match — they don't, so this is the 2
+    # exchanges counted above.
+    lvl = rows.groupBy(left, right, "shingle").agg(
+        F.count("*").alias("_c")
     )
-    n1 = sizes.alias("n1")
-    n2 = sizes.alias("n2")
-    jac = F.col("i").cast("double") / (
-        F.col("n1.n") + F.col("n2.n") - F.col("i")
-    ).cast("double")
+    per = lvl.groupBy(left, right).agg(
+        F.sum("_c").alias("_tot"), F.count("*").alias("_u")
+    )
+    i = (F.col("_tot") - F.col("_u")).cast("long")
+    jac = i.cast("double") / F.col("_u").cast("double")
+    # the old shape's intersection join was INNER: a banded pair with
+    # zero shared shingles (possible only via a hash collision) never
+    # reached the scored set — keep that contract explicitly
     out = (
-        inter.join(_bcast_if_small(n1, n_cand), F.col("n1.doc_id") == F.col(left))
-        .join(_bcast_if_small(n2, n_cand), F.col("n2.doc_id") == F.col(right))
+        per.filter(F.col("_tot") > F.col("_u"))
         .select(left, right, F.round(jac, 6).alias("jaccard"))
     )
     if threshold is not None:
@@ -341,9 +341,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # shingle→minhash→band→verify pipeline (measured 3.2→1.4 s for CC
     # at sf0.1 when the pairs were materialized by a prior call)
     return cached(
-        _jaccard_on_candidates(
-            sh, cand, "d1", "d2", n_cand=_cand_count(cand), cache_pruned=True
-        )
+        _jaccard_on_candidates(sh, cand, "d1", "d2", n_cand=_cand_count(cand))
     )
 
 
@@ -1480,8 +1478,7 @@ def dedup_similarity_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """
     sh, cand = _minhash_candidates(spark, sf)
     pairs = _jaccard_on_candidates(
-        sh, cand, "d1", "d2", threshold=None, n_cand=_cand_count(cand),
-        cache_pruned=True,
+        sh, cand, "d1", "d2", threshold=None, n_cand=_cand_count(cand)
     )
     return (
         pairs.select(
@@ -2099,37 +2096,40 @@ def dedup_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     wsh = cached(wsh)
-    wsizes = wsh.groupBy("doc_id").agg(F.sum("w").cast("long").alias("wt"))
-    s1 = wsh.alias("s1")
-    s2 = wsh.alias("s2")
-    winter = (
-        _bcast_if_small(cand, n_cand)
-        .join(s1, F.col("s1.doc_id") == F.col("d1"))
-        .join(
-            s2,
-            (F.col("s2.doc_id") == F.col("d2"))
-            & (F.col("s2.shingle") == F.col("s1.shingle")),
-        )
-        .groupBy("d1", "d2")
-        .agg(
-            F.sum("s1.w").cast("long").alias("wi"),
-            F.count("*").cast("long").alias("n_inter"),
-        )
+    # r18 (guide §2.3/§2.4, the `_jaccard_on_candidates` shape): ONE
+    # membership broadcast fans each weighted shingle row out to its
+    # pairs, and a single two-level aggregation yields intersection
+    # weight, intersection count, AND the union weight at once —
+    # Σ_distinct w = (Σ_A w + Σ_B w) − wi, exactly the old
+    # n1.wt + n2.wt − wi denominator (identical integers → identical
+    # IEEE division/floor).  Replaces the pair⋈s1⋈s2 cascade + two
+    # per-doc weight-sum broadcasts (each build re-ran the wsizes
+    # aggregate over the cached wsh).
+    mem = cand.select(
+        "d1", "d2", F.explode(F.array("d1", "d2")).alias("doc_id")
     )
-    n1 = wsizes.alias("n1")
-    n2 = wsizes.alias("n2")
+    rows = wsh.join(_bcast_if_small(mem, n_cand), "doc_id")
+    lvl = rows.groupBy("d1", "d2", "shingle").agg(
+        F.count("*").alias("_c"), F.max("w").alias("_w")
+    )
+    per = lvl.groupBy("d1", "d2").agg(
+        F.sum(F.when(F.col("_c") == 2, F.col("_w")))
+        .cast("long")
+        .alias("wi"),
+        F.count(F.when(F.col("_c") == 2, True)).cast("long").alias("n_inter"),
+        F.sum("_w").cast("long").alias("_wu"),
+    )
     return (
-        winter.join(_bcast_if_small(n1, n_cand), F.col("n1.doc_id") == F.col("d1"))
-        .join(_bcast_if_small(n2, n_cand), F.col("n2.doc_id") == F.col("d2"))
+        # inner-join contract of the old shape: pairs sharing no
+        # shingle never reach the output
+        per.filter(F.col("n_inter") >= 1)
         .select(
             "d1",
             "d2",
             "n_inter",
             F.floor(
                 (F.col("wi") * F.lit(1_000_000)).cast("double")
-                / (F.col("n1.wt") + F.col("n2.wt") - F.col("wi")).cast(
-                    "double"
-                )
+                / F.col("_wu").cast("double")
             )
             .cast("long")
             .alias("wjac_ppm"),

@@ -1176,8 +1176,10 @@ def test_minhash_lsh_durable_plan_recomputes(spark, sf_dir):
         if "dedup_minhash_lsh" in k[2]
     )
     _, handles = plan_cache._DURABLE_PLAN_CACHE[key]
-    # shingles, bands, candidates, pruned verify table, result
-    assert len(handles) == 5
+    # shingles, bands, candidates, result (r18: the pruned verify
+    # table's cache fell away with the membership-broadcast verify
+    # shape — the single aggregation has no fan-out to feed)
+    assert len(handles) == 4
     assert all(h.storageLevel.useMemory for h in handles)
     assert sorted(map(tuple, b.collect())) == base
 
