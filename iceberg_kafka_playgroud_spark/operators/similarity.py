@@ -681,6 +681,14 @@ def _ivf_build(spark: SparkSession, sf: str):
     cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
     cent_mat = np.array([r["vec"] for r in cent_rows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
+    # NOT spread before the Arrow assignment (r18 measured refutation):
+    # a gated repartition(defaultParallelism) here parallelized the
+    # ~290 ms single-task numpy argmax but cost an equal shuffle of the
+    # vectors (+1 job, build +0.2 s/rep) AND fragmented the on-disk IVF
+    # index (partitionBy("cell") after repartition(32) => up to 32
+    # files per cell, multiplying the rebalance footer stats).  At
+    # 100 TB the input already has thousands of splits, so the gate
+    # would be false there anyway — no scale upside either.
     corpus = _assign_cells(em, bc, keep_vec=True)
     return em, corpus, cent_ids, cent_mat
 
@@ -3644,12 +3652,22 @@ def ann_ivf_rebalance(spark: SparkSession, sf: str) -> DataFrame:
     # of joining against a counts frame, which would re-run a
     # full-index scan+agg inside the final plan (a whole extra job
     # per call; measured 2nd index scan in the r14 profile)
+    # one slice AT CREATION: plain createDataFrame spreads these
+    # K_CELLS-1 local rows over defaultParallelism Python partitions,
+    # scheduling ~32 no-op tasks in every downstream stage (r18
+    # profile: the final stage ran 33 tasks for 17 rows).  A
+    # coalesce(1) on top is worse, not better — it makes ONE task
+    # drain all 32 Python-worker partitions sequentially (measured
+    # +4.7 s/rep).  parallelize(rows, 1) gives one Python partition.
     kept = spark.createDataFrame(
-        [
-            (int(c), int(c), -1, n_by_cell.get(int(c), 0))
-            for c in cent_ids
-            if int(c) != int(hot)
-        ],
+        spark.sparkContext.parallelize(
+            [
+                (int(c), int(c), -1, n_by_cell.get(int(c), 0))
+                for c in cent_ids
+                if int(c) != int(hot)
+            ],
+            1,
+        ),
         "cell long, seed_id long, split_from long, n_vecs long",
     )
     split = halves.groupBy("cell", "seed_id", "split_from").agg(
