@@ -1329,10 +1329,24 @@ def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
             .distinct()
         )
         edges = (
-            pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .unionByName(
-                pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+            # symmetrize via explode, not union(pairs, flip): one scan
+            # of the distinct-pairs subtree emitting both directions
+            # instead of two plan branches (r18: the union shape
+            # re-evaluated the subtree per branch and doubled the
+            # pre-repartition partition count)
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("a").alias("src"), F.col("b").alias("dst")
+                        ),
+                        F.struct(
+                            F.col("b").alias("src"), F.col("a").alias("dst")
+                        ),
+                    )
+                ).alias("e")
             )
+            .select("e.src", "e.dst")
             # cache HASH-PARTITIONED BY dst: every iterative consumer
             # (PageRank contribution sums, LPA per-round label counts,
             # BFS frontier dedup) aggregates by dst right after a
@@ -1803,9 +1817,10 @@ def _oriented_copurchase(spark: SparkSession, sf: str):
     # equi-join that AQE re-balances — the algorithm itself unchanged.
     full, n_edges, n_nodes = _copurchase_stats(spark, sf)
     e = full.select("pa", "pb")
+    # one scan of the cached edge list emitting both endpoints (the
+    # union-of-two-projections shape scanned it twice)
     deg = (
-        e.select(F.col("pa").alias("p"))
-        .unionAll(e.select(F.col("pb").alias("p")))
+        e.select(F.explode(F.array("pa", "pb")).alias("p"))
         .groupBy("p")
         .agg(F.count("*").alias("deg"))
     )
@@ -3049,9 +3064,16 @@ def graph_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     score are exact integers.
     """
     e = _copurchase_edges(spark, sf).select("pa", "pb")
-    und = e.unionByName(
-        e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
-    )
+    # both directions from one scan of the cached edge list (union
+    # form scanned it once per branch in every consumer)
+    und = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("pa"), F.col("pb")),
+                F.struct(F.col("pb").alias("pa"), F.col("pa").alias("pb")),
+            )
+        ).alias("ud")
+    ).select("ud.pa", "ud.pb")
     deg = und.groupBy(F.col("pa").alias("p")).agg(
         F.count("*").cast("long").alias("deg")
     )
@@ -4560,9 +4582,16 @@ def graph_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
     pipelined job, the LPA lesson) since R is a small constant.
     """
     e = _copurchase_edges(spark, sf).select("pa", "pb")
-    alive = e.unionAll(
-        e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
-    )
+    # both directions from one scan of the cached edge list (union
+    # form scanned it once per branch, re-paid in every peel round)
+    alive = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("pa"), F.col("pb")),
+                F.struct(F.col("pb").alias("pa"), F.col("pa").alias("pb")),
+            )
+        ).alias("ud")
+    ).select("ud.pa", "ud.pb")
     for _ in range(KCORE_ROUNDS):
         keep = (
             alive.groupBy("pa")

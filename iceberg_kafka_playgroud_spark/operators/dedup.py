@@ -784,9 +784,23 @@ def connected_components_over(pairs: DataFrame) -> DataFrame:
     # once: every propagation round joins against edges, and without
     # the checkpoint each round would re-run the whole MinHash
     # candidate+verify pipeline (measured 2.5× the total runtime).
-    edges = pairs.union(
-        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).localCheckpoint(eager=True)
+    # Symmetrize via explode, NOT union(pairs, flip(pairs)): the union
+    # shape evaluates the candidate+verify subtree TWICE in the eager
+    # checkpoint job and doubles the checkpointed partition count,
+    # which every propagation round then re-pays as task overhead
+    # (r18 profile: 32 near-empty tasks per round stage for a
+    # 3.5k-row edge table at sf0.1).  One scan emitting both
+    # directions is strictly less work at any scale.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("d1"), F.col("d2")),
+                F.struct(
+                    F.col("d2").alias("d1"), F.col("d1").alias("d2")
+                ),
+            )
+        ).alias("e")
+    ).select("e.d1", "e.d2").localCheckpoint(eager=True)
     # SEED = the identity round, fused into one aggregation (r17): with
     # identity labels, round 1's neighbor-min is just min(d2) per d1,
     # so label₁(v) = least(v, min neighbor) costs ONE map-side-combined

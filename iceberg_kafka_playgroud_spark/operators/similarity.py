@@ -2910,9 +2910,17 @@ def embedding_dbscan_core(spark: SparkSession, sf: str) -> DataFrame:
     """
     em = load_table(spark, sf, "embeddings").select("vec_id", "label")
     pairs = embedding_near_dup_pairs(spark, sf)
+    # both directions from one scan of the pair table (the union-of-
+    # projections shape scanned it once per branch in the degree agg
+    # AND again in the border join)
     nbrs = pairs.select(
-        F.col("d1").alias("v"), F.col("d2").alias("nbr")
-    ).unionByName(pairs.select(F.col("d2").alias("v"), F.col("d1").alias("nbr")))
+        F.explode(
+            F.array(
+                F.struct(F.col("d1").alias("v"), F.col("d2").alias("nbr")),
+                F.struct(F.col("d2").alias("v"), F.col("d1").alias("nbr")),
+            )
+        ).alias("ud")
+    ).select("ud.v", "ud.nbr")
     # cache the degree frame too: core/border/roles each consume it,
     # and every broadcast build over an uncached deg re-scans the
     # pair cache in its own job (measured: 12 of dbscan's 16 warm
