@@ -488,7 +488,12 @@ def _simhash_signatures_core(spark: SparkSession, sf: str, bits: int) -> DataFra
     assert bits in (32, 64, 128), bits
     bpn = bits // 32  # signature bits consumed per hex nibble
     nb = 8 * bpn  # signature bits driven by each 32-bit digest word
-    d = load_table(spark, sf, "documents")
+    # same CPU-amplification gate as the shingle path: ~1 md5 per word
+    # over a sub-split-sized parquet ran the whole tokenize→md5→sum
+    # pipeline as ONE task (r18 profile: 755 ms of dedup_simhash's
+    # 1.4 s wall, 925 ms of hamming's 1.5 s, 31 cores idle); the gate
+    # is false at scale, where the input already has many splits
+    d = _spread_for_compute(load_table(spark, sf, "documents"))
     words = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
     digests = words.select("doc_id", F.md5("w").alias("hw"))
     # A single groupBy(doc_id) with `bits` sum() accumulators generates
