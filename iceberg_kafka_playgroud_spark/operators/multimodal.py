@@ -27,7 +27,19 @@ from ..schema import load_table
 def with_payload(docs: DataFrame) -> DataFrame:
     """Attach a binary payload + metadata struct (the multimodal row
     shape). Fixture docs carry no real media, so the payload is the
-    utf-8 text bytes — type-wise identical to an image blob."""
+    utf-8 text bytes — type-wise identical to an image blob.
+
+    The input is spread through the CPU-amplification gate first
+    (``dedup._spread_for_compute``): every multimodal operator feeds
+    this frame into an Arrow-batched Python decode, and at bench
+    scale the documents parquet is ONE input split, so the decode ran
+    as a single task (r18 profile: 825 ms serial inside
+    multimodal_phash_near_dup while 31 cores idled).  The gated
+    round-robin moves only the raw text bytes and is false at scale,
+    where the input already has many splits."""
+    from .dedup import _spread_for_compute
+
+    docs = _spread_for_compute(docs)
     return docs.select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),

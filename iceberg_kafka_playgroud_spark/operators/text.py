@@ -1281,7 +1281,13 @@ def text_boilerplate_coverage(spark: SparkSession, sf: str) -> DataFrame:
     BOILER_N), and the exact covered-position union is an array
     expression over that bounded-by-dl set.
     """
-    d = load_table(spark, sf, "documents").select(
+    # spread the single-split scan before the tokenize+gram expansion
+    # (the dedup._spread_for_compute gate, false at scale): the cached
+    # grams frame otherwise materialized as ONE 440 ms task that all
+    # three consumer stages lock-waited on (r18 profile)
+    from .dedup import _spread_for_compute
+
+    d = _spread_for_compute(load_table(spark, sf, "documents")).select(
         "doc_id", "source", tokens(F.col("text")).alias("toks")
     )
     d = d.select("doc_id", "source", "toks", F.size("toks").alias("dl"))

@@ -365,11 +365,18 @@ def test_zscore_broadcasts_moments(spark, sf_dir):
 
 
 def test_audio_rms_is_narrow(spark, sf_dir):
-    # windowed DSP fans out rows but never shuffles
+    # windowed DSP fans out rows but never KEY-shuffles: the only
+    # permitted exchange is with_payload's gated round-robin spread of
+    # the sub-split fixture scan (absent at scale, where the gate is
+    # false) — any hash/range partitioning would mean the DSP itself
+    # started shuffling
+    import re
+
     from iceberg_kafka_playgroud_spark.operators import multimodal
 
     plan = physical_plan(multimodal.multimodal_audio_rms(spark, sf_dir))
-    assert "Exchange" not in plan
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(kind == "RoundRobinPartitioning" for kind in exchanges), plan
 
 
 def test_curation_pipeline_two_shuffles(spark, sf_dir):
